@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.{GunzipBytes, GzipBytes}
+
+/** Session bootstrap for the graft engine.
+  *
+  * Registers graft's native Catalyst expressions in the session's
+  * function registry so operators can use them via `call_function`
+  * (and users via SQL). Idempotent; every public operator calls
+  * [[ensureRegistered]] so a plain driver-created SparkSession works.
+  */
+object GraftSession {
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_gzip", es => GzipBytes(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_gunzip", es => GunzipBytes(es.head), "built-in")
+  }
+
+  /** Local-mode builder with scale-appropriate defaults (AQE on,
+    * shuffle partitions sized to cores, UTC).
+    */
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

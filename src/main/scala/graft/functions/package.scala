@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** Column-typed entry points for graft's native Catalyst expressions.
+  * Built directly on the expression tree — no session-registry
+  * dependency, usable from any SparkSession. (The same expressions
+  * are also SQL-registered by [[GraftSession.ensureRegistered]].)
+  */
+package object functions {
+  private[graft] def col1(f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column =
+    ColumnShim.column(f(ColumnShim.expression(c)))
+
+  /** Gzip-compress a binary column. */
+  def graft_gzip(c: Column): Column = col1(GzipBytes.apply)(c)
+
+  /** Gunzip a binary column. */
+  def graft_gunzip(c: Column): Column = col1(GunzipBytes.apply)(c)
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sf_dir] [out_dir] [--skip-spark]
+
+1. sbt "runMain graft.Verify <sf_dir> <out_dir>"  (unless --skip-spark)
+2. For each query result parquet in <out_dir>, run the matching oracle
+   SQL from oracle_sql.json in DuckDB (views over the sf parquet) and
+   compare: columns sorted by name, rows sorted, values stringified.
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    if "--skip-spark" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+            cwd="/root/repo", capture_output=True, text=True)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
+        if r.returncode != 0:
+            print(tail)
+            sys.exit(1)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        res_glob = f"{out_dir}/{name}/*.parquet"
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{res_glob}')")
+            got_cols = sorted(got.columns)
+            got_rows = sorted(
+                tuple(norm(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {','.join(got_cols)} FROM read_parquet('{res_glob}')").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: cannot read result: {e}")
+            n_fail += 1
+            continue
+        if name not in oracle:
+            status = "ROWS-ONLY" if got_rows else "FAIL (0 rows)"
+            print(f"{status:9s} {name}: {len(got_rows)} rows")
+            n_fail += 0 if got_rows else 1
+            continue
+        try:
+            exp = con.sql(oracle[name])
+            exp_cols = sorted(exp.columns)
+            exp_rows = sorted(
+                tuple(norm(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {','.join(exp_cols)} FROM ({oracle[name]})").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif got_rows != exp_rows:
+            diffs = [(g, e) for g, e in zip(got_rows, exp_rows) if g != e][:3]
+            print(f"FAIL {name}: {len(got_rows)} vs {len(exp_rows)} rows; first diffs: {diffs}")
+            n_fail += 1
+        else:
+            print(f"PASS      {name}: {len(got_rows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
