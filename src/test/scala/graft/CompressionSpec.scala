@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Gzip
+
+/** Parity with the reference's utils tests
+  * (tests/test_kinesis_logs_reader.py:110-127).
+  */
+class CompressionSpec extends AnyFunSuite {
+
+  // The reference's fixed gzip fixture: gunzip(gz) == b'Test data'.
+  private val referenceGz: Array[Byte] = Array(
+    0x1f, 0x8b, 0x08, 0x00, 0x4d, 0x98, 0x36, 0x57, 0x02, 0xff, 0x0b,
+    0x49, 0x2d, 0x2e, 0x51, 0x48, 0x49, 0x2c, 0x49, 0x04, 0x00, 0x11,
+    0x2c, 0xf9, 0x51, 0x09, 0x00, 0x00, 0x00).map(_.toByte)
+
+  test("gunzip decodes the reference fixture") {
+    assert(new String(Gzip.gunzip(referenceGz), UTF_8) === "Test data")
+  }
+
+  test("gzip/gunzip roundtrip on assorted payloads") {
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      "Test data".getBytes(UTF_8),
+      Array.fill(1 << 20)(0x61.toByte)) ++
+      (0 until 20).map(i => Array.fill(rnd.nextInt(10000))(rnd.nextInt().toByte))
+    cases.foreach { bytes =>
+      assert(Gzip.gunzip(Gzip.gzip(bytes)).toSeq === bytes.toSeq)
+    }
+  }
+}
