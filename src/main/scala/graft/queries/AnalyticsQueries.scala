@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.2 — core analytics over the TPC-H-ish tables.
@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   * decimal sums are exact and associativity-free, so Spark and the
   * DuckDB oracle agree bit-for-bit regardless of partitioning — a
   * property that still holds on a 1000-executor shuffle.
+  *
+  * Scale notes: dimension joins are explicit `broadcast`s; the only
+  * wide operations are the fact-table shuffles on the grouping/join
+  * keys, which AQE re-plans at runtime (skew, local hash agg first).
   */
 object AnalyticsQueries {
+
+  private val revenue = sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
 
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
@@ -18,11 +24,150 @@ object AnalyticsQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
-          round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))), 2)
-            .cast("double").as("revenue"),
+          round(revenue, 2).cast("double").as("revenue"),
           round(avg(dec(col("l_discount"))), 4).cast("double").as("avg_disc"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(revenue, 2).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(revenue.as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), round(col("rev_exact"), 2).cast("double").as("revenue"))
+        .orderBy("l_orderkey")
+    }),
+
+    "q4_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      table(s, dir, "lineitem")
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          round(sum(dec(col("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .cast("double").as("running_qty"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    "q5_cust_no_orders" -> ((s, dir) => {
+      // customers with no orders since 2000 (NOT EXISTS → left_anti)
+      val recent = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      table(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    "q6_selective_filter" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+            .cast("double").as("promo_revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q7_events_tumbling" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
+        .select(unix_millis(col("w.start")).as("w_start_ms"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start_ms", "event_type")
+    }),
+
+    "q8_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val gapNs = 1800L * 1000 * 1000 * 1000 // 30 min
+      events(s, dir)
+        .withColumn("prev_ns", lag("ts_ns", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts_ms").as("s_start_ms"),
+          max("ts_ms").as("s_end_ms"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    "q9_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("k").cast("double") / count(lit(1)), 3).as("avg_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    "q10_distinct_users" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("value") > 100, col("user_id"))).as("n_big_spenders"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    "q11_rollup" -> ((s, dir) => {
+      events(s, dir)
+        .rollup(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("d").cast("string"), lit("(all)")).as("d"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "d")
+    }),
+
+    "q12_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val pivoted = events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("d"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("d")
+    }),
+
+    // HLL approximate distinct: deterministic (register-max merge is
+    // order-free) but engine-specific → rows-only check + spec a1.
+    "a1_approx_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -32,5 +177,83 @@ object AnalyticsQueries {
         |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
         |round(avg(l_discount::DECIMAL(18,4)), 4)::DOUBLE AS avg_disc,
         |count(*) AS n_rows
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+        |count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, round(rev_exact, 2)::DOUBLE AS revenue FROM (
+        |  SELECT l_orderkey, sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))) AS rev_exact
+        |  FROM lineitem GROUP BY 1 ORDER BY rev_exact DESC, l_orderkey LIMIT 10
+        |) ORDER BY l_orderkey""".stripMargin,
+    "q4_running_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |row_number() OVER w AS rn,
+        |round(sum(l_quantity::DECIMAL(18,4)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q5_cust_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_selective_filter" ->
+      """SELECT
+        |round(sum(l_extendedprice::DECIMAL(18,4) * l_discount::DECIMAL(18,4)), 2)::DOUBLE AS promo_revenue,
+        |count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin,
+    "q7_events_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts::TIMESTAMP)) AS w_start_ms, event_type,
+        |count(*) AS n,
+        |round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q8_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, epoch_ms(ts::TIMESTAMP) AS tms FROM events
+        |), y AS (
+        |  SELECT *, CASE WHEN lag(tns) OVER w IS NULL OR tns - lag(tns) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+        |), z AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM y
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |min(tms) AS s_start_ms, max(tms) AS s_end_ms
+        |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q9_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |round(sum(json_extract_string(props, '$.k')::BIGINT)::DOUBLE / count(*), 3) AS avg_k,
+        |min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_distinct_users" ->
+      """SELECT event_type,
+        |count(DISTINCT user_id) AS n_users,
+        |count(DISTINCT CASE WHEN value > 100 THEN user_id END) AS n_big_spenders,
+        |count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_rollup" ->
+      """SELECT coalesce(event_type, '(all)') AS event_type,
+        |coalesce(d::VARCHAR, '(all)') AS d, n, sum_value FROM (
+        |  SELECT event_type, (ts::TIMESTAMP)::DATE AS d, count(*) AS n,
+        |  round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+        |  FROM events GROUP BY ROLLUP (event_type, (ts::TIMESTAMP)::DATE)
+        |) ORDER BY 1, 2""".stripMargin,
+    "q12_pivot" ->
+      """SELECT ((ts::TIMESTAMP)::DATE)::VARCHAR AS d,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'view') AS view,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }
