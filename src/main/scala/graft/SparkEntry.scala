@@ -15,10 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++
+      DedupQueries.queries ++
+      TextQueries.queries
 
   /** DuckDB-runnable oracle SQL for each hash-verifiable query. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++
+      DedupQueries.oracleSql ++
+      TextQueries.oracleSql
 }

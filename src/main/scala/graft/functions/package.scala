@@ -17,4 +17,11 @@ package object functions {
 
   /** Gunzip a binary column. */
   def graft_gunzip(c: Column): Column = col1(GunzipBytes.apply)(c)
+
+  /** Cosine similarity of two numeric array columns (double). */
+  def cosine(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** 64-bit SimHash of a token (array<string>) column. */
+  def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine, simhash64, TextFunctions => T}
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.3).
+  *
+  * Scale design: every operator shuffles *keys or signatures*, never
+  * raw text. Exact dedup groups on a 128-bit fingerprint; MinHash-LSH
+  * generates candidates with one equi-join on (band, bucket-hash);
+  * SimHash buckets on 16-bit chunks (pigeonhole: hamming ≤ 3 pairs
+  * must collide in ≥ 1 of 4 chunks). Only the exact-verify stages
+  * touch pairs, and only candidate pairs, never the cross product.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized-content fingerprint: one row per
+    * distinct content, keeping the minimum id.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(T.contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash LSH band keys: (id, band, h). */
+  private def bandKeys(
+      df: DataFrame, textCol: String, idCol: String,
+      numPerms: Int, bands: Int): DataFrame = {
+    val r = numPerms / bands
+    df.select(
+      col(idCol).as("id"),
+      T.minhashSignature(T.wordShingles(T.tokens(col(textCol))), numPerms).as("sig"))
+      .select(col("id"), explode(T.bandHashes(col("sig"), bands, r)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  /** MinHash + LSH near-duplicate *candidate* pairs: docs sharing at
+    * least one of `bands` band keys. Returns (id_a, id_b, n_bands)
+    * with id_a < id_b. The only wide op is the band-key equi-join.
+    */
+  def minhashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    val keys = bandKeys(df, textCol, idCol, numPerms, bands)
+    val a = keys.toDF("id_a", "band", "h")
+    val b = keys.toDF("id_b", "band", "h")
+    a.join(b, Seq("band", "h"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Per-doc 64-bit SimHash fingerprint (hex). */
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      lpad(hex(simhash64(T.tokens(col(textCol)))), 16, "0").as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * bucketed on the four 16-bit chunks (exact for maxHamming ≤ 3;
+    * high-recall heuristic above that).
+    */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String, maxHamming: Int): DataFrame = {
+    val withHash = df.select(
+      col(idCol).as("id"), simhash64(T.tokens(col(textCol))).as("sh"))
+    val chunked = withHash.select(
+      col("id"), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"), shiftrightunsigned(col("sh"), c * 16)
+          .bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("b"))
+      .select(col("id"), col("sh"), col("b.chunk"), col("b.ck"))
+    val a = chunked.toDF("id_a", "sh_a", "chunk", "ck")
+    val b = chunked.toDF("id_b", "sh_b", "chunk", "ck")
+    a.join(b, Seq("chunk", "ck"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact word-n-gram Jaccard pairs ≥ threshold. Brute-force verify
+    * tool for small/blocked sets — at scale, feed it
+    * [[minhashCandidates]] output instead of the cross product. A
+    * size-ratio prefilter (|A|/|B| ≥ t implied by J ≥ t) prunes pairs
+    * before the set intersection without changing the result.
+    */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      T.wordShingles(T.tokens(col(textCol))).as("s"))
+      .withColumn("ns", size(col("s")))
+    val a = sh.toDF("id_a", "s_a", "ns_a")
+    val b = sh.toDF("id_b", "s_b", "ns_b")
+    a.join(b,
+      col("id_a") < col("id_b") &&
+        col("ns_a") * lit(threshold) <= col("ns_b") &&
+        col("ns_b") * lit(threshold) <= col("ns_a"))
+      .withColumn("jaccard", T.jaccard(col("s_a"), col("s_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ minCos (brute force; the ANN
+    * path for large N is Similarity.lshKnn's bucketing).
+    */
+  def embeddingPairs(
+      df: DataFrame, vecCol: String, idCol: String, minCos: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = e.toDF("id_a", "v_a")
+    val b = e.toDF("id_b", "v_b")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
+      .where(col("cos_sim") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.operators.Dedup
+
+/** §2.3 — deduplication over `documents` / `embeddings`. */
+object DedupQueries {
+
+  // Shared DuckDB CTEs: normalized tokens and distinct 3-word shingles,
+  // mirroring TextFunctions.normalize/tokens/wordShingles exactly.
+  private val shingleCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+      |  FROM toks
+      |)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fingerprint")),
+
+    "d2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b")),
+
+    "d3_simhash" -> ((s, dir) =>
+      Dedup.simhashFingerprints(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id")),
+
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(table(s, dir, "documents"), "text", "doc_id", 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "d5_embedding_dedup" -> ((s, dir) =>
+      Dedup.embeddingPairs(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
+        .orderBy("id_a", "id_b")))
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d2_minhash_lsh" -> (shingleCtes +
+      """, sig AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 11),
+        |    p -> list_min(list_transform(s, x -> md5('p' || p || '|' || x)))) AS sig FROM sh
+        |), bh AS (
+        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sig FROM sig
+        |), keys AS (
+        |  SELECT doc_id, band, md5(sig[3*band+1] || sig[3*band+2] || sig[3*band+3]) AS h FROM bh
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+        |FROM keys a JOIN keys b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "d4_ngram_jaccard" -> (shingleCtes +
+      """
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin),
+    "d5_embedding_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.45 ORDER BY 1, 2""".stripMargin)
+}

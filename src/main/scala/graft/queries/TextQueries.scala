@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** §2.5 — text analysis over `documents`.
+  *
+  * All scoring stays in exact integer arithmetic until a final
+  * division, so Spark and DuckDB agree bit-for-bit.
+  */
+object TextQueries {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "les", "et"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+
+  val queries: Map[String, Q] = Map(
+    // stopword-profile language ID with a fixed priority order
+    "t1_langid" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .select(col("doc_id") +: markers.map { case (l, ws) =>
+          markerCount(col("toks"), ws).as(s"c_$l")
+        }: _*)
+        .withColumn("pred_lang",
+          when(col("c_en") >= greatest(col("c_es"), col("c_de"), col("c_fr")), "en")
+            .when(col("c_es") >= greatest(col("c_de"), col("c_fr")), "es")
+            .when(col("c_de") >= col("c_fr"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    }),
+
+    // doc quality: token count, stopword ratio, mean token length
+    "t2_quality" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("stop_cnt", markerCount(col("toks"), Seq("the", "a")))
+        .withColumn("sum_len",
+          aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+        .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tok"))
+        .withColumn("avg_len", col("sum_len").cast("double") / col("n_tok"))
+        .withColumn("score",
+          least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.5 +
+            col("stop_ratio") * 0.3 +
+            when(col("avg_len") >= 3.0 && col("avg_len") <= 8.0, 0.2).otherwise(0.0))
+        .select(
+          col("doc_id"), col("n_tok"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("avg_len"), 4).as("avg_len"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source token accounting: whitespace tokens + 4-char subword units
+    "t3_token_stats" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .withColumn("n_ws", size(col("toks")))
+        .withColumn("n_sub",
+          aggregate(transform(col("toks"), t => (length(t) + 3).cast("long") / 4),
+            lit(0L), (acc, x) => acc + x.cast("long")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_ws").as("n_ws_tokens"),
+          sum("n_sub").as("n_sub_tokens"),
+          round(sum("n_ws").cast("double") / count(lit(1)), 3).as("avg_tokens"))
+        .orderBy("source")
+    }),
+
+    // order-insensitive content fingerprint (bag-of-words md5)
+    "t4_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .groupBy(T.bowFingerprint(col("text")).as("fingerprint"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .orderBy("fingerprint")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_langid" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |  len(list_filter(t, w -> w IN ('the', 'a'))) AS c_en,
+        |  len(list_filter(t, w -> w IN ('el', 'la', 'los'))) AS c_es,
+        |  len(list_filter(t, w -> w IN ('der', 'und', 'die'))) AS c_de,
+        |  len(list_filter(t, w -> w IN ('le', 'les', 'et'))) AS c_fr
+        |  FROM x
+        |)
+        |SELECT doc_id, c_en, c_es, c_de, c_fr,
+        |CASE WHEN c_en >= greatest(c_es, c_de, c_fr) THEN 'en'
+        |     WHEN c_es >= greatest(c_de, c_fr) THEN 'es'
+        |     WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """WITH x AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(t) AS n_tok,
+        |  len(list_filter(t, w -> w IN ('the', 'a'))) AS stop_cnt,
+        |  list_sum(list_transform(t, s -> length(s)))::BIGINT AS sum_len
+        |  FROM x
+        |), r AS (
+        |  SELECT doc_id, n_tok,
+        |  stop_cnt::DOUBLE / n_tok AS stop_ratio,
+        |  sum_len::DOUBLE / n_tok AS avg_len
+        |  FROM m
+        |)
+        |SELECT doc_id, n_tok, round(stop_ratio, 4) AS stop_ratio, round(avg_len, 4) AS avg_len,
+        |round(least(n_tok, 100)::DOUBLE / 100.0 * 0.5 + stop_ratio * 0.3 +
+        |  (CASE WHEN avg_len >= 3.0 AND avg_len <= 8.0 THEN 0.2 ELSE 0.0 END), 4) AS score
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "t3_token_stats" ->
+      """WITH x AS (
+        |  SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), m AS (
+        |  SELECT source, len(t) AS n_ws,
+        |  list_sum(list_transform(t, s -> (length(s) + 3) // 4))::BIGINT AS n_sub
+        |  FROM x
+        |)
+        |SELECT source, count(*) AS n_docs, sum(n_ws)::BIGINT AS n_ws_tokens,
+        |sum(n_sub)::BIGINT AS n_sub_tokens,
+        |round(sum(n_ws)::DOUBLE / count(*), 3) AS avg_tokens
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS fingerprint,
+        |min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+}
