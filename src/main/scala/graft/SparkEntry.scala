@@ -17,12 +17,16 @@ object SparkEntry {
     ReferenceQueries.queries ++
       AnalyticsQueries.queries ++
       DedupQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++
+      SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** DuckDB-runnable oracle SQL for each hash-verifiable query. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++
       DedupQueries.oracleSql ++
-      TextQueries.oracleSql
+      TextQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine
+
+/** Similarity search over embedding columns (SURVEY §2.4).
+  *
+  * bruteKnn is the exact baseline: score = one codegen'd cosine kernel
+  * per (query, vector) pair, queries broadcast, top-k via a per-query
+  * window — O(Q·N) scoring, no shuffle of the corpus. lshKnn is the
+  * scale path: random-hyperplane signatures bucket the corpus; each
+  * query probes its own bucket plus all Hamming-1 neighbors, so the
+  * scored set shrinks ~2^bits/(bits+1)-fold while keeping recall high.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`: (q_id, q_vec). Self-matches (same id) are excluded.
+    */
+  def bruteKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id"))
+    data.crossJoin(broadcast(queries))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("cos_exact", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id").as("neighbor_id"),
+        round(col("cos_exact"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p
+    * is derived from a seeded integer hash — reproducible across
+    * runs/JVMs with no RNG state.
+    */
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      // splitmix64-style scramble of (p, d)
+      var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x42L
+      z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+      z ^= z >>> 27; z *= 0x94d049bb133111ebL
+      z ^= z >>> 31
+      ((z % 2001L) / 1000.0) // in [-2, 2]
+    }
+
+  private def planeCol(plane: Array[Double]): Column =
+    array(plane.map(v => lit(v)): _*)
+
+  /** LSH bucket signature: bit p = sign of dot(v, plane_p). */
+  private def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(cosine(v.cast("array<double>"), planeCol(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k via random-hyperplane LSH with Hamming-1
+    * multi-probe. Same output shape as [[bruteKnn]].
+    */
+  def lshKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("bucket", bucketOf(col("n_vec"), planes))
+    // each query probes its own bucket + all single-bit flips
+    val probes = queries
+      .withColumn("q_bucket", bucketOf(col("q_vec"), planes))
+      .withColumn("probe", explode(array(
+        col("q_bucket") +: (0 until numPlanes).map(b =>
+          col("q_bucket").bitwiseXOR(lit(1 << b))): _*)))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id"))
+    data.join(broadcast(probes), col("bucket") === col("probe"))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("cos_exact", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id").as("neighbor_id"),
+        round(col("cos_exact"), 4).as("cos_sim"))
+  }
+}

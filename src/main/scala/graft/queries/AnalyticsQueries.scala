@@ -58,7 +58,7 @@ object AnalyticsQueries {
       table(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          row_number().over(w).as("rn"),
+          row_number().over(w).cast("long").as("rn"),
           round(sum(dec(col("l_quantity")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
             .cast("double").as("running_qty"))

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** §2.4 — similarity search over `embeddings`. The first 5 vectors
+  * act as the query set.
+  */
+object SimilarityQueries {
+
+  private def querySet(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "embeddings")
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  val queries: Map[String, Q] = Map(
+    "s1_knn_brute" -> ((s, dir) =>
+      Similarity.bruteKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
+    // LSH-bucketed ANN: same shape, approximate — recall vs s1 is
+    // asserted in SimilaritySpec (no SQL oracle).
+    "s2_knn_lsh" -> ((s, dir) =>
+      Similarity.lshKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")))
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT q_id, a.vec_id AS n_id,
+        |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS c
+        |  FROM e a, q WHERE a.vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM sc
+        |)
+        |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+}

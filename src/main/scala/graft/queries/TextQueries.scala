@@ -19,7 +19,7 @@ object TextQueries {
     "fr" -> Seq("le", "les", "et"))
 
   private def markerCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+    size(filter(toks, t => t.isin(words.map(x => x: Any): _*))).cast("long")
 
   val queries: Map[String, Q] = Map(
     // stopword-profile language ID with a fixed priority order
@@ -41,7 +41,7 @@ object TextQueries {
     "t2_quality" -> ((s, dir) => {
       table(s, dir, "documents")
         .withColumn("toks", T.tokens(col("text")))
-        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("stop_cnt", markerCount(col("toks"), Seq("the", "a")))
         .withColumn("sum_len",
           aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
@@ -63,7 +63,7 @@ object TextQueries {
     "t3_token_stats" -> ((s, dir) => {
       table(s, dir, "documents")
         .withColumn("toks", T.tokens(col("text")))
-        .withColumn("n_ws", size(col("toks")))
+        .withColumn("n_ws", size(col("toks")).cast("long"))
         .withColumn("n_sub",
           aggregate(transform(col("toks"), t => (length(t) + 3).cast("long") / 4),
             lit(0L), (acc, x) => acc + x.cast("long")))

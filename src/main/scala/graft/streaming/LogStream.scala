@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.CloudWatchLogs
+
+/** Structured Streaming face of the engine (SURVEY §2.1 st1–st3).
+  *
+  * The reference's long-poll loop over shard iterators
+  * (kinesis_logs_reader.py:99-106) becomes a streaming source +
+  * incremental query: the runtime owns offsets/retries/backpressure,
+  * and the same narrow parse chain as the batch Reader runs per
+  * micro-batch. With a real Kinesis connector the `records` stream
+  * would come from `readStream.format(...)`; everything downstream is
+  * source-agnostic.
+  */
+object LogStream {
+
+  /** Streaming variant of Reader.readLogs (no global sort/limit —
+    * those are not stream semantics; use watermarks + windows).
+    */
+  def parse(records: DataFrame, dataCol: String = "data"): DataFrame =
+    records
+      .withColumn("_payload", CloudWatchLogs.decodePayload(col(dataCol)))
+      .where(col("_payload.messageType") === CloudWatchLogs.DataMessage)
+      .select(explode(col("_payload.logEvents")).as("_logEvent"))
+      .select(
+        col("_logEvent.id").as("log_id"),
+        col("_logEvent.timestamp").as("timestamp_ms"),
+        col("_logEvent.message").as("message"),
+        col("_logEvent.extractedFields").as("fields"))
+
+  /** Event-time tumbling-window counts with a watermark bounding
+    * state retention.
+    */
+  def windowedCounts(flat: DataFrame, windowDur: String, watermarkDelay: String): DataFrame =
+    flat
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  case class EventIn(userId: Long, tsNs: Long)
+  case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
+  case class OpenSession(startNs: Long, endNs: Long, n: Long)
+
+  /** Stateful gap sessionization: closed sessions are emitted, the
+    * open tail lives in group state (bounded per key). The streaming
+    * twin of the batch q8_sessionize window query.
+    */
+  def sessionize(events: Dataset[EventIn], gapNs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventIn], state: GroupState[OpenSession]) =>
+          val times = it.map(_.tsNs).toArray.sorted
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          times.foreach { t =>
+            open match {
+              case Some(s) if t - s.endNs <= gapNs =>
+                open = Some(s.copy(endNs = t, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

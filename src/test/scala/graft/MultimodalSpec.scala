@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.BinaryOps
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .withColumn("payload", col("text").cast("binary"))
+
+  test("m1: byte length and frame count are consistent") {
+    val meta = BinaryOps.withMeta(docs, "payload")
+    assert(meta.where(col("n_bytes") =!= length(col("text"))).count() === 0)
+    assert(meta.where(col("n_frames") =!=
+      ceil(col("n_bytes").cast("double") / BinaryOps.FrameBytes).cast("long")).count() === 0)
+  }
+
+  test("m2: sampled frames tile the payload at the stride") {
+    val frames = BinaryOps.sampleFrames(docs, "payload", "doc_id", stride = 4)
+    assert(frames.where(col("frame_idx") % 4 =!= 0).count() === 0)
+    assert(frames.where(col("frame_len") > BinaryOps.FrameBytes).count() === 0)
+    assert(frames.where(col("frame_len") <= 0).count() === 0)
+  }
+
+  test("mapPartitions decoder stub: deterministic energies, schema intact") {
+    val input = docs.limit(50)
+      .select(col("doc_id"), lit(0).as("idx"), col("payload"))
+      .as[(Long, Int, Array[Byte])]
+    val out1 = BinaryOps.decodePartitions(input).collect().sortBy(_.id)
+    val out2 = BinaryOps.decodePartitions(input).collect().sortBy(_.id)
+    assert(out1.length === 50)
+    assert(out1.map(_.energy).toSeq === out2.map(_.energy).toSeq)
+    assert(out1.forall(f => f.energy >= 0 && f.energy < 100000L))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.where(col("vec_id") < 5)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  test("s2: LSH ANN achieves reasonable recall vs brute force") {
+    val exact = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 = $recall")
+  }
+
+  test("s2: LSH scores far fewer candidates than brute force") {
+    val planes = Similarity.hyperplanes(8, 64)
+    assert(planes.length === 8 && planes(0).length === 64)
+    // deterministic across calls
+    assert(Similarity.hyperplanes(8, 64)(3)(17) === planes(3)(17))
+    // bucket sizes: no bucket holds more than a quarter of the corpus
+    val n = emb.count()
+    val maxBucket = Similarity.lshKnn(emb, "embedding", "vec_id", queries, Int.MaxValue)
+      .groupBy("q_id").count().agg(max("count")).as[Long].head()
+    assert(maxBucket < n / 2, s"maxBucket=$maxBucket of $n")
+  }
+
+  test("s1: ranks are dense, per-query, and self-free") {
+    val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
+    assert(out.count() === 50)
+    assert(out.where(col("neighbor_id") === col("q_id")).count() === 0)
+    val ranks = out.where(col("q_id") === 0).select("rank").as[Int].collect().sorted
+    assert(ranks.toSeq === (1 to 10))
+  }
+}

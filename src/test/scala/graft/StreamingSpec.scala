@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.events
+import graft.sources.CloudWatchLogs
+import graft.streaming.LogStream
+
+/** st1–st3: the streaming face, driven synchronously off parquet
+  * file sources (finite streams) with memory sinks.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Gzipped CWL payloads written to a temp parquet dir (one payload
+    * per event batch of 100), read back as a file stream.
+    */
+  private lazy val payloadDir: String = {
+    GraftSession.ensureRegistered(spark)
+    val dir = Files.createTempDirectory("graft_stream").toString
+    events(spark, sf)
+      .select(
+        expr("event_id div 100").as("batch"),
+        struct(
+          col("event_id").cast("string").as("id"),
+          col("ts_ms").as("timestamp"),
+          lit("").as("message"),
+          map(lit("event_type"), col("event_type"),
+            lit("user_id"), col("user_id").cast("string")).as("extractedFields")).as("ev"))
+      .groupBy("batch")
+      .agg(collect_list("ev").as("logEvents"))
+      .select(CloudWatchLogs.encodePayload(
+        lit(CloudWatchLogs.DataMessage), col("logEvents")).as("data"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("st1: streaming parse of gzipped CWL payloads") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val q = LogStream.parse(stream).writeStream
+      .format("memory").queryName("st1_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val n = spark.table("st1_out").count()
+    assert(n === events(spark, sf).count())
+  }
+
+  test("st2: watermarked tumbling-window counts match batch grouping") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val q = LogStream.windowedCounts(LogStream.parse(stream), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("st2_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("st2_out")
+      .select(unix_millis(col("w_start")).as("w"), col("n")).as[(Long, Long)].collect().toMap
+    val batch = events(spark, sf)
+      .groupBy((expr("ts_ms div 3600000") * 3600000L).as("w"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
+  test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
+    val evDir = Files.createTempDirectory("graft_stream_ev").toString
+    events(spark, sf)
+      .select(col("user_id").as("userId"), col("ts_ns").as("tsNs"))
+      .write.mode("overwrite").parquet(evDir)
+    val evs = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsNs", LongType))))
+      .parquet(evDir)
+      .as[LogStream.EventIn]
+    val q = LogStream.sessionize(evs, gapNs = 1800L * 1000 * 1000 * 1000)
+      .writeStream.format("memory").queryName("st3_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val emitted = spark.table("st3_out").count()
+    val batchSessions = SparkEntry.queries("q8_sessionize")(spark, sf).count()
+    val nUsers = events(spark, sf).select("user_id").distinct().count()
+    // open (last) session per user stays in state, everything else closes
+    assert(emitted === batchSessions - nUsers)
+  }
+}
