@@ -62,3 +62,28 @@ case class GunzipBytes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): GunzipBytes =
     copy(child = newChild)
 }
+
+/** Permissive gunzip: corrupt/truncated records yield NULL instead of
+  * failing the job — at 100 TB a handful of bad Kinesis records must
+  * not kill the pipeline. (The reference would raise; this is the
+  * production-hardened variant, opt-in via Reader permissive mode.)
+  */
+case class TryGunzipBytes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_try_gunzip"
+  override protected def nullSafeEval(input: Any): Any =
+    try Gzip.gunzip(input.asInstanceOf[Array[Byte]])
+    catch { case _: java.io.IOException | _: java.util.zip.ZipException => null }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""try {
+         |  ${ev.value} = graft.functions.Gzip.gunzip($c);
+         |} catch (java.io.IOException e) {
+         |  ${ev.isNull} = true;
+         |}""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): TryGunzipBytes =
+    copy(child = newChild)
+}

@@ -18,6 +18,9 @@ package object functions {
   /** Gunzip a binary column. */
   def graft_gunzip(c: Column): Column = col1(GunzipBytes.apply)(c)
 
+  /** Gunzip, yielding NULL on corrupt input instead of failing. */
+  def graft_try_gunzip(c: Column): Column = col1(TryGunzipBytes.apply)(c)
+
   /** Cosine similarity of two numeric array columns (double). */
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))

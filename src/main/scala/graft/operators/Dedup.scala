@@ -31,6 +31,15 @@ object Dedup {
     df.groupBy(T.contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** MinHash permutation constants: perm p of a 28-bit base hash b is
+    * (PermA(p)*b + PermB(p)) mod PermMod — affine "permutations" over
+    * one md5-derived base per shingle, so each shingle is hashed once
+    * regardless of numPerms. Mirrored verbatim in the DuckDB oracle.
+    */
+  private[graft] val PermMod = 2147483647L
+  private[graft] def permA(p: Int): Long = 2654435761L + 2L * p
+  private[graft] def permB(p: Int): Long = 7919L * p + 13
+
   /** Per-doc MinHash LSH band keys: (id, band, h).
     *
     * Formulated as explode → hash-aggregate so shingling runs once
@@ -44,16 +53,19 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numPerms: Int, bands: Int): DataFrame = {
     val r = numPerms / bands
-    val exploded = spread(df).select(
+    val base = spread(df).select(
       col(idCol).as("id"),
       explode(T.wordShingles(T.tokens(col(textCol)))).as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("b"))
     val minCols = (0 until numPerms).map(p =>
-      min(md5(concat(lit(s"p$p|"), col("s")))).as(s"m$p"))
-    val sig = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      min((col("b") * permA(p) + permB(p)) % PermMod).as(s"m$p"))
+    val sig = base.groupBy("id").agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until bands).map(b =>
       struct(
         lit(b).as("band"),
-        md5(concat((0 until r).map(k => col(s"m${b * r + k}")): _*)).as("h")))
+        md5(concat_ws("|",
+          (0 until r).map(k => col(s"m${b * r + k}").cast("string")): _*)).as("h")))
     sig.select(col("id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
   }

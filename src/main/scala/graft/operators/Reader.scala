@@ -28,15 +28,21 @@ object Reader {
     *   this epoch-millis timestamp (reference .py:69-76).
     * - `takeN`: the CLI's `--count` — deterministic first-N ordered by
     *   (timestamp_ms, log_id) (reference __main__.py:20-24).
+    * - `permissive`: corrupt gzip records are dropped instead of
+    *   failing the job (the reference raises; at 100 TB you want this).
     */
   def readLogs(
       records: DataFrame,
       dataCol: String = "data",
       startTimeMs: Option[Long] = None,
-      takeN: Option[Int] = None): DataFrame = {
+      takeN: Option[Int] = None,
+      permissive: Boolean = false): DataFrame = {
     GraftSession.ensureRegistered(records.sparkSession)
+    val decoded =
+      if (permissive) CloudWatchLogs.decodePayloadPermissive(col(dataCol))
+      else CloudWatchLogs.decodePayload(col(dataCol))
     val parsed = records
-      .withColumn("_payload", CloudWatchLogs.decodePayload(col(dataCol)))
+      .withColumn("_payload", decoded)
       .where(col("_payload.messageType") === CloudWatchLogs.DataMessage)
       .select(explode(col("_payload.logEvents")).as("_logEvent"))
       .select(

@@ -81,4 +81,39 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id").as("neighbor_id"),
         round(col("cos_exact"), 4).as("cos_sim"))
   }
+
+  /** IVF-style ANN: the corpus is partitioned into `nlist` inverted
+    * lists by nearest coarse centroid; each query scores only its
+    * `nprobe` closest lists (~nprobe/nlist of the corpus). Coarse
+    * centroids here are the `nlist` lowest-id vectors — deterministic
+    * "IVF-lite"; a production build would Lloyd-iterate them, which
+    * changes quality but not the dataflow.
+    */
+  def ivfKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val wAssign = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
+    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
+      .withColumn("crk", row_number().over(wAssign))
+      .where(col("crk") === 1)
+      .select("c_id", "n_id", "n_vec")
+    val wProbe = Window.partitionBy("q_id").orderBy(col("qc_sim").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("prk", row_number().over(wProbe))
+      .where(col("prk") <= nprobe)
+      .select("c_id", "q_id", "q_vec")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("cos_exact", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id").as("neighbor_id"),
+        round(col("cos_exact"), 4).as("cos_sim"))
+  }
 }

@@ -16,6 +16,23 @@ object DedupQueries {
       |  FROM toks
       |)""".stripMargin
 
+  // Affine MinHash signature over one md5-derived 28-bit base per
+  // shingle — constants mirror Dedup.permA/permB/PermMod exactly.
+  private val minhashSigSql: String = {
+    val mins = (0 until 12).map(p =>
+      s"min((b * ${graft.operators.Dedup.permA(p)} + ${graft.operators.Dedup.permB(p)}) % ${graft.operators.Dedup.PermMod}) AS m$p")
+      .mkString(",\n  ")
+    s""", ex AS (
+       |  SELECT doc_id, unnest(s) AS sng FROM sh
+       |), basehash AS (
+       |  SELECT doc_id, ('0x' || substr(md5(sng), 1, 7))::BIGINT AS b FROM ex
+       |), sig AS (
+       |  SELECT doc_id,
+       |  $mins
+       |  FROM basehash GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "text", "doc_id")
@@ -45,14 +62,15 @@ object DedupQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "d2_minhash_lsh" -> (shingleCtes +
-      """, sig AS (
-        |  SELECT doc_id, list_transform(generate_series(0, 11),
-        |    p -> list_min(list_transform(s, x -> md5('p' || p || '|' || x)))) AS sig FROM sh
-        |), bh AS (
-        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band, sig FROM sig
+    "d2_minhash_lsh" -> (shingleCtes + minhashSigSql +
+      """, bh AS (
+        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band, * FROM sig
         |), keys AS (
-        |  SELECT doc_id, band, md5(sig[3*band+1] || sig[3*band+2] || sig[3*band+3]) AS h FROM bh
+        |  SELECT doc_id, band, CASE band
+        |    WHEN 0 THEN md5(m0 || '|' || m1 || '|' || m2)
+        |    WHEN 1 THEN md5(m3 || '|' || m4 || '|' || m5)
+        |    WHEN 2 THEN md5(m6 || '|' || m7 || '|' || m8)
+        |    ELSE md5(m9 || '|' || m10 || '|' || m11) END AS h FROM bh
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
         |FROM keys a JOIN keys b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id

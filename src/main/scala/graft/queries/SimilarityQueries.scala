@@ -29,6 +29,14 @@ object SimilarityQueries {
         table(s, dir, "embeddings"), "embedding", "vec_id",
         querySet(s, dir), k = 10)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
+    // IVF-lite ANN: inverted lists by coarse centroid, nprobe probing.
+    "s3_knn_ivf" -> ((s, dir) =>
+      Similarity.ivfKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")))
 
   val oracleSql: Map[String, String] = Map(

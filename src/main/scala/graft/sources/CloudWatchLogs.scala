@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{graft_gunzip, graft_gzip}
+import graft.functions.{graft_gunzip, graft_gzip, graft_try_gunzip}
 
 /** CloudWatch Logs subscription payload model.
   *
@@ -40,6 +40,13 @@ object CloudWatchLogs {
     */
   def decodePayload(data: Column): Column =
     from_json(graft_gunzip(data).cast("string"), payloadSchema)
+
+  /** Like [[decodePayload]] but corrupt gzip records decode to NULL
+    * (and are then dropped by the DATA_MESSAGE filter) instead of
+    * failing the job.
+    */
+  def decodePayloadPermissive(data: Column): Column =
+    from_json(graft_try_gunzip(data).cast("string"), payloadSchema)
 
   /** Build a payload struct (for tests / roundtrips / sinks); the
     * inverse of [[decodePayload]]. Mirrors the reference test

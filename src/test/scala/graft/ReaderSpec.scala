@@ -68,6 +68,17 @@ class ReaderSpec extends SparkSpec {
     assert(lines(1) === "198.51.100.1\t443\t6\t192.0.2.1\t0")
   }
 
+  test("permissive mode drops corrupt gzip records instead of failing") {
+    import org.apache.spark.sql.functions.lit
+    val corrupt = Seq(Array[Byte](1, 2, 3)).toDF("data")
+    val mixed = fixtureRecords.select($"data").unionAll(corrupt)
+    intercept[Exception] {
+      Reader.readLogs(mixed).count() // strict mode: reference behavior
+    }
+    val flat = Reader.readLogs(mixed, permissive = true)
+    assert(flat.count() === 6) // all good events survive, bad record dropped
+  }
+
   test("malformed (non-JSON) payloads yield no rows rather than failing") {
     GraftSession.ensureRegistered(spark)
     val junk = Seq("not json at all").toDF("s")

@@ -32,6 +32,16 @@ class SimilaritySpec extends SparkSpec {
     assert(maxBucket < n / 2, s"maxBucket=$maxBucket of $n")
   }
 
+  test("s3: IVF ANN achieves reasonable recall and probes a corpus fraction") {
+    val exact = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf recall@10 = $recall")
+    assert(ivf.size === 50)
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
