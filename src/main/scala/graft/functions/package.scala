@@ -27,4 +27,12 @@ package object functions {
 
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
+
+  /** Aggregate: top-k (score desc, id asc) pairs as a sorted
+    * array<struct<score,id>> with map-side partial combination.
+    */
+  def topk(score: Column, id: Column, k: Int): Column =
+    ColumnShim.column(
+      TopKByScore(ColumnShim.expression(score), ColumnShim.expression(id), k)
+        .toAggregateExpression())
 }

@@ -4,16 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.cosine
+import graft.functions.{cosine, topk}
 
 /** Similarity search over embedding columns (SURVEY §2.4).
   *
   * bruteKnn is the exact baseline: score = one codegen'd cosine kernel
-  * per (query, vector) pair, queries broadcast, top-k via a per-query
-  * window — O(Q·N) scoring, no shuffle of the corpus. lshKnn is the
-  * scale path: random-hyperplane signatures bucket the corpus; each
-  * query probes its own bucket plus all Hamming-1 neighbors, so the
-  * scored set shrinks ~2^bits/(bits+1)-fold while keeping recall high.
+  * per (query, vector) pair, queries broadcast, top-k via the
+  * graft_topk bounded-heap aggregate (map-side partial combine; the
+  * scored set itself is never shuffled or sorted). lshKnn and ivfKnn
+  * are the scale paths: bucket/partition the corpus so each query
+  * scores only a fraction of it, same output shape.
   */
 object Similarity {
 
@@ -24,15 +24,25 @@ object Similarity {
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, k: Int): DataFrame = {
     val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id"))
-    data.crossJoin(broadcast(queries))
+    val scored = data.crossJoin(broadcast(queries))
       .where(col("n_id") =!= col("q_id"))
-      .withColumn("cos_exact", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id").as("neighbor_id"),
-        round(col("cos_exact"), 4).as("cos_sim"))
+      .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
+    topKOut(scored, k)
   }
+
+  /** Per-query top-k via the graft_topk bounded-heap aggregate:
+    * partial aggregation keeps ≤ k rows per (partition, query) before
+    * the shuffle — the scored set never moves, unlike a window sort.
+    */
+  private def topKOut(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(topk(col("cos_exact"), col("n_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("neighbor_id"),
+        round(col("e.score"), 4).as("cos_sim"))
 
   /** Deterministic pseudo-random hyperplanes: component d of plane p
     * is derived from a seeded integer hash — reproducible across
@@ -72,14 +82,10 @@ object Similarity {
       .withColumn("probe", explode(array(
         col("q_bucket") +: (0 until numPlanes).map(b =>
           col("q_bucket").bitwiseXOR(lit(1 << b))): _*)))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id"))
-    data.join(broadcast(probes), col("bucket") === col("probe"))
+    val scored = data.join(broadcast(probes), col("bucket") === col("probe"))
       .where(col("n_id") =!= col("q_id"))
-      .withColumn("cos_exact", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id").as("neighbor_id"),
-        round(col("cos_exact"), 4).as("cos_sim"))
+      .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
+    topKOut(scored, k)
   }
 
   /** IVF-style ANN: the corpus is partitioned into `nlist` inverted
@@ -107,13 +113,9 @@ object Similarity {
       .withColumn("prk", row_number().over(wProbe))
       .where(col("prk") <= nprobe)
       .select("c_id", "q_id", "q_vec")
-    val w = Window.partitionBy("q_id").orderBy(col("cos_exact").desc, col("n_id"))
-    assigned.join(broadcast(probes), Seq("c_id"))
+    val scored = assigned.join(broadcast(probes), Seq("c_id"))
       .where(col("n_id") =!= col("q_id"))
-      .withColumn("cos_exact", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id").as("neighbor_id"),
-        round(col("cos_exact"), 4).as("cos_sim"))
+      .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
+    topKOut(scored, k)
   }
 }

@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
     assert(out.where(col("neighbor_id") === col("q_id")).count() === 0)
-    val ranks = out.where(col("q_id") === 0).select("rank").as[Int].collect().sorted
-    assert(ranks.toSeq === (1 to 10))
+    val ranks = out.where(col("q_id") === 0).select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 10L))
   }
 }
