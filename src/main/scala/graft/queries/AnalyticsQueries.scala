@@ -98,19 +98,13 @@ object AnalyticsQueries {
     }),
 
     "q8_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-      val gapNs = 1800L * 1000 * 1000 * 1000 // 30 min
-      events(s, dir)
-        .withColumn("prev_ns", lag("ts_ns", 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1).otherwise(0))
-        .withColumn("session_idx",
-          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_idx")
-        .agg(
-          count(lit(1)).as("n_events"),
-          min("ts_ms").as("s_start_ms"),
-          max("ts_ms").as("s_end_ms"))
+      graft.operators.Sessionize
+        .summarize(events(s, dir), "user_id", "ts_ns",
+          gapNs = 1800L * 1000 * 1000 * 1000, tieBreak = col("event_id"))
+        .select(
+          col("user_id"), col("session_idx"), col("n_events"),
+          expr("s_start_ns div 1000000").as("s_start_ms"),
+          expr("s_end_ns div 1000000").as("s_end_ms"))
         .orderBy("user_id", "session_idx")
     }),
 
@@ -224,7 +218,7 @@ object AnalyticsQueries {
         |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
         |), z AS (
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
-        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM y
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT - 1 AS session_idx FROM y
         |)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |min(tms) AS s_start_ms, max(tms) AS s_end_ms
