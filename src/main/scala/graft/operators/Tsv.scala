@@ -28,4 +28,10 @@ object Tsv {
         .as("line"))
     header.unionAll(rows)
   }
+
+  /** Write the rendered TSV as text files under `path` (header in its
+    * own part file; at scale you don't single-file 100 TB).
+    */
+  def save(flat: DataFrame, path: String): Unit =
+    render(flat).write.mode("overwrite").text(path)
 }
