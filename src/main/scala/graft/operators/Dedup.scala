@@ -154,9 +154,22 @@ object Dedup {
       T.wordShingles(T.tokens(col(textCol))).as("s"))
     val cands = minhashCandidates(df, textCol, idCol, numPerms, bands)
       .select("id_a", "id_b")
-    cands
-      .join(sh.toDF("id_a", "s_a"), "id_a")
-      .join(sh.toDF("id_b", "s_b"), "id_b")
+    // Gather both sides' shingles with ONE shingling pass: unpivot the
+    // pair to (pair, side, id), join the shingle relation once, fold
+    // back. Only candidate docs' shingle sets ever shuffle.
+    val long = cands.select(
+      concat_ws("_", col("id_a"), col("id_b")).as("pk"),
+      explode(array(
+        struct(lit("a").as("side"), col("id_a").as("id")),
+        struct(lit("b").as("side"), col("id_b").as("id")))).as("x"))
+      .select(col("pk"), col("x.side").as("side"), col("x.id").as("id"))
+    long.join(sh, "id")
+      .groupBy("pk")
+      .agg(
+        first(when(col("side") === "a", col("id")), ignoreNulls = true).as("id_a"),
+        first(when(col("side") === "b", col("id")), ignoreNulls = true).as("id_b"),
+        first(when(col("side") === "a", col("s")), ignoreNulls = true).as("s_a"),
+        first(when(col("side") === "b", col("s")), ignoreNulls = true).as("s_b"))
       .withColumn("jaccard", T.jaccard(col("s_a"), col("s_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
