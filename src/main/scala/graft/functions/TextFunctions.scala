@@ -38,28 +38,6 @@ object TextFunctions {
     array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(shingle))
   }
 
-  /** MinHash signature: element p is the lexicographic min of
-    * md5("p<p>|" + shingle) over all shingles — each seed acts as an
-    * independent permutation of shingle space. One narrow pass per
-    * row; the signature (numPerms × 32 hex chars) is what shuffles,
-    * never the shingle sets.
-    */
-  def minhashSignature(shingles: Column, numPerms: Int): Column =
-    array((0 until numPerms).map { p =>
-      array_min(transform(shingles, s => md5(concat(lit(s"p$p|"), s))))
-    }: _*)
-
-  /** LSH band keys: split the signature into `bands` rows of `r`
-    * consecutive minhashes each, hashed to one key per band. Docs
-    * sharing any band key become candidate pairs via an equi-join.
-    */
-  def bandHashes(sig: Column, bands: Int, r: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        md5(concat((1 to r).map(k => element_at(sig, b * r + k)): _*)).as("h"))
-    }: _*)
-
   /** Exact word-n-gram Jaccard similarity between two shingle arrays
     * (integer set sizes → exact rational → engine-stable).
     */
