@@ -153,6 +153,20 @@ object AnalyticsQueries {
         .orderBy("d")
     }),
 
+    // as-of join: each error event gets the user's latest click at or
+    // before it (single-shuffle union+window; oracle = native ASOF JOIN)
+    "q13_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_ns", "ts_ms")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin
+        .lastBefore(errors, clicks, "user_id", "ts_ns", "ts_ns", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("click_id").as("last_click_id"))
+        .orderBy("event_id")
+    }),
+
     // HLL approximate distinct: deterministic (register-max merge is
     // order-free) but engine-specific → rows-only check + spec a1.
     "a1_approx_distinct" -> ((s, dir) => {
@@ -242,6 +256,17 @@ object AnalyticsQueries {
         |  round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
         |  FROM events GROUP BY ROLLUP (event_type, (ts::TIMESTAMP)::DATE)
         |) ORDER BY 1, 2""".stripMargin,
+    "q13_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, epoch_ms(ts::TIMESTAMP) AS ts_ms
+        |  FROM events WHERE event_type = 'error'
+        |), r AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_ms, r.click_id AS last_click_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tns >= r.tns
+        |ORDER BY l.event_id""".stripMargin,
     "q12_pivot" ->
       """SELECT ((ts::TIMESTAMP)::DATE)::VARCHAR AS d,
         |count(*) FILTER (WHERE event_type = 'click') AS click,
