@@ -76,6 +76,22 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // deterministic hash-split: stable train/eval assignment by id —
+    // reproducible across runs, engines, and cluster sizes (no RNG)
+    "t5_train_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+      table(s, dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "dev")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("split", "lang")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -131,6 +147,15 @@ object TextQueries {
         |sum(n_sub)::BIGINT AS n_sub_tokens,
         |round(sum(n_ws)::DOUBLE / count(*), 3) AS avg_tokens
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t5_train_split" ->
+      """WITH x AS (
+        |  SELECT lang, n_chars,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'dev' ELSE 'test' END AS split,
+        |lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t4_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS fingerprint,
         |min(doc_id) AS keep_id, count(*) AS n_docs
