@@ -92,6 +92,36 @@ object TextQueries {
         .orderBy("split", "lang")
     }),
 
+    // corpus frequency analysis: top-10 tokens per language
+    "t6_top_tokens" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("token"))
+      table(s, dir, "documents")
+        .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .select("lang", "rn", "token", "n")
+        .orderBy("lang", "rn")
+    }),
+
+    // deterministic mixture sampling: per-source keep-rate by hash
+    // bucket (even sources 30%, odd 70%) — reproducible re-weighting
+    "t7_mixture_sample" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+      val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+      val weight = when(srcNum % 2 === 0, 30L).otherwise(70L)
+      table(s, dir, "documents")
+        .withColumn("kept", (bucket < weight).cast("long"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum("kept").as("n_kept"))
+        .orderBy("source")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -101,6 +131,26 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t6_top_tokens" ->
+      """WITH x AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, token, count(*) AS n FROM x GROUP BY 1, 2
+        |), r AS (
+        |  SELECT lang, token, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM c
+        |)
+        |SELECT lang, rn, token, n FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    "t7_mixture_sample" ->
+      """WITH x AS (
+        |  SELECT source,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 AS bucket,
+        |  CASE WHEN regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 2 = 0 THEN 30 ELSE 70 END AS weight
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_total,
+        |sum(CASE WHEN bucket < weight THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_langid" ->
       """WITH x AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
