@@ -51,13 +51,24 @@ object Dedup {
     */
   private def bandKeys(
       df: DataFrame, textCol: String, idCol: String,
-      numPerms: Int, bands: Int): DataFrame = {
+      numPerms: Int, bands: Int): DataFrame =
+    bandKeysFromShingles(
+      spread(df).select(
+        col(idCol).as("id"),
+        T.wordShingles(T.tokens(col(textCol))).as("s")),
+      numPerms, bands)
+
+  /** Band keys from a pre-shingled (id, s: array<string>) relation —
+    * lets pipelines that also need the shingle sets (e.g. exact
+    * verification) pay the shingling pass once.
+    */
+  private def bandKeysFromShingles(
+      shingled: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     val r = numPerms / bands
-    val base = spread(df).select(
-      col(idCol).as("id"),
-      explode(T.wordShingles(T.tokens(col(textCol)))).as("s"))
+    val base = shingled.select(
+      col("id"), explode(col("s")).as("sng"))
       .select(col("id"),
-        conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long").as("b"))
+        conv(substring(md5(col("sng")), 1, 7), 16, 10).cast("long").as("b"))
     val minCols = (0 until numPerms).map(p =>
       min((col("b") * permA(p) + permB(p)) % PermMod).as(s"m$p"))
     val sig = base.groupBy("id").agg(minCols.head, minCols.tail: _*)
@@ -149,11 +160,19 @@ object Dedup {
   def jaccardVerified(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    // One shingling pass feeds BOTH the MinHash signatures and the
+    // exact verification: persist (id, shingles) — MEMORY_AND_DISK, so
+    // at scale it spills rather than recomputing a full corpus pass.
     val sh = spread(df).select(
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
-    val cands = minhashCandidates(df, textCol, idCol, numPerms, bands)
-      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = bandKeysFromShingles(sh, numPerms, bands)
+    val a = keys.toDF("id_a", "band", "h")
+    val b = keys.toDF("id_b", "band", "h")
+    val cands = a.join(b, Seq("band", "h"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     // Gather both sides' shingles with ONE shingling pass: unpivot the
     // pair to (pair, side, id), join the shingle relation once, fold
     // back. Only candidate docs' shingle sets ever shuffle.
