@@ -167,6 +167,49 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // band (interval) join with NO equi key: clicks within the 60s
+    // before each error — bucketized to a shuffle equi-join (see
+    // RangeJoin) instead of the O(L×R) nested-loop a naive plan runs
+    "q14_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("ts_ms"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("ts_ms").as("click_ms"))
+      graft.operators.RangeJoin
+        .countInBand(errors, clicks, "event_id", "ts_ms", "click_ms",
+          lo = -60000L, hi = 0L, countName = "n_clicks_60s")
+        .select("event_id", "ts_ms", "n_clicks_60s")
+        .orderBy("event_id")
+    }),
+
+    // exact interpolated percentiles (order statistics are engine-
+    // stable, unlike fp sums): price distribution per return flag
+    "q15_percentiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90"),
+          round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // GROUPING SETS ((event_type), (day), ()) with grouping_id —
+    // cube minus the finest cell, one Expand + one aggregation
+    "q16_grouping_sets" -> ((s, dir) => {
+      events(s, dir)
+        .cube(col("event_type"), to_date(col("ts")).cast("string").as("d"))
+        .agg(grouping_id().as("g"), count(lit(1)).as("n"))
+        .where(col("g") > 0)
+        .select(
+          coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("d"), lit("(all)")).as("d"),
+          col("g"), col("n"))
+        .orderBy("g", "event_type", "d")
+    }),
+
     // HLL approximate distinct: deterministic (register-max merge is
     // order-free) but engine-specific → rows-only check + spec a1.
     "a1_approx_distinct" -> ((s, dir) => {
@@ -267,6 +310,30 @@ object AnalyticsQueries {
         |SELECT l.event_id, l.user_id, l.ts_ms, r.click_id AS last_click_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tns >= r.tns
         |ORDER BY l.event_id""".stripMargin,
+    "q14_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT epoch_ms(ts::TIMESTAMP) AS click_ms FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
+        |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.5), 2)::DOUBLE AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 2)::DOUBLE AS p90,
+        |round(quantile_cont(l_extendedprice, 0.99), 2)::DOUBLE AS p99,
+        |count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_grouping_sets" ->
+      """SELECT coalesce(event_type, '(all)') AS event_type,
+        |coalesce(d, '(all)') AS d, g, n FROM (
+        |  SELECT event_type, ((ts::TIMESTAMP)::DATE)::VARCHAR AS d,
+        |  GROUPING(event_type, ((ts::TIMESTAMP)::DATE)::VARCHAR) AS g, count(*) AS n
+        |  FROM events
+        |  GROUP BY GROUPING SETS ((event_type), (((ts::TIMESTAMP)::DATE)::VARCHAR), ())
+        |) ORDER BY g, event_type, d""".stripMargin,
     "q12_pivot" ->
       """SELECT ((ts::TIMESTAMP)::DATE)::VARCHAR AS d,
         |count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -55,7 +55,35 @@ object DedupQueries {
 
     "d5_embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingPairs(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // benchmark decontamination: flag corpus docs sharing word-3-gram
+    // shingles with a held-out "benchmark" slice (doc_id % 97 == 0).
+    // The benchmark shingle set is tiny → broadcast hash join; the
+    // corpus side stays a narrow explode, no corpus-wide shuffle.
+    "d6_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{TextFunctions => T}
+      val docs = table(s, dir, "documents")
+      val isBench = col("doc_id") % 97 === 0
+      val benchShingles = docs.where(isBench)
+        .select(explode(T.wordShingles(T.tokens(col("text")))).as("s"))
+        .distinct()
+      val corpus = docs.where(!isBench)
+        .select(col("doc_id"), T.wordShingles(T.tokens(col("text"))).as("ss"))
+        .withColumn("n_shingles", size(col("ss")).cast("long"))
+      val shared = corpus
+        .select(col("doc_id"), explode(col("ss")).as("s"))
+        .join(broadcast(benchShingles), "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+      corpus.select("doc_id", "n_shingles")
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("frac", round(col("n_shared").cast("double") / col("n_shingles"), 4))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy("doc_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -82,6 +110,22 @@ object DedupQueries {
         |  len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin),
+    "d6_decontaminate" -> (shingleCtes +
+      """, bench AS (
+        |  SELECT DISTINCT unnest(s) AS sng FROM sh WHERE doc_id % 97 = 0
+        |), corpus AS (
+        |  SELECT doc_id, s, len(s)::BIGINT AS n_shingles FROM sh WHERE doc_id % 97 <> 0
+        |), ex2 AS (
+        |  SELECT doc_id, unnest(s) AS sng FROM corpus
+        |), shared AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM ex2 JOIN bench USING (sng) GROUP BY 1
+        |)
+        |SELECT c.doc_id, c.n_shingles,
+        |coalesce(sh2.n_shared, 0)::BIGINT AS n_shared,
+        |round(coalesce(sh2.n_shared, 0)::DOUBLE / c.n_shingles, 4) AS frac,
+        |(coalesce(sh2.n_shared, 0) > 0) AS contaminated
+        |FROM corpus c LEFT JOIN shared sh2 ON c.doc_id = sh2.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
     "d5_embedding_dedup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

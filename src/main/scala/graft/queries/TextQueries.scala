@@ -122,6 +122,79 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // PII scrubbing: regex redaction of emails + IPv4s. The corpus is
+    // synthetic, so deterministic PII is injected from doc_id first —
+    // the scrub machinery (count, redact, fingerprint) is then fully
+    // oracle-checked end-to-end.
+    "t8_pii_scrub" -> ((s, dir) => {
+      val injected = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or admin@test.org from 10."),
+        pmod(col("doc_id"), lit(256)), lit(".0."),
+        pmod(col("doc_id"), lit(100)), lit(" port 8080"))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      table(s, dir, "documents")
+        .withColumn("t", injected)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+            .as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality filter: duplicate word-bigram
+    // fraction + most-common-bigram share per document. One shuffle on
+    // (doc_id, bigram) with map-side partial counts — never the text.
+    "t9_repetition" -> ((s, dir) => {
+      val bigrams = transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+      table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(
+          sum("n").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("n").as("max_count"))
+        .select(
+          col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 4)
+            .as("dup_frac"),
+          round(col("max_count").cast("double") / col("n_bigrams"), 4)
+            .as("top_frac"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams") > 0.2)
+            .as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic stratified sampling: equalize language mixture by
+    // downsampling every language to the rarest one's count via hash
+    // buckets — per-stratum rates from a broadcast-joined tiny agg,
+    // no RNG, identical on any cluster size
+    "t11_stratified_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val target = counts.agg(min("n_lang").as("target"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 1000000L
+      docs
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(target))
+        .withColumn("kept", (bucket * col("n_lang") < col("target") * 1000000L).cast("long"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum("kept").as("n_kept"))
+        .orderBy("lang")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -209,5 +282,48 @@ object TextQueries {
     "t4_fingerprint" ->
       """SELECT md5(array_to_string(list_sort(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS fingerprint,
         |min(doc_id) AS keep_id, count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t8_pii_scrub" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or admin@test.org from 10.'
+        |    || (doc_id % 256) || '.0.' || (doc_id % 100) || ' port 8080' AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips,
+        |md5(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
+        |FROM x ORDER BY doc_id""".stripMargin,
+    "t9_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2
+        |), c AS (
+        |  SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2
+        |), m AS (
+        |  SELECT doc_id, sum(n)::BIGINT AS n_bigrams, count(*) AS n_distinct, max(n)::BIGINT AS max_count
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, n_distinct,
+        |round(1.0 - n_distinct::DOUBLE / n_bigrams, 4) AS dup_frac,
+        |round(max_count::DOUBLE / n_bigrams, 4) AS top_frac,
+        |(1.0 - n_distinct::DOUBLE / n_bigrams > 0.2) AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t11_stratified_sample" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1
+        |), tgt AS (
+        |  SELECT min(n_lang) AS target FROM counts
+        |), x AS (
+        |  SELECT d.lang,
+        |  CASE WHEN (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 1000000) * c.n_lang
+        |       < t.target * 1000000 THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tgt t
+        |)
+        |SELECT lang, count(*) AS n_total, sum(kept)::BIGINT AS n_kept
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -20,4 +20,24 @@ class AnalyticsSpec extends SparkSpec {
     val rows = AnalyticsQueries.queries("q3_top_orders")(spark, sf).collect()
     assert(rows.length === 10)
   }
+
+  test("q15: percentiles are monotone p50 <= p90 <= p99") {
+    val rows = AnalyticsQueries.queries("q15_percentiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) =
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("q16: grouping-set cells are mutually consistent") {
+    val rows = AnalyticsQueries.queries("q16_grouping_sets")(spark, sf).collect()
+    val byG = rows.groupBy(_.getAs[Long]("g"))
+    val totalFromTypes = byG(1L).map(_.getAs[Long]("n")).sum // (event_type) cells
+    val totalFromDays = byG(2L).map(_.getAs[Long]("n")).sum  // (d) cells
+    val grand = byG(3L).map(_.getAs[Long]("n")).sum          // () cell
+    assert(totalFromTypes === grand)
+    assert(totalFromDays === grand)
+  }
 }

@@ -65,4 +65,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("id_a") >= col("id_b")).count() === 0)
     assert(pairs.where(col("cos_sim") < 0.45).count() === 0)
   }
+
+  test("d6: decontamination excludes the benchmark slice and flags iff shared") {
+    val rows = graft.queries.DedupQueries.queries("d6_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0L)
+      assert(r.getAs[Boolean]("contaminated") === (r.getAs[Long]("n_shared") > 0))
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles"))
+    }
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** Property specs for the text-pipeline operators (t8/t9/t11) —
+  * the value-level checks live in the DuckDB oracle; these assert the
+  * operator-level invariants the oracle can't express.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  test("t8: every doc has injected PII found, and scrub is idempotent-clean") {
+    val rows = TextQueries.queries("t8_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 2, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_ips") >= 1)
+    }
+  }
+
+  test("t9: repetition fractions are in [0,1] and top_frac >= uniform share") {
+    val rows = TextQueries.queries("t9_repetition")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_frac")
+      val top = r.getAs[Double]("top_frac")
+      val n = r.getAs[Long]("n_bigrams")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(top >= 1.0 / n - 5e-5 && top <= 1.0) // top_frac is rounded to 4 dp
+    }
+  }
+
+  test("t11: stratified sample keeps ~target docs per language") {
+    val rows = TextQueries.queries("t11_stratified_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val target = rows.map(_.getAs[Long]("n_total")).min
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      val total = r.getAs[Long]("n_total")
+      assert(kept <= total)
+      // hash-bucket sampling is binomial around the exact rate; allow
+      // generous slack at sf0.001's tiny strata
+      assert(math.abs(kept - target) <= math.max(10L, target / 2),
+        s"${r.getAs[String]("lang")}: kept=$kept target=$target")
+    }
+  }
+
+  test("t11: assignment is deterministic across runs") {
+    val a = TextQueries.queries("t11_stratified_sample")(spark, sf).collect().map(_.toString).sorted
+    val b = TextQueries.queries("t11_stratified_sample")(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
