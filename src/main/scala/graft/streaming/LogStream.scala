@@ -43,6 +43,25 @@ object LogStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** Streaming exactly-once on re-delivered records: drop duplicate
+    * log ids within the watermark horizon. Kinesis get_records is
+    * at-least-once (the reference re-polls shard iterators and can
+    * replay on resharding); state is bounded by the watermark instead
+    * of an ever-growing seen-set.
+    */
+  def dedupe(flat: DataFrame, watermarkDelay: String): DataFrame =
+    flat
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("log_id")
+
+  /** Stream-static enrichment: join the parsed stream to a static
+    * dimension snapshot. The dim is broadcast per micro-batch — no
+    * stream-side shuffle, no state.
+    */
+  def enrich(flat: DataFrame, dim: DataFrame, usingColumns: Seq[String]): DataFrame =
+    flat.join(broadcast(dim), usingColumns, "left")
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)

@@ -64,6 +64,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("st4: dropDuplicatesWithinWatermark restores exactly-once on re-delivery") {
+    // simulate Kinesis at-least-once: the same payload files delivered twice
+    val dir = Files.createTempDirectory("graft_stream_redeliver").toString
+    val payloads = spark.read.parquet(payloadDir)
+    payloads.write.mode("overwrite").parquet(dir)
+    payloads.write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(dir)
+    val q = LogStream.dedupe(LogStream.parse(stream), "1 hour")
+      .writeStream.format("memory").queryName("st4_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val expected = events(spark, sf).count()
+    assert(spark.read.parquet(dir).count() === spark.read.parquet(payloadDir).count() * 2)
+    assert(spark.table("st4_out").count() === expected)
+  }
+
+  test("st5: stream-static broadcast enrichment joins every record, no state") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0))
+      .toDF("event_type", "weight")
+    val flat = LogStream.parse(stream)
+      .withColumn("event_type", col("fields")("event_type"))
+    val q = LogStream.enrich(flat, dim, Seq("event_type"))
+      .writeStream.format("memory").queryName("st5_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("st5_out")
+    assert(out.count() === events(spark, sf).count())
+    assert(out.where(col("weight").isNull).count() === 0)
+    val clicks = out.where(col("event_type") === "click")
+    assert(clicks.where(col("weight") === 1.0).count() === clicks.count())
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
