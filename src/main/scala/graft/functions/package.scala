@@ -12,6 +12,12 @@ package object functions {
   private[graft] def col1(f: org.apache.spark.sql.catalyst.expressions.Expression => org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column =
     ColumnShim.column(f(ColumnShim.expression(c)))
 
+  /** Pin an expensive expression to a single evaluation site (see
+    * [[Opaque]]): the optimizer treats it as non-deterministic and so
+    * never re-inlines it into downstream filters/projections.
+    */
+  def opaque(c: Column): Column = col1(Opaque.apply)(c)
+
   /** Gzip-compress a binary column. */
   def graft_gzip(c: Column): Column = col1(GzipBytes.apply)(c)
 

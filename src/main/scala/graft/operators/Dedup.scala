@@ -55,18 +55,23 @@ object Dedup {
     bandKeysFromShingles(
       spread(df).select(
         col(idCol).as("id"),
-        T.wordShingles(T.tokens(col(textCol))).as("s")),
+        explode(T.wordShingles(T.tokens(col(textCol)))).as("sng")),
       numPerms, bands)
 
-  /** Band keys from a pre-shingled (id, s: array<string>) relation —
-    * lets pipelines that also need the shingle sets (e.g. exact
-    * verification) pay the shingling pass once.
+  /** Band keys from an exploded (id, sng: string) shingle relation.
+    *
+    * Callers must pass the shingles either already exploded from the
+    * raw text (generator child = full expression) or from a persisted
+    * relation: exploding a *computed array attribute* of an uncached
+    * plan looks harmless, but InferFiltersFromGenerate then plants a
+    * `size(s) > 0` filter whose substituted shingling expression is
+    * pushed below the repartition — re-shingling the whole corpus
+    * serially on the input partition (measured 4.5× on d2).
     */
   private def bandKeysFromShingles(
-      shingled: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+      exploded: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     val r = numPerms / bands
-    val base = shingled.select(
-      col("id"), explode(col("s")).as("sng"))
+    val base = exploded
       .select(col("id"),
         conv(substring(md5(col("sng")), 1, 7), 16, 10).cast("long").as("b"))
     val minCols = (0 until numPerms).map(p =>
@@ -167,7 +172,8 @@ object Dedup {
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = bandKeysFromShingles(sh, numPerms, bands)
+    val keys = bandKeysFromShingles(
+      sh.select(col("id"), explode(col("s")).as("sng")), numPerms, bands)
     val a = keys.toDF("id_a", "band", "h")
     val b = keys.toDF("id_b", "band", "h")
     val cands = a.join(b, Seq("band", "h"))

@@ -41,8 +41,12 @@ object Reader {
     val decoded =
       if (permissive) CloudWatchLogs.decodePayloadPermissive(col(dataCol))
       else CloudWatchLogs.decodePayload(col(dataCol))
+    // opaque(): decode exactly once per record — without the fence,
+    // project-collapse duplicates the gunzip+parse into the
+    // messageType filter AND the logEvents explode (2× the whole
+    // ingest cost; see functions.Opaque).
     val parsed = records
-      .withColumn("_payload", decoded)
+      .withColumn("_payload", graft.functions.opaque(decoded))
       .where(col("_payload.messageType") === CloudWatchLogs.DataMessage)
       .select(explode(col("_payload.logEvents")).as("_logEvent"))
       .select(

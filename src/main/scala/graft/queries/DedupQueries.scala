@@ -64,20 +64,26 @@ object DedupQueries {
     "d6_decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.functions.{TextFunctions => T}
+      // fan the per-doc shingling across cores (single-file parquet
+      // arrives as one partition) and persist the corpus shingle sets:
+      // they feed both the overlap join and the n_shingles projection,
+      // and a cached attribute is safe to explode (see Dedup.bandKeys
+      // scaladoc on InferFiltersFromGenerate).
       val docs = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val isBench = col("doc_id") % 97 === 0
       val benchShingles = docs.where(isBench)
         .select(explode(T.wordShingles(T.tokens(col("text")))).as("s"))
         .distinct()
       val corpus = docs.where(!isBench)
         .select(col("doc_id"), T.wordShingles(T.tokens(col("text"))).as("ss"))
-        .withColumn("n_shingles", size(col("ss")).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shared = corpus
         .select(col("doc_id"), explode(col("ss")).as("s"))
         .join(broadcast(benchShingles), "s")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
-      corpus.select("doc_id", "n_shingles")
+      corpus.select(col("doc_id"), size(col("ss")).cast("long").as("n_shingles"))
         .join(shared, Seq("doc_id"), "left")
         .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
         .withColumn("frac", round(col("n_shared").cast("double") / col("n_shingles"), 4))

@@ -33,16 +33,20 @@ object ReferenceQueries {
       shards: Int = 8,
       messageTypeOf: Column => Column = _ => lit(CloudWatchLogs.DataMessage)): DataFrame = {
     GraftSession.ensureRegistered(events.sparkSession)
+    // chunk within each shard: real Kinesis records carry ~KBs of
+    // events, not a whole shard — and the per-record gzip then fans
+    // across all cores instead of `shards` tasks
     events
       .select(
         pmod(col("user_id"), lit(shards)).as("shard_id"),
+        expr("event_id div 500").as("chunk"),
         struct(
           col("event_id").cast("string").as("id"),
           col("ts_ms").as("timestamp"),
           concat_ws(" ", col("event_id"), col("event_type"), col("value")).as("message"),
           eventFields.as("extractedFields")
         ).as("logEvent"))
-      .groupBy("shard_id")
+      .groupBy("shard_id", "chunk")
       .agg(collect_list(col("logEvent")).as("logEvents"))
       .select(
         col("shard_id"),

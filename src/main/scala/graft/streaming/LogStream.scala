@@ -23,7 +23,8 @@ object LogStream {
     */
   def parse(records: DataFrame, dataCol: String = "data"): DataFrame =
     records
-      .withColumn("_payload", CloudWatchLogs.decodePayload(col(dataCol)))
+      .withColumn("_payload",
+        graft.functions.opaque(CloudWatchLogs.decodePayload(col(dataCol))))
       .where(col("_payload.messageType") === CloudWatchLogs.DataMessage)
       .select(explode(col("_payload.logEvents")).as("_logEvent"))
       .select(
