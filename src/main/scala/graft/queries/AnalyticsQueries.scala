@@ -184,15 +184,19 @@ object AnalyticsQueries {
     }),
 
     // exact interpolated percentiles (order statistics are engine-
-    // stable, unlike fp sums): price distribution per return flag
+    // stable, unlike fp sums): price distribution per return flag.
+    // Sort-based operator, not the value→count-map builtin — see
+    // operators.Percentiles for why that matters at scale.
     "q15_percentiles" -> ((s, dir) => {
-      table(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90"),
-          round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"),
-          count(lit(1)).as("n_rows"))
+      graft.operators.Percentiles
+        .exact(table(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_returnflag"), Seq(0.5, 0.9, 0.99))
+        .select(
+          col("l_returnflag"),
+          round(col("p50"), 2).as("p50"),
+          round(col("p90"), 2).as("p90"),
+          round(col("p99"), 2).as("p99"),
+          col("n_rows"))
         .orderBy("l_returnflag")
     }),
 

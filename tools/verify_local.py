@@ -33,6 +33,10 @@ def main():
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     if "--skip-spark" not in sys.argv:
+        # clean the out dir: a stale result parquet from a previous run
+        # would mask a query that now throws inside Verify
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
         r = subprocess.run(
             ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
             cwd="/root/repo", capture_output=True, text=True)
