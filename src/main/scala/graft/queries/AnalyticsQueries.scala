@@ -214,6 +214,22 @@ object AnalyticsQueries {
         .orderBy("g", "event_type", "d")
     }),
 
+    // skew-resistant salted join: identical results to the plain join
+    // (the oracle IS the plain join) with hot keys spread over `salts`
+    // reducers — see operators.SaltedJoin
+    "q17_salted_join" -> ((s, dir) => {
+      val fact = table(s, dir, "lineitem")
+        .select(col("l_partkey"), dec(col("l_extendedprice")).as("price"))
+      val dim = table(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.SaltedJoin.join(fact, dim, "l_partkey", salts = 8)
+        .groupBy("p_brand")
+        .agg(
+          round(sum(col("price")), 2).cast("double").as("sum_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
     // HLL approximate distinct: deterministic (register-max merge is
     // order-free) but engine-specific → rows-only check + spec a1.
     "a1_approx_distinct" -> ((s, dir) => {
@@ -223,6 +239,31 @@ object AnalyticsQueries {
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")
+    }),
+
+    // Datasketches HLL: per-group sketches UNIONED into a corpus-wide
+    // estimate without rescanning — the mergeable-summary pattern that
+    // makes 100 TB distinct-counting a map-side pass + tiny reduce.
+    // Engine-specific bytes → rows-only + spec a2.
+    "a2_sketch_merge" -> ((s, dir) => {
+      val sk = events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val perType = sk.select(
+        col("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"),
+        col("exact_users"))
+      val overallExact = events(s, dir)
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val overall = sk
+        .agg(hll_union_agg(col("sk")).as("sku"))
+        .select(
+          lit("(all)").as("event_type"),
+          hll_sketch_estimate(col("sku")).as("approx_users"))
+        .crossJoin(overallExact)
+      perType.unionByName(overall).orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -323,6 +364,12 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
         |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q17_salted_join" ->
+      """SELECT p_brand,
+        |round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_price,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_percentiles" ->
       """SELECT l_returnflag,
         |round(quantile_cont(l_extendedprice, 0.5), 2)::DOUBLE AS p50,

@@ -24,7 +24,32 @@ object MultimodalQueries {
         table(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
         "payload", "doc_id", stride = 4)
         .withColumn("frame_len", col("frame_len").cast("long"))
-        .orderBy("id", "frame_idx")))
+        .orderBy("id", "frame_idx")),
+
+    // int8 range quantization of embedding vectors (the storage
+    // compression step of a vector pipeline): per-vector min/max
+    // scale, floor-quantize to 0..255. floor (not round) keeps the
+    // double arithmetic bit-identical across engines.
+    "m3_quantize" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("vmin", array_min(col("v")))
+        .withColumn("vmax", array_max(col("v")))
+      e.withColumn("q",
+          transform(col("v"), x =>
+            when(col("vmax") === col("vmin"), lit(0L))
+              .otherwise(least(
+                floor((x - col("vmin")) * 255.0 / (col("vmax") - col("vmin"))),
+                lit(255L)))))
+        .select(
+          col("vec_id"),
+          size(col("q")).cast("long").as("n_dims"),
+          round(col("vmin"), 4).as("vmin"),
+          round(col("vmax"), 4).as("vmax"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
+        .orderBy("vec_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -34,6 +59,22 @@ object MultimodalQueries {
         |     ELSE 'type_raw' END AS format,
         |(octet_length(text::BLOB) + 255) // 256 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m3_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e
+        |), q AS (
+        |  SELECT vec_id, vmin, vmax,
+        |  list_transform(v, x -> CASE WHEN vmax = vmin THEN 0
+        |    ELSE least(floor((x - vmin) * 255.0 / (vmax - vmin)), 255.0)::BIGINT END) AS ql
+        |  FROM m
+        |)
+        |SELECT vec_id, len(ql)::BIGINT AS n_dims,
+        |round(vmin, 4) AS vmin, round(vmax, 4) AS vmax,
+        |list_sum(ql)::BIGINT AS q_sum,
+        |md5(array_to_string(list_transform(ql, x -> x::VARCHAR), ',')) AS q_md5
+        |FROM q ORDER BY vec_id""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id AS id, text, (octet_length(text::BLOB) + 255) // 256 AS n_frames FROM documents

