@@ -230,6 +230,22 @@ object AnalyticsQueries {
         .orderBy("p_brand")
     }),
 
+    // CDC/upsert compaction: one latest row per key (ts desc, id desc
+    // tie-break) — the "current snapshot" materialization of a
+    // changelog. One shuffle on the key; rank prune is map-side-able
+    // via partial top-1 per partition under AQE.
+    "q18_latest_compact" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(
+          col("user_id"), col("event_id"), col("ts_ms"),
+          col("event_type"), round(col("value"), 2).as("value"))
+        .orderBy("user_id")
+    }),
+
     // HLL approximate distinct: deterministic (register-max merge is
     // order-free) but engine-specific → rows-only check + spec a1.
     "a1_approx_distinct" -> ((s, dir) => {
@@ -364,6 +380,13 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
         |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q18_latest_compact" ->
+      """SELECT user_id, event_id, ts_ms, event_type, value FROM (
+        |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_type,
+        |  round(value, 2) AS value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q17_salted_join" ->
       """SELECT p_brand,
         |round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_price,

@@ -57,6 +57,21 @@ object DedupQueries {
       Dedup.embeddingPairs(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
         .orderBy("id_a", "id_b")),
 
+    // near-dup clustering: verified pairs → connected components →
+    // (id, component, cluster_size); the keep-one-per-cluster step of
+    // a dedup pipeline (see operators.ConnectedComponents)
+    "d7_dup_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pairs = Dedup
+        .jaccardVerified(table(s, dir, "documents"), "text", "doc_id", 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = graft.operators.ConnectedComponents.run(pairs)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "component")
+        .select(col("id"), col("component"), col("cluster_size"))
+        .orderBy("id")
+    }),
+
     // benchmark decontamination: flag corpus docs sharing word-3-gram
     // shingles with a held-out "benchmark" slice (doc_id % 97 == 0).
     // The benchmark shingle set is tiny → broadcast hash join; the
@@ -116,6 +131,26 @@ object DedupQueries {
         |  len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin),
+    "d7_dup_clusters" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
+      """, pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |), ed AS (
+        |  SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM ed
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+        |)
+        |SELECT c.id, c.component, s2.cluster_size
+        |FROM comp c JOIN sizes s2 USING (component) ORDER BY c.id""".stripMargin),
     "d6_decontaminate" -> (shingleCtes +
       """, bench AS (
         |  SELECT DISTINCT unnest(s) AS sng FROM sh WHERE doc_id % 97 = 0

@@ -63,6 +63,30 @@ object LogStream {
   def enrich(flat: DataFrame, dim: DataFrame, usingColumns: Seq[String]): DataFrame =
     flat.join(broadcast(dim), usingColumns, "left")
 
+  /** Watermarked stream-stream interval join: left rows meet right
+    * rows with the same `key` whose event time falls in
+    * [left - lookback, left]. Both sides carry watermarks, so join
+    * state is bounded: Spark evicts right-side state older than
+    * `watermark + lookback` — the stream twin of RangeJoin.bandJoin
+    * with an equi key.
+    */
+  def joinWithin(
+      left: DataFrame, right: DataFrame, key: String,
+      lookbackMs: Long, watermarkDelay: String): DataFrame = {
+    val l = left
+      .withColumn("l_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("l_time", watermarkDelay)
+    val r = right
+      .select(col(key), col("timestamp_ms").as("r_ts_ms"))
+      .withColumn("r_time", timestamp_millis(col("r_ts_ms")))
+      .withWatermark("r_time", watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $lookbackMs MILLISECONDS") &&
+        col("r_time") <= col("l_time"))
+      .drop(r(key))
+  }
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)

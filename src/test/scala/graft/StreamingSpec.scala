@@ -99,6 +99,31 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.where(col("weight") === 1.0).count() === clicks.count())
   }
 
+  test("st6: watermarked stream-stream interval join matches the batch join") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    def side(et: String) = LogStream.parse(stream)
+      .withColumn("event_type", col("fields")("event_type"))
+      .withColumn("user_id", col("fields")("user_id").cast("long"))
+      .where(col("event_type") === et)
+      .select("log_id", "user_id", "timestamp_ms")
+    val q = LogStream.joinWithin(side("error"), side("click"), "user_id",
+      lookbackMs = 3600000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("st6_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val ev = events(spark, sf)
+    val be = ev.where(col("event_type") === "error").select(col("user_id"), col("ts_ms"))
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("ts_ms").as("c_ms"))
+    val expected = be.join(bc,
+      col("user_id") === col("u2") &&
+        col("c_ms") >= col("ts_ms") - 3600000L && col("c_ms") <= col("ts_ms")).count()
+    assert(expected > 0)
+    assert(spark.table("st6_out").count() === expected)
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
