@@ -166,12 +166,15 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {
     // One shingling pass feeds BOTH the MinHash signatures and the
-    // exact verification: persist (id, shingles) — MEMORY_AND_DISK, so
-    // at scale it spills rather than recomputing a full corpus pass.
+    // exact verification. Lazy localCheckpoint, not persist: same
+    // shared materialization (memory+disk), but the plan truncates to
+    // a leaf (no InferFiltersFromGenerate re-inlining) and the blocks
+    // are GC'd with the DataFrame — persist() entries live in the
+    // session CacheManager forever and accumulate across queries.
     val sh = spread(df).select(
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val keys = bandKeysFromShingles(
       sh.select(col("id"), explode(col("s")).as("sng")), numPerms, bands)
     val a = keys.toDF("id_a", "band", "h")

@@ -92,7 +92,7 @@ object DedupQueries {
         .distinct()
       val corpus = docs.where(!isBench)
         .select(col("doc_id"), T.wordShingles(T.tokens(col("text"))).as("ss"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = false)
       val shared = corpus
         .select(col("doc_id"), explode(col("ss")).as("s"))
         .join(broadcast(benchShingles), "s")
