@@ -230,6 +230,24 @@ object AnalyticsQueries {
         .orderBy("p_brand")
     }),
 
+    // correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    // 20% of their part's average quantity — decorrelated into a
+    // per-key aggregate joined back (what Catalyst does to the
+    // subquery anyway, written explicitly so the shuffle is visible)
+    "q19_below_avg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      // qty < 0.2 * avg(qty)  ⟺  qty * n * 5 < sum(qty): stays in
+      // exact decimal/integer arithmetic (avg's result type differs
+      // between engines; sums and counts don't)
+      val parts = li.groupBy(col("l_partkey").as("p_key"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+      li.join(parts, col("l_partkey") === col("p_key"))
+        .where(dec(col("l_quantity")) * col("cnt") * 5 < col("sq"))
+        .agg(
+          round(sum(dec(col("l_extendedprice"))).cast("double") / 7, 2).as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // CDC/upsert compaction: one latest row per key (ts desc, id desc
     // tie-break) — the "current snapshot" materialization of a
     // changelog. One shuffle on the key; rank prune is map-side-able
@@ -380,6 +398,15 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
         |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q19_below_avg" ->
+      """WITH p AS (
+        |  SELECT l_partkey AS p_key, sum(l_quantity::DECIMAL(18,4)) AS sq, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT round(sum(l_extendedprice::DECIMAL(18,4))::DOUBLE / 7, 2) AS avg_yearly,
+        |count(*) AS n_rows
+        |FROM lineitem JOIN p ON l_partkey = p_key
+        |WHERE l_quantity::DECIMAL(18,4) * cnt * 5 < sq""".stripMargin,
     "q18_latest_compact" ->
       """SELECT user_id, event_id, ts_ms, event_type, value FROM (
         |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_type,

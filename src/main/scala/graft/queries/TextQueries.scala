@@ -219,6 +219,26 @@ object TextQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // unigram LM scoring (the shape of perplexity-based quality
+    // filtering): corpus token frequencies → per-doc mean log-prob.
+    // Corpus stats are one agg broadcast back over the token stream.
+    "t13_lm_score" -> ((s, dir) => {
+      val toksAll = table(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      val cc = toksAll.groupBy("token").agg(count(lit(1)).as("c"))
+      val tot = toksAll.agg(count(lit(1)).as("tot"))
+      toksAll.join(cc, "token")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          sum(log(col("c").cast("double") / col("tot"))).as("lp"))
+        .select(
+          col("doc_id"), col("n_tok"),
+          round(col("lp") / col("n_tok"), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -337,6 +357,19 @@ object TextQueries {
         |round(max_count::DOUBLE / n_bigrams, 4) AS top_frac,
         |(1.0 - n_distinct::DOUBLE / n_bigrams > 0.2) AS flagged
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t13_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token, count(*) AS c FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS tot FROM toks
+        |)
+        |SELECT doc_id, count(*) AS n_tok,
+        |round(sum(ln(c::DOUBLE / tot)) / count(*), 4) AS avg_logprob
+        |FROM toks JOIN cc USING (token) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t12_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token

@@ -124,6 +124,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("st6_out").count() === expected)
   }
 
+  test("st7: stream writes land in the partitioned lake and read back pruned") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val lakeDir = Files.createTempDirectory("graft_stream_lake").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = LogStream.parse(stream)
+      .withColumn("p_date",
+        to_date(timestamp_millis(col("timestamp_ms"))).cast("string"))
+      .writeStream.format("parquet")
+      .option("path", lakeDir).option("checkpointLocation", ckpt)
+      .partitionBy("p_date")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.read.parquet(lakeDir).count() === events(spark, sf).count())
+    val dirs = new java.io.File(lakeDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("p_date="))
+    assert(dirs.length > 1)
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
