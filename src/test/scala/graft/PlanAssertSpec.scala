@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan regression guards: these encode the scale properties
+  * the operators were designed around — if an optimizer interaction
+  * (or a refactor) re-introduces a pathology, these fail before any
+  * benchmark notices.
+  */
+class PlanAssertSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6: predicate and projection reach the parquet scan") {
+    val p = plan("q6_selective_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // column pruning: the scan must not read the unused wide columns
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q2: all dimension joins broadcast; no dim-side shuffle join") {
+    val p = plan("q2_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d2: shingling runs once — no re-inlined filter below the repartition") {
+    // the InferFiltersFromGenerate regression planted a Filter whose
+    // condition contained the whole shingling expression (visible as
+    // regexp_replace in a Filter node) below the round-robin exchange
+    val p = plan("d2_minhash_lsh")
+    val filterNodes = p.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq ++
+      p.linesIterator.filter(_.trim.startsWith("Filter")).toSeq
+    assert(!filterNodes.exists(_.contains("regexp_replace")),
+      s"shingling expression re-inlined into a Filter:\n${filterNodes.mkString("\n")}")
+  }
+
+  test("r1: the payload is decoded at exactly one site") {
+    val p = plan("r1_cwl_parse")
+    // the Opaque fence pins gunzip+from_json to a single Project; a
+    // second occurrence means project-collapse re-inlined the decode
+    assert("gunzip".r.findAllIn(p.toLowerCase).length === 1, p.take(4000))
+  }
+
+  test("s1: top-k uses the bounded-heap aggregate, not a global sort of scores") {
+    val p = plan("s1_knn_brute")
+    assert(p.contains("graft_topk") || p.contains("TopKByScore"), p)
+  }
+
+  test("d6: benchmark shingle set broadcasts; corpus side stays unshuffled until the agg") {
+    val p = plan("d6_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
