@@ -248,6 +248,24 @@ object AnalyticsQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // semi-join chain with aggregate predicate (TPC-H Q20 shape):
+    // suppliers that shipped > 55 units of some part in 1996 —
+    // inner agg reduces BEFORE the semi join, so only qualified keys
+    // cross the second shuffle
+    "q20_semi_chain" -> ((s, dir) => {
+      val qualified = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(dec(col("l_quantity"))).as("sq"))
+        .where(col("sq") > 55)
+        .select(col("l_suppkey").as("s_suppkey")).distinct()
+      table(s, dir, "supplier")
+        .join(qualified, Seq("s_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
     // CDC/upsert compaction: one latest row per key (ts desc, id desc
     // tie-break) — the "current snapshot" materialization of a
     // changelog. One shuffle on the key; rank prune is map-side-able
@@ -398,6 +416,14 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
         |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q20_semi_chain" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity::DECIMAL(18,4)) > 55
+        |) ORDER BY s_suppkey""".stripMargin,
     "q19_below_avg" ->
       """WITH p AS (
         |  SELECT l_partkey AS p_key, sum(l_quantity::DECIMAL(18,4)) AS sq, count(*) AS cnt

@@ -45,6 +45,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("salted join spreads a hot key over multiple reducers; plain join does not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val broadcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // AQE would re-coalesce tiny test data; a broadcast dim would mean
+    // neither side shuffles at all — force the shuffle-join shape the
+    // operator exists for
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 90% of the fact hits key 1 — the classic straggler shape
+      val fact = spark.range(0, 20000)
+        .select(when(col("id") % 10 =!= 0, 1L).otherwise(col("id") % 100).as("key"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("key"), (col("id") * 7).as("attr"))
+      def partitionsOfHotKey(df: org.apache.spark.sql.DataFrame): Long =
+        df.where(col("key") === 1L).select(spark_partition_id()).distinct().count()
+      val plain = fact.join(dim, "key")
+      val salted = graft.operators.SaltedJoin.join(fact, dim, "key", salts = 4)
+      assert(salted.count() === plain.count())
+      assert(partitionsOfHotKey(plain) === 1L)
+      assert(partitionsOfHotKey(salted) > 1L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
   test("a2: merged HLL union estimate is within 5% of exact overall") {
     val rows = AnalyticsQueries.queries("a2_sketch_merge")(spark, sf).collect()
     val all = rows.find(_.getAs[String]("event_type") == "(all)").get
