@@ -31,14 +31,22 @@ object AnalyticsQueries {
     }),
 
     "q2_revenue_by_nation" -> ((s, dir) => {
-      table(s, dir, "lineitem")
+      // pre-aggregate the fact to one row per order BEFORE the join:
+      // the order-grain rollup makes count(distinct o_orderkey) a
+      // plain count (no expand/two-phase distinct agg) and shrinks
+      // the join input by the lineitem:order fan-in — at 100 TB the
+      // difference between shuffling lineitems and shuffling orders
+      val perOrder = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(revenue.as("order_rev"))
+      perOrder
         .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          round(revenue, 2).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          round(sum(col("order_rev")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     }),
 
