@@ -90,6 +90,54 @@ object LogStream {
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)
+  case class TimedEventIn(userId: Long, tsNs: Long, eventTime: java.sql.Timestamp)
+
+  /** Like [[sessionize]] but with event-time expiry: a session idle
+    * past the watermark is emitted and its state removed, instead of
+    * the open tail lingering per user forever. This is the
+    * production-correct variant — state size is bounded by *active*
+    * users, and every session is eventually emitted exactly once.
+    * Input must carry `withWatermark` on `eventTime`.
+    */
+  def sessionizeExpiring(events: Dataset[TimedEventIn], gapNs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapNs / 1000000L
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TimedEventIn], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val expired = state.getOption.map(s =>
+              SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n)).iterator
+            state.remove()
+            expired
+          } else {
+            val times = it.map(_.tsNs).toArray.sorted
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.endNs <= gapNs =>
+                  open = Some(s.copy(endNs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // expire once the watermark passes the session's gap
+              // horizon (must be set strictly beyond current watermark)
+              state.setTimeoutTimestamp(
+                math.max(s.endNs / 1000000L + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Stateful gap sessionization: closed sessions are emitted, the
     * open tail lives in group state (bounded per key). The streaming

@@ -144,6 +144,41 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.length > 1)
   }
 
+  test("st8: event-time timeout expires idle sessions exactly once") {
+    import org.apache.spark.sql.{Dataset, SaveMode}
+    val dir = Files.createTempDirectory("graft_stream_expire").toString
+    val t0 = 1704067200000L // 2024-01-01 00:00:00 UTC, millis
+    def write(rows: Seq[(Long, Long)], mode: SaveMode): Unit =
+      rows.toDF("userId", "tsMs")
+        .select(col("userId"), (col("tsMs") * 1000000L).as("tsNs"),
+          timestamp_millis(col("tsMs")).as("eventTime"))
+        .write.mode(mode).parquet(dir)
+    // batch 1: three users, two events each inside one session
+    write((1L to 3L).flatMap(u => Seq((u, t0 + u * 1000), (u, t0 + u * 1000 + 60000))),
+      SaveMode.Overwrite)
+    val in: Dataset[LogStream.TimedEventIn] = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsNs", LongType),
+        StructField("eventTime", TimestampType))))
+      .parquet(dir)
+      .withWatermark("eventTime", "1 second")
+      .as[LogStream.TimedEventIn]
+    val q = LogStream.sessionizeExpiring(in, gapNs = 1800L * 1000 * 1000 * 1000)
+      .writeStream.format("memory").queryName("st8_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("st8_out").count() === 0) // all sessions still open
+      // late traffic advances the watermark far past every open session
+      write(Seq((99L, t0 + 36000000L)), SaveMode.Append)
+      q.processAllAvailable()
+      write(Seq((98L, t0 + 72000000L)), SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("st8_out")
+      .select(col("userId"), col("nEvents")).as[(Long, Long)].collect().toMap
+    (1L to 3L).foreach(u => assert(out.get(u).contains(2L), s"user $u: $out"))
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
