@@ -239,6 +239,54 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // training-window chunking: split each doc into 64-token windows
+    // with stride 48 (16-token overlap) — the seq-len shaping step
+    // before packing. Narrow explode per doc, no shuffle.
+    "t14_chunking" -> ((s, dir) => {
+      val win = 64
+      val stride = 48
+      // last start = (n - win + stride - 1) rounded down to the stride
+      // grid, min 1 — pmod keeps everything integer-typed (int `/` is
+      // double in Spark) and floor-consistent with DuckDB's `//`
+      val x = size(col("toks")) - win + stride - 1
+      val starts = sequence(
+        lit(1),
+        greatest(lit(1), x - pmod(x, lit(stride)) + 1),
+        lit(stride))
+      table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .select(col("doc_id"), col("toks"), explode(starts).as("start"))
+        .select(
+          col("doc_id"),
+          ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+          slice(col("toks"), col("start"), lit(win)).as("chunk"))
+        .select(
+          col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // greedy sequence packing: cumulative token counts per source
+    // (ordered by doc_id) div the per-bin budget → pack id. One
+    // window pass; deterministic bin assignment on any cluster.
+    "t15_pack_bins" -> ((s, dir) => {
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .withColumn("n_tok", size(T.tokens(col("text"))).cast("long"))
+        .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before div $budget"))
+        .groupBy("source", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "bin")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -357,6 +405,36 @@ object TextQueries {
         |round(max_count::DOUBLE / n_bigrams, 4) AS top_frac,
         |(1.0 - n_distinct::DOUBLE / n_bigrams > 0.2) AS flagged
         |FROM m ORDER BY doc_id""".stripMargin,
+    "t14_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), x AS (
+        |  SELECT doc_id, t, len(t) AS n FROM toks
+        |), st AS (
+        |  SELECT doc_id, t,
+        |  unnest(generate_series(1, greatest(1, ((n - 64 + 47) // 48) * 48 + 1), 48)) AS start
+        |  FROM x
+        |), ch AS (
+        |  SELECT doc_id, (start - 1) // 48 AS chunk_idx, list_slice(t, start, start + 63) AS chunk
+        |  FROM st
+        |)
+        |SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_tokens,
+        |md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t15_pack_bins" ->
+      """WITH x AS (
+        |  SELECT source, doc_id,
+        |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tok,
+        |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM x
+        |)
+        |SELECT source, cum_before // 2048 AS bin, count(*) AS n_docs,
+        |sum(n_tok)::BIGINT AS n_tokens, min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t13_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token

@@ -92,6 +92,12 @@ def main():
         else:
             print(f"PASS      {name}: {len(got_rows)} rows")
             n_pass += 1
+    # a query that threw inside Verify has no result dir at all —
+    # surface it instead of silently shrinking the checked set
+    have = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    for name in sorted(set(oracle) - have):
+        print(f"FAIL {name}: no result written (query threw in Verify?)")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
