@@ -274,6 +274,27 @@ object AnalyticsQueries {
         .orderBy("s_suppkey")
     }),
 
+    // full outer join of two aggregates: per-nation customer vs
+    // supplier presence, including nations with only one side —
+    // both inputs pre-aggregated, so the wide join carries one row
+    // per key per side
+    "q21_full_outer" -> ((s, dir) => {
+      val custs = table(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supps = table(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      custs.join(supps, Seq("nationkey"), "full_outer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("nationkey") === col("n_nationkey"))
+        .select(
+          col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("n_name")
+    }),
+
     // CDC/upsert compaction: one latest row per key (ts desc, id desc
     // tie-break) — the "current snapshot" materialization of a
     // changelog. One shuffle on the key; rank prune is map-side-able
@@ -424,6 +445,18 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
         |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q21_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1
+        |), s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1
+        |)
+        |SELECT n_name,
+        |coalesce(n_cust, 0)::BIGINT AS n_cust,
+        |coalesce(n_supp, 0)::BIGINT AS n_supp
+        |FROM c FULL OUTER JOIN s USING (nationkey)
+        |JOIN nation ON nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
     "q20_semi_chain" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE s_suppkey IN (
