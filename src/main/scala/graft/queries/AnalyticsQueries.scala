@@ -295,6 +295,27 @@ object AnalyticsQueries {
         .orderBy("n_name")
     }),
 
+    // funnel analysis: users progressing view → click → purchase in
+    // event-time order. Each stage is a per-user aggregate joined to
+    // the previous stage's first-completion time — every join input
+    // is already one row per user, so the chain is three cheap
+    // shuffles on user_id (reusable partitioning), never a sort of
+    // the raw stream.
+    "q22_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_type", "ts_ns")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ns").as("tv"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts_ns") > col("tv"))
+        .groupBy("user_id").agg(min("ts_ns").as("tc"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts_ns") > col("tc"))
+        .groupBy("user_id").agg(min("ts_ns").as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    }),
+
     // CDC/upsert compaction: one latest row per key (ts desc, id desc
     // tie-break) — the "current snapshot" materialization of a
     // changelog. One shuffle on the key; rank prune is map-side-able
@@ -445,6 +466,19 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
         |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q22_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS tv FROM events WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS tc FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.tv GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS tp FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.tc GROUP BY 1
+        |)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |(SELECT count(*) FROM c) AS n_view_click,
+        |(SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin,
     "q21_full_outer" ->
       """WITH c AS (
         |  SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1
