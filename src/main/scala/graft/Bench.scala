@@ -28,14 +28,20 @@ object Bench {
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
+    // two measured passes, min per query: scheduler/GC noise between
+    // runs exceeds per-query cost at this scale, and the metric
+    // claims steady-state throughput
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the computed columns of map-only queries)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = ordered.map { case (name, fn) => name -> once(fn, name) }
+    val pass2 = ordered.map { case (name, fn) => name -> once(fn, name) }.toMap
+    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
