@@ -316,6 +316,41 @@ object AnalyticsQueries {
         .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
     }),
 
+    // disjunctive join predicates (TPC-H Q19 shape): OR-of-ANDs over
+    // fact and dim columns — the equi key still drives the join, and
+    // the common p_size bound is factored out so it pushes to the
+    // dim scan despite the OR
+    "q23_disjunctive" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+      val pt = table(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+        .where(col("p_size").between(1, 15))
+      val arm = (brand: String, qLo: Int, qHi: Int, szHi: Int) =>
+        col("p_brand") === brand &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi &&
+          col("p_size") <= szHi
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .where(arm("Brand#2", 1, 11, 5) || arm("Brand#4", 10, 20, 10) ||
+          arm("Brand#19", 20, 30, 15))
+        .agg(
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // window-function breadth: inter-event gap (lag), per-user value
+    // quartile (ntile), first event (first_value) — one shuffle on
+    // user_id serves all three frames
+    "q24_window_suite" -> ((s, dir) => {
+      val byTime = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val byValue = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          (col("ts_ms") - lag(col("ts_ms"), 1).over(byTime)).as("gap_ms"),
+          ntile(4).over(byValue).cast("long").as("value_quartile"),
+          first(col("event_id")).over(byTime).as("first_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // CDC/upsert compaction: one latest row per key (ts desc, id desc
     // tie-break) — the "current snapshot" materialization of a
     // changelog. One shuffle on the key; rank prune is map-side-able
@@ -466,6 +501,22 @@ object AnalyticsQueries {
         |SELECT e.event_id, e.ts_ms, count(c.click_ms) AS n_clicks_60s
         |FROM e LEFT JOIN c ON c.click_ms BETWEEN e.ts_ms - 60000 AND e.ts_ms
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q23_disjunctive" ->
+      """SELECT round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
+        |count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q24_window_suite" ->
+      """SELECT user_id, event_id,
+        |epoch_ms(ts::TIMESTAMP) - lag(epoch_ms(ts::TIMESTAMP), 1) OVER wt AS gap_ms,
+        |ntile(4) OVER wv AS value_quartile,
+        |first_value(event_id) OVER wt AS first_event_id
+        |FROM events
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id),
+        |       wv AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q22_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS tv FROM events WHERE event_type = 'view' GROUP BY 1
