@@ -97,16 +97,32 @@ object Similarity {
     */
   def ivfKnn(
       corpus: DataFrame, vecCol: String, idCol: String,
-      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 1): DataFrame = {
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val wAssign = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
-    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-      .withColumn("crk", row_number().over(wAssign))
-      .where(col("crk") === 1)
-      .select("c_id", "n_id", "n_vec")
+    def assign(cents: DataFrame): DataFrame =
+      data.crossJoin(broadcast(cents))
+        .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
+        .withColumn("crk", row_number().over(wAssign))
+        .where(col("crk") === 1)
+        .select("c_id", "n_id", "n_vec")
+    // seed: the nlist lowest-id vectors; then Lloyd rounds re-center
+    // each list at its members' element-wise mean (two narrow aggs per
+    // round — the standard k-means refinement, kept fully in
+    // DataFrames so it scales like any other aggregation)
+    var cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    (0 until math.max(0, lloydIters)).foreach { _ =>
+      cents = assign(cents)
+        .select(col("c_id"), posexplode(col("n_vec")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"),
+          transform(col("pm"), e => e("m").cast("float")).as("c_vec"))
+    }
+    val assigned = assign(cents)
     val wProbe = Window.partitionBy("q_id").orderBy(col("qc_sim").desc, col("c_id"))
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))

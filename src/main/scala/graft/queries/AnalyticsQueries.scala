@@ -378,6 +378,20 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // approx_percentile (KLL-style mergeable quantile sketch) next to
+    // the exact sort-based answer: the 100 TB path when one pass +
+    // bounded memory matters more than exactness. Engine-specific
+    // values → rows-only + spec a3 asserting the error bound.
+    "a3_approx_quantiles" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          approx_percentile(col("value"), lit(0.9), lit(1000)).as("p90_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("event_type")
+    }),
+
     // Datasketches HLL: per-group sketches UNIONED into a corpus-wide
     // estimate without rescanning — the mergeable-summary pattern that
     // makes 100 TB distinct-counting a map-side pass + tiny reduce.

@@ -82,6 +82,27 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("approx_users") > 0))
   }
 
+  test("a3: approx quantiles land within rank tolerance of the exact answer") {
+    import org.apache.spark.sql.functions._
+    val approx = AnalyticsQueries.queries("a3_approx_quantiles")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p90_approx"))).toMap
+    val exact = graft.operators.Percentiles.exact(
+      graft.queries.events(spark, sf).select("event_type", "value"),
+      "value", Seq("event_type"), Seq(0.5, 0.9)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (et, (a50, a90)) =>
+      val (e50, e90) = exact(et)
+      // accuracy=1000 → rank error ≤ 1/1000; values are dense, allow
+      // a generous value tolerance relative to the spread
+      val spread = math.max(1.0, math.abs(e90 - e50))
+      assert(math.abs(a50 - e50) <= spread * 0.1, s"$et p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) <= spread * 0.1, s"$et p90: $a90 vs $e90")
+    }
+  }
+
   test("q16: grouping-set cells are mutually consistent") {
     val rows = AnalyticsQueries.queries("q16_grouping_sets")(spark, sf).collect()
     val byG = rows.groupBy(_.getAs[Long]("g"))
