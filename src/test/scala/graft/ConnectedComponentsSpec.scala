@@ -29,4 +29,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = components(Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
     assert(got === Map(5L -> 5L, 6L -> 5L))
   }
+
+  test("seeded random graph matches a union-find reference") {
+    // deterministic pseudo-random sparse graph over 400 nodes
+    def h(a: Long, b: Long): Long = {
+      var z = a * 0x9e3779b97f4a7c15L + b * 0xbf58476d1ce4e5b9L
+      z ^= z >>> 31; z * 0x94d049bb133111ebL
+    }
+    val edges = (0L until 300L).map { i =>
+      (math.abs(h(i, 1)) % 400, math.abs(h(i, 2)) % 400)
+    }
+
+    // reference: classic union-find on the driver
+    val parent = Array.tabulate(400)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodesInEdges = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodesInEdges.map { n =>
+      // component label = min node id in the component, among edge nodes
+      n -> nodesInEdges.filter(m => find(m.toInt) == find(n.toInt)).min
+    }.toMap
+
+    assert(components(edges) === expected)
+  }
 }
