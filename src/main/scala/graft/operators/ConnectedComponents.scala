@@ -30,10 +30,15 @@ object ConnectedComponents {
     * component = min node id reachable.
     */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val und = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    var und = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // small-graph fast path: near-dup edge sets are usually tiny
+    // relative to the corpus; below ~100k edges the per-round shuffle
+    // is pure task-scheduling overhead, so run the fixpoint in one
+    // partition (the distributed path is unchanged above the cutoff)
+    if (und.count() < 100000L) und = und.coalesce(1)
 
     // localCheckpoint (not just persist) each round: persisting caches
     // rows but the *logical plan* still compounds per iteration —
