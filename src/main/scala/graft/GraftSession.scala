@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{CosineSimilarity, GunzipBytes, GzipBytes, SimHash64}
+import graft.functions.{CosineSimilarity, GunzipBytes, GzipBytes, SimHash64, UnzstdBytes, ZstdBytes}
 
 /** Session bootstrap for the graft engine.
   *
@@ -18,6 +18,10 @@ object GraftSession {
       "graft_gzip", es => GzipBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_gunzip", es => GunzipBytes(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_zstd", es => ZstdBytes(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_unzstd", es => UnzstdBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(

