@@ -47,6 +47,20 @@ object BinaryOps {
       .withColumn("frame_len", length(col("frame")))
       .select("id", "frame_idx", "frame_off", "frame_len", "frame_feature")
 
+  /** Binary near-dup fingerprint: 64-bit SimHash over the payload's
+    * overlapping byte-4-gram tokens (hex-encoded) — the binary twin of
+    * the text pipeline's d3. Payloads differing in a few bytes land
+    * within small Hamming distance; bucketing/verification then reuse
+    * the text dedup machinery unchanged.
+    */
+  def simhashBinary(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), hex(col(binCol)).as("hx"))
+      .withColumn("toks", transform(
+        sequence(lit(1), greatest(lit(1), length(col("hx")) - 7), lit(2)),
+        i => col("hx").substr(i, lit(8))))
+      .select(col("id"),
+        lpad(hex(graft.functions.simhash64(col("toks"))), 16, "0").as("simhash"))
+
   /** Per-partition batch "decoder" — the mapPartitions shape a real
     * codec binding would use (one codec instance per partition, rows
     * streamed through it). Decode itself is the deterministic stub.

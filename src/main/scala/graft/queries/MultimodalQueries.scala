@@ -26,6 +26,14 @@ object MultimodalQueries {
         .withColumn("frame_len", col("frame_len").cast("long"))
         .orderBy("id", "frame_idx")),
 
+    // binary near-dup fingerprints: SimHash over byte-4-grams of the
+    // payload (engine-specific hash → rows-only + MultimodalSpec m4)
+    "m4_binary_simhash" -> ((s, dir) =>
+      BinaryOps.simhashBinary(
+        table(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "payload", "doc_id")
+        .orderBy("id")),
+
     // int8 range quantization of embedding vectors (the storage
     // compression step of a vector pipeline): per-vector min/max
     // scale, floor-quantize to 0..255. floor (not round) keeps the

@@ -39,6 +39,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m4: binary simhash puts byte-level near-dups within small hamming distance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = ("x" * 400).getBytes("UTF-8")
+    val tweaked = base.clone(); tweaked(200) = 'y'.toByte
+    val distinct = ("completely different payload " * 20).getBytes("UTF-8")
+    val df = Seq((1L, base), (2L, tweaked), (3L, distinct)).toDF("doc_id", "payload")
+    val fp = BinaryOps.simhashBinary(df, "payload", "doc_id")
+      .as[(Long, String)].collect().toMap
+    def hamming(a: String, b: String): Int =
+      java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    assert(hamming(fp(1L), fp(2L)) <= 12, s"near-dup hamming ${hamming(fp(1L), fp(2L))}")
+    assert(hamming(fp(1L), fp(3L)) > 12, s"distinct hamming ${hamming(fp(1L), fp(3L))}")
+  }
+
   test("mapPartitions decoder stub: deterministic energies, schema intact") {
     val input = docs.limit(50)
       .select(col("doc_id"), lit(0).as("idx"), col("payload"))
