@@ -54,7 +54,8 @@ object BinaryOps {
     * the text dedup machinery unchanged.
     */
   def simhashBinary(df: DataFrame, binCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), hex(col(binCol)).as("hx"))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), hex(col(binCol)).as("hx"))
       .withColumn("toks", transform(
         sequence(lit(1), greatest(lit(1), length(col("hx")) - 7), lit(2)),
         i => col("hx").substr(i, lit(8))))
