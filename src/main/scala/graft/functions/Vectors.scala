@@ -51,6 +51,46 @@ object VectorOps {
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
   }
+
+  /** Raw dot product (double arrays). */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+}
+
+/** Native Catalyst expression: dot product of two numeric arrays.
+  * Same sequential double accumulation as [[CosineSimilarity]], so
+  * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` is bit-identical to
+  * `cosine(a,b)` — callers can hoist the per-row norms out of a pair
+  * join and pay one multiply-add per element per pair instead of
+  * three.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private lazy val isFloat: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isFloat) VectorOps.dotF(x, y) else VectorOps.dotD(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "dotF" else "dotD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.$m($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
 }
 
 /** Native Catalyst expression: cosine similarity of two numeric

@@ -37,6 +37,12 @@ package object functions {
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Dot product of two numeric array columns (double accumulation;
+    * composes with precomputed norms to a bit-exact [[cosine]]).
+    */
+  def dot(a: Column, b: Column): Column =
+    ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 

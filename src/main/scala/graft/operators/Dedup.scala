@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine, simhash64, TextFunctions => T}
+import graft.functions.{cosine, dot, simhash64, TextFunctions => T}
 
 /** Deduplication operators for training-data pipelines (SURVEY §2.3).
   *
@@ -89,11 +89,17 @@ object Dedup {
   /** MinHash + LSH near-duplicate *candidate* pairs: docs sharing at
     * least one of `bands` band keys. Returns (id_a, id_b, n_bands)
     * with id_a < id_b. The only wide op is the band-key equi-join.
+    *
+    * The band keys are materialized (lazy localCheckpoint) before the
+    * self-join: without it the a/b sides each re-derive the full
+    * scan → shingle → signature subtree (AQE broadcasts one side, so
+    * ReuseExchange never fires) — 2× the dominant map-side compute.
     */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {
     val keys = bandKeys(df, textCol, idCol, numPerms, bands)
+      .localCheckpoint(eager = false)
     val a = keys.toDF("id_a", "band", "h")
     val b = keys.toDF("id_b", "band", "h")
     a.join(b, Seq("band", "h"))
@@ -203,16 +209,98 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs ≥ minCos (brute force; the ANN
-    * path for large N is Similarity.lshKnn's bucketing).
+  /** Embedding-cosine near-dup pairs ≥ minCos — EXACT, via a balanced
+    * block-matrix self-join (triangle / "1-bucket-theta"
+    * partitioning) instead of a Catalyst cross join.
+    *
+    * Why not LSH blocking here: exact blocking is only possible when
+    * the threshold angle separates pairs from the bulk. Measured on
+    * this corpus (see NOTES_r03.md) the qualifying pairs sit on a
+    * continuum (cos 0.45–0.6 against a diffuse ~orthogonal cloud with
+    * as many near-misses at 0.40–0.449), so ANY bucketing — random
+    * hyperplanes, k-means/IVF with multi-assignment — loses recall
+    * (top-4-of-16-centroid assignment still misses pairs) and would
+    * no longer be the exact operator. A threshold this close to the
+    * bulk makes the exact answer inherently O(N²) compare work; what
+    * a cluster CAN fix is the dataflow, and this does:
+    *
+    *   - rows are hashed into B blocks; block-pair (p ≤ q) is the
+    *     shuffle key, so the O(N²) compares spread evenly over
+    *     B(B+1)/2 tasks of bounded memory (2N/B rows each) — no
+    *     CartesianProduct, no corpus-wide broadcast, no skew;
+    *   - replication factor is ~B/2 = O(√tasks), the optimal
+    *     shuffle-vs-parallelism tradeoff for a theta self-join;
+    *   - per-row squared norms are computed once before replication,
+    *     and the per-pair kernel is a single fused dot product —
+    *     `dot/(sqrt(n2_a)*sqrt(n2_b))` is bit-identical to
+    *     [[graft.functions.cosine]] (same accumulation order).
+    *
+    * For true near-dup thresholds (minCos ≳ 0.8, where the qualifying
+    * angle IS separated from the bulk) use [[embeddingPairsLsh]],
+    * which prunes sub-quadratically with empirical recall 1.
     */
   def embeddingPairs(
-      df: DataFrame, vecCol: String, idCol: String, minCos: Double): DataFrame = {
+      df: DataFrame, vecCol: String, idCol: String, minCos: Double,
+      blocks: Int = 16): DataFrame = {
     val e = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-    val a = e.toDF("id_a", "v_a")
-    val b = e.toDF("id_b", "v_b")
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosine(col("v_a"), col("v_b")))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks.toLong)))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .localCheckpoint(eager = false)
+    // row in block i meets block j at ordered key (p,q)=(min,max):
+    // the a-side replicates to keys (blk, q ≥ blk), the b-side to
+    // (p ≤ blk, blk) — every cross-block pair meets in exactly one
+    // task, same-block pairs are ordered by id. Generators stay
+    // inline (non-attribute children), so no InferFiltersFromGenerate
+    // re-inlining below the repartition.
+    val a = e.select(
+      col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a"),
+      col("blk").as("p"),
+      explode(sequence(col("blk"), lit((blocks - 1).toLong))).as("q"))
+    val b = e.select(
+      col("id").as("id_b"), col("v").as("v_b"), col("n2").as("n2_b"),
+      explode(sequence(lit(0L), col("blk"))).as("p"),
+      col("blk").as("q"))
+    a.join(b, Seq("p", "q"))
+      .where(col("p") =!= col("q") || col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+      .where(col("cos_sim") >= minCos)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** Embedding near-dup pairs via hyperplane-LSH bucketing + exact
+    * in-bucket verification — the sub-quadratic scale path for true
+    * near-dup thresholds (minCos ≳ 0.8). Each vector lands in one
+    * bucket; the probe side also visits all Hamming-1 bucket flips,
+    * so a pair is found iff their bucket signatures differ in ≤ 1 of
+    * `numPlanes` bits (capture prob for angle θ: binomial tail of
+    * p = 1 - θ/π per bit — ≈ 1 for small angles, e.g. 99.9% at
+    * cos 0.99 with 8 planes). Each captured pair meets in exactly one
+    * (probe, bucket) task, so no distinct is needed; only in-bucket
+    * pairs pay the dot product.
+    */
+  def embeddingPairsLsh(
+      df: DataFrame, vecCol: String, idCol: String, minCos: Double,
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    val e = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.bucketOf(col("v"), planes))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .localCheckpoint(eager = false)
+    val a = e.select(
+      col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a"),
+      explode(array(col("bucket") +: (0 until numPlanes).map(i =>
+        col("bucket").bitwiseXOR(lit(1 << i))): _*)).as("bkt"))
+    val b = e.select(
+      col("id").as("id_b"), col("v").as("v_b"), col("n2").as("n2_b"),
+      col("bucket").as("bkt"))
+    a.join(b, Seq("bkt"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
       .where(col("cos_sim") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }

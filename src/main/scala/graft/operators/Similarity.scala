@@ -62,7 +62,7 @@ object Similarity {
     array(plane.map(v => lit(v)): _*)
 
   /** LSH bucket signature: bit p = sign of dot(v, plane_p). */
-  private def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
+  private[graft] def bucketOf(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(cosine(v.cast("array<double>"), planeCol(p)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)

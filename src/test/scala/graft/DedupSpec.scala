@@ -66,6 +66,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs.where(col("cos_sim") < 0.45).count() === 0)
   }
 
+  test("d5: block-matrix join equals the naive all-pairs join exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val blocked = Dedup.embeddingPairs(emb, "embedding", "vec_id", 0.3, blocks = 5)
+      .orderBy("id_a", "id_b").collect()
+    // reference: naive O(N²) cross join, same cosine kernel
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val naive = e.toDF("id_a", "v_a").join(e.toDF("id_b", "v_b"), col("id_a") < col("id_b"))
+      .withColumn("cos_sim", graft.functions.cosine(col("v_a"), col("v_b")))
+      .where(col("cos_sim") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b").collect()
+    assert(blocked.toSeq === naive.toSeq)
+  }
+
+  /** Planted tight clusters for the LSH-bucketed path: 10 clusters ×
+    * 5 members at cos ≈ 0.999 (tiny deterministic per-member noise)
+    * plus 50 diffuse solo vectors.
+    */
+  private lazy val planted = {
+    val dim = 64
+    // splitmix-style scramble → pseudo-random centers, near-orthogonal
+    // in 64-d (cross-cluster cos ~ N(0, 1/8)), so only within-cluster
+    // pairs clear a 0.9 threshold
+    def rnd(seed: Long): Double = {
+      var z = seed * 0x9e3779b97f4a7c15L + 0x1234567L
+      z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+      z ^= z >>> 27; z *= 0x94d049bb133111ebL
+      z ^= z >>> 31
+      (z % 1001L) / 1000.0
+    }
+    def base(c: Int): Array[Float] =
+      Array.tabulate(dim)(d => rnd(c * 1000L + d).toFloat)
+    val members = for (c <- 0 until 10; m <- 0 until 5) yield {
+      val b = base(c)
+      (c * 5L + m, b.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * rnd(900000L + m * 64L + d).toFloat })
+    }
+    val solos = for (i <- 0 until 50) yield
+      (1000L + i, base(5000 + i))
+    (members ++ solos).toDF("vec_id", "embedding")
+  }
+
+  test("d5-lsh: bucketed pairs equal exact pairs on clustered data (recall 1)") {
+    val exact = Dedup.embeddingPairs(planted, "embedding", "vec_id", 0.9)
+      .orderBy("id_a", "id_b").collect()
+    val lsh = Dedup.embeddingPairsLsh(planted, "embedding", "vec_id", 0.9)
+      .orderBy("id_a", "id_b").collect()
+    assert(exact.length === 10 * (5 * 4 / 2)) // every within-cluster pair
+    assert(lsh.toSeq === exact.toSeq)
+  }
+
   test("d6: decontamination excludes the benchmark slice and flags iff shared") {
     val rows = graft.queries.DedupQueries.queries("d6_decontaminate")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -36,6 +36,23 @@ class PlanAssertSpec extends SparkSpec {
       s"shingling expression re-inlined into a Filter:\n${filterNodes.mkString("\n")}")
   }
 
+  test("d2: band keys materialize once — the self-join reads a checkpointed leaf") {
+    val p = plan("d2_minhash_lsh")
+    // the band keys are localCheckpointed before the a/b self-join, so
+    // the visible plan joins two scans of the SAME materialized
+    // relation; the scan → shingle → signature pipeline (regex + md5 +
+    // conv) must not appear in the join plan at all — previously it
+    // was inlined (and computed) once per side
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.toLowerCase.contains("regexp_replace"), p)
+  }
+
+  test("d5: exact embedding pairs use the block-matrix equi-join, not a cross join") {
+    val p = plan("d5_embedding_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("r1: the payload is decoded at exactly one site") {
     val p = plan("r1_cwl_parse")
     // the Opaque fence pins gunzip+from_json to a single Project; a
