@@ -2,73 +2,125 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
-/** Connected components by iterative min-label propagation — the
-  * clustering step of a near-dup pipeline: candidate pairs (edges)
-  * become duplicate *clusters* (components), and a pipeline keeps one
-  * representative per cluster.
+/** Connected components by alternating large-star / small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond") — the clustering step of a near-dup pipeline:
+  * candidate pairs (edges) become duplicate *clusters* (components),
+  * and a pipeline keeps one representative per cluster.
   *
-  * Each round every node adopts the smallest label among itself and
-  * its neighbors; convergence takes at most `diameter` rounds
-  * (near-dup clusters are shallow — a handful). Each round is one
-  * shuffle-join + aggregate, all DataFrame ops: at 100 TB this is the
-  * same iterate-to-fixpoint shape GraphX/GraphFrames use, with the
-  * per-round `count()` acting as the convergence barrier. Labels are
-  * re-persisted per round and lineage stays flat (each round reads
-  * the previous round's materialized labels, not a growing DAG).
+  * Each round rewires the graph toward a forest of min-rooted stars:
+  *   - large-star: every node links its strictly-larger neighbors to
+  *     the minimum of its neighborhood (including itself);
+  *   - small-star: every node links its smaller neighbors (and
+  *     itself) to that minimum.
+  * The edge set is stable exactly when the graph is a union of stars
+  * rooted at each component's minimum id — O(log² n) rounds worst
+  * case and ~log n in practice, versus O(diameter) for min-label
+  * propagation (a 10k-node path graph converges in ~6 rounds instead
+  * of 10k; see ConnectedComponentsSpec). Every round is plain
+  * join/aggregate dataflow — the same shape at 100 TB, with AQE
+  * sizing the per-round shuffles.
   *
-  * For adversarial graphs (long chains) swap the propagation step for
-  * alternating large-star/small-star (Kiveris et al., "Connected
-  * Components in MapReduce"), which converges in O(log n) rounds —
-  * same join-aggregate machinery.
+  * Per round the edge set is re-materialized with a lazy
+  * localCheckpoint: persisting alone leaves the logical plan
+  * compounding per iteration (plan rendering OOMs ~10 rounds in) and
+  * CacheManager entries would outlive the query; checkpoint blocks
+  * are GC'd with the DataFrame.
+  *
+  * If the loop hits `maxIter` without reaching a fixpoint it THROWS
+  * rather than returning silently-wrong split labels (star
+  * convergence is guaranteed, so this only fires on a bug or an
+  * absurdly low maxIter).
   */
 object ConnectedComponents {
+
+  /** Labels plus the number of alternating rounds it took. */
+  final case class Stats(labels: DataFrame, rounds: Int)
 
   /** edges: (src, dst) long pairs, undirected semantics. Returns
     * (id, component) for every node appearing in an edge, where
     * component = min node id reachable.
     */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var und = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runWithStats(edges, maxIter).labels
+
+  /** Large-star: for each node u, with m = min(N(u) ∪ {u}), emit
+    * (v, m) for every neighbor v > u. Output edges are canonical
+    * (u > v), self-loop-free.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("nmin"))
+      .select(col("u"), least(col("u"), col("nmin")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+  }
+
+  /** Small-star: for each node u over canonical edges (u > v), with
+    * m = min(N(u)), emit (v, m) for every v ∈ N(u) \ {m} plus the
+    * root link (u, m). Keeps edges canonical.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    val moved = e.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
+  }
+
+  /** Order-insensitive fingerprint of an edge set: (count, two
+    * independent hash sums). Equal signatures across a round ⇒ the
+    * round was a fixpoint (up to a ~2⁻¹²⁸ collision).
+    */
+  private def signature(e: DataFrame): Seq[Any] =
+    e.agg(
+      count(lit(1)),
+      sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+      sum(xxhash64(col("v"), col("u"), lit(0x9e3779b9L)).cast("decimal(38,0)"))).head().toSeq
+
+  def runWithStats(edges: DataFrame, maxIter: Int = 50): Stats = {
+    val raw = edges.select(
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    // every node ever seen in an edge (incl. self-loop-only nodes,
+    // which drop out of the canonical edge set but keep a label)
+    val nodes = raw.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    var cur = raw.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     // small-graph fast path: near-dup edge sets are usually tiny
-    // relative to the corpus; below ~100k edges the per-round shuffle
-    // is pure task-scheduling overhead, so run the fixpoint in one
-    // partition (the distributed path is unchanged above the cutoff)
-    if (und.count() < 100000L) und = und.coalesce(1)
+    // relative to the corpus; below ~100k edges per-round shuffle
+    // parallelism is pure task-scheduling overhead
+    val small = cur.count() < 100000L
+    if (small) cur = cur.coalesce(1)
 
-    // localCheckpoint (not just persist) each round: persisting caches
-    // rows but the *logical plan* still compounds per iteration —
-    // after ~10 rounds plan rendering alone OOMs. Checkpointing
-    // truncates lineage so every round starts from a leaf relation
-    // (on a cluster with a checkpoint dir, `checkpoint()` adds
-    // executor-failure tolerance on top).
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
-
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = und
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min("component").as("nmin"))
-      val proposed = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          col("component").as("old"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
-      changed = proposed.where(col("component") < col("old")).count()
-      labels = proposed.select("id", "component")
-      i += 1
+    var curSig = signature(cur)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIter) {
+      var next = smallStar(largeStar(cur))
+      if (small) next = next.coalesce(1)
+      val chk = next.localCheckpoint(eager = false)
+      val sig = signature(chk)
+      stable = sig == curSig
+      cur = chk
+      curSig = sig
+      rounds += 1
     }
-    und.unpersist(blocking = false)
-    labels
+    if (!stable) throw new IllegalStateException(
+      s"connected components did not reach a star fixpoint in $maxIter rounds " +
+        "(raise maxIter); refusing to return unconverged labels")
+
+    // at the fixpoint every edge is (node, component-min); roots
+    // appear only on the v side
+    val star = cur
+    val labels = star.select(col("u").as("id"), col("v").as("component"))
+      .union(star.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    Stats(out, rounds)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{cosine, topk}
@@ -90,29 +89,36 @@ object Similarity {
 
   /** IVF-style ANN: the corpus is partitioned into `nlist` inverted
     * lists by nearest coarse centroid; each query scores only its
-    * `nprobe` closest lists (~nprobe/nlist of the corpus). Coarse
-    * centroids here are the `nlist` lowest-id vectors — deterministic
-    * "IVF-lite"; a production build would Lloyd-iterate them, which
-    * changes quality but not the dataflow.
+    * `nprobe` closest lists (~nprobe/nlist of the corpus). Centroids
+    * seed deterministically from the `nlist` lowest-id vectors and
+    * are refined by `lloydIters` k-means rounds — no RNG anywhere, so
+    * results are cluster-size invariant.
     */
   def ivfKnn(
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
       lloydIters: Int = 1): DataFrame = {
     val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val wAssign = Window.partitionBy("n_id").orderBy(col("c_sim").desc, col("c_id"))
+    // nearest-centroid assignment as a max_by aggregate — partial
+    // combine runs map-side, so only one (vector, centroid) row per
+    // vector survives per partition; a row_number Window here would
+    // instead sort/shuffle all N×nlist scored rows. Tie-break matches
+    // the old window (highest sim, then lowest centroid id).
     def assign(cents: DataFrame): DataFrame =
       data.crossJoin(broadcast(cents))
         .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-        .withColumn("crk", row_number().over(wAssign))
-        .where(col("crk") === 1)
+        .groupBy("n_id", "n_vec")
+        .agg(max_by(col("c_id"), struct(col("c_sim"), (-col("c_id")).as("t"))).as("c_id"))
         .select("c_id", "n_id", "n_vec")
     // seed: the nlist lowest-id vectors; then Lloyd rounds re-center
     // each list at its members' element-wise mean (two narrow aggs per
     // round — the standard k-means refinement, kept fully in
-    // DataFrames so it scales like any other aggregation)
+    // DataFrames so it scales like any other aggregation). Each round
+    // re-materializes the tiny centroid relation (lazy localCheckpoint)
+    // so centroid lineage doesn't compound across iterations.
     var cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .localCheckpoint(eager = false)
     (0 until math.max(0, lloydIters)).foreach { _ =>
       cents = assign(cents)
         .select(col("c_id"), posexplode(col("n_vec")).as(Seq("pos", "x")))
@@ -121,14 +127,17 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("c_id"),
           transform(col("pm"), e => e("m").cast("float")).as("c_vec"))
+        .localCheckpoint(eager = false)
     }
     val assigned = assign(cents)
-    val wProbe = Window.partitionBy("q_id").orderBy(col("qc_sim").desc, col("c_id"))
+    // top-nprobe lists per query via the bounded-heap aggregate
+    // (same tie semantics as the old window: sim desc, c_id asc)
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("prk", row_number().over(wProbe))
-      .where(col("prk") <= nprobe)
-      .select("c_id", "q_id", "q_vec")
+      .groupBy("q_id", "q_vec")
+      .agg(topk(col("qc_sim"), col("c_id"), nprobe).as("tk"))
+      .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
+      .select(col("e.id").as("c_id"), col("q_id"), col("q_vec"))
     val scored = assigned.join(broadcast(probes), Seq("c_id"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))

@@ -30,6 +30,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("self-loop-only nodes keep their own label") {
+    val got = components(Seq((5L, 5L), (5L, 6L), (9L, 9L)))
+    assert(got === Map(5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("adversarial 10k-node path graph converges in O(log n) rounds") {
+    val chain = (0L until 10000L).map(i => (i + 1, i))
+    val stats = ConnectedComponents.runWithStats(chain.toDF("src", "dst"))
+    // min-label propagation would need 10k rounds (diameter); the
+    // alternating-star contraction is logarithmic
+    assert(stats.rounds <= 20, s"took ${stats.rounds} rounds")
+    val labels = stats.labels.as[(Long, Long)].collect()
+    assert(labels.length === 10001)
+    assert(labels.forall(_._2 == 0L))
+  }
+
+  test("unconverged exit throws instead of returning wrong labels") {
+    val chain = (0L until 64L).map(i => (i + 1, i))
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain.toDF("src", "dst"), maxIter = 1).collect()
+    }
+  }
+
   test("seeded random graph matches a union-find reference") {
     // deterministic pseudo-random sparse graph over 400 nodes
     def h(a: Long, b: Long): Long = {

@@ -53,6 +53,12 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s3: IVF assignment and probing aggregate — no Window over scored rows") {
+    val p = plan("s3_knn_ivf")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("max_by") || p.contains("MaxBy"), p)
+  }
+
   test("r1: the payload is decoded at exactly one site") {
     val p = plan("r1_cwl_parse")
     // the Opaque fence pins gunzip+from_json to a single Project; a
