@@ -8,27 +8,33 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash over a token array.
   *
-  * Per token: a 64-bit FNV-1a hash (with a murmur-style finalizer for
-  * avalanche); each of the 64 bit positions votes +1/-1; the sign of
-  * each position's total forms the fingerprint. Near-identical token
-  * multisets → small Hamming distance. Single narrow pass per row.
+  * Per token: a 64-bit hash = the first 8 bytes (big-endian) of the
+  * token's MD5 — i.e. the first 16 hex chars of `md5(token)`, which
+  * any SQL engine can replay (the DuckDB oracle reconstructs the bit
+  * votes from `substr(md5(tok),1,8)` / `substr(md5(tok),9,8)` halves,
+  * turning d3/m4 into hash-checked rows). Each of the 64 bit
+  * positions votes +1/-1; the sign of each position's total forms the
+  * fingerprint. Near-identical token multisets → small Hamming
+  * distance. Single narrow pass per row; MD5 is a few× slower per
+  * byte than a non-cryptographic hash, but the hash is a per-token
+  * map-side cost and keeps the operator engine-replayable.
   */
 object SimHashOps {
-  def hash64(s: UTF8String): Long = {
-    // FNV-1a over UTF-8 bytes
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
     }
-    // murmur3 fmix64 finalizer
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    h
+
+  def hash64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 8 digest bytes big-endian == first 16 hex chars of md5(s)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
   def simhash(tokens: ArrayData): Long = {

@@ -111,6 +111,14 @@ object DedupQueries {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replay of the md5-derived SimHash bit votes (see simhashReplaySql)
+    "d3_simhash" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id AS id, unnest(t) AS tok FROM toks
+        |), """.stripMargin + simhashReplaySql +
+        "\nSELECT id, simhash FROM fp ORDER BY id"),
     "d2_minhash_lsh" -> (shingleCtes + minhashSigSql +
       """, bh AS (
         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band, * FROM sig

@@ -60,6 +60,15 @@ object MultimodalQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // replay of the byte-4-gram (8 hex chars, stride 2) SimHash
+    "m4_binary_simhash" ->
+      ("""WITH hx AS (
+        |  SELECT doc_id AS id, hex(text::BLOB) AS h FROM documents
+        |), tk AS (
+        |  SELECT id, substr(h, unnest(generate_series(1, greatest(1, len(h) - 7), 2))::INT, 8) AS tok
+        |  FROM hx
+        |), """.stripMargin + graft.queries.simhashReplaySql +
+        "\nSELECT id, simhash FROM fp ORDER BY id"),
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |CASE WHEN substring(text, 1, 3) = 'the' THEN 'type_the'

@@ -29,4 +29,33 @@ package object queries {
     * bit-for-bit (no fp associativity).
     */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** DuckDB replay of graft_simhash64 over a `(id, tok)` relation
+    * named `tk`: per-token 64-bit hash = first 16 hex chars of
+    * md5(tok) as two 32-bit halves (SimHashOps.hash64 takes the first
+    * 8 digest bytes big-endian, so the halves line up exactly), then
+    * +1/-1 votes per bit position, sign → nibble → uppercase
+    * 16-hex-digit fingerprint column `simhash` keyed by `id`.
+    */
+  val simhashReplaySql: String =
+    """h AS (
+      |  SELECT id,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+      |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+      |  FROM tk
+      |), bits AS (
+      |  SELECT id, bb.b AS b,
+      |    sum(CASE WHEN ((CASE WHEN bb.b < 32 THEN lo ELSE hi END >> (bb.b % 32)) & 1) = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+      |  GROUP BY 1, 2
+      |), nibs AS (
+      |  SELECT id, b // 4 AS nib,
+      |    sum(CASE WHEN v > 0 THEN 1 << (b % 4) ELSE 0 END) AS nv
+      |  FROM bits GROUP BY 1, 2
+      |), fp AS (
+      |  SELECT id,
+      |    string_agg(substr('0123456789ABCDEF', (nv + 1)::INT, 1), '' ORDER BY nib DESC) AS simhash
+      |  FROM nibs GROUP BY id
+      |)""".stripMargin
 }
