@@ -30,13 +30,20 @@ object Bench {
     }
     // two measured passes, min per query: scheduler/GC noise between
     // runs exceeds per-query cost at this scale, and the metric
-    // claims steady-state throughput
+    // claims steady-state throughput. A query that throws is tracked
+    // separately — its (near-zero) time-to-failure must not make the
+    // total look faster.
+    val failed = scala.collection.mutable.TreeSet.empty[String]
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the computed columns of map-only queries)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val pass1 = ordered.map { case (name, fn) => name -> once(fn, name) }
@@ -44,8 +51,13 @@ object Bench {
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total covers succeeding queries only; failures are listed, not
+    // averaged in as near-zero times
+    val total = results.collect { case (n, v) if !failed(n) => v }.sum
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_failed":${failed.size},"failed":$failedArr,""" +
+      s""""method":"min-of-2-passes-after-sf0.001-warmup","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,18 +22,57 @@ import graft.operators.{Reader, Tsv}
   */
 object ReadLogsCli {
 
-  /** Translate the reference's Python-strptime codes (the subset its
-    * default uses) to a java.time pattern.
+  /** Translate a Python-strptime format (what the reference's
+    * --time-format accepts, __main__.py:44-47) to a java.time
+    * pattern: the full directive set a datetime can carry (%Y %y %m
+    * %d %H %I %M %S %f %j %p %a %A %b %B %z %Z %%), with literal
+    * text quoted (a bare `T` is a pattern letter in java.time).
+    * Locale-dependent week/locale directives (%U %W %w %c %x %X)
+    * have no java.time equivalent and fail loudly instead of
+    * mis-parsing.
     */
-  private[cli] def strptimeToJava(fmt: String): String =
-    fmt
-      .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+  private[cli] def strptimeToJava(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+      'f' -> "SSSSSS", 'j' -> "DDD", 'p' -> "a",
+      'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+      'z' -> "xx", 'Z' -> "zzz")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || c == '\''))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val d = fmt.charAt(i + 1)
+        if (d == '%') { lit.append('%'); i += 2 }
+        else map.get(d) match {
+          case Some(j) => flushLit(); out.append(j); i += 2
+          case None => throw new IllegalArgumentException(
+            s"unsupported strptime directive %$d in '$fmt'")
+        }
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
 
-  private[cli] def parseStartTimeMs(value: String, fmt: String): Long =
-    LocalDateTime
-      .parse(value, DateTimeFormatter.ofPattern(strptimeToJava(fmt)))
-      .toInstant(ZoneOffset.UTC).toEpochMilli
+  private[cli] def parseStartTimeMs(value: String, fmt: String): Long = {
+    val f = DateTimeFormatter.ofPattern(strptimeToJava(fmt), java.util.Locale.US)
+    val parsed = f.parse(value)
+    // offset-aware formats (%z) carry their own zone; naive ones are
+    // UTC, matching the reference's naive-UTC start_time
+    if (parsed.isSupported(java.time.temporal.ChronoField.OFFSET_SECONDS))
+      java.time.OffsetDateTime.from(parsed).toInstant.toEpochMilli
+    else LocalDateTime.from(parsed).toInstant(ZoneOffset.UTC).toEpochMilli
+  }
 
   def main(args: Array[String]): Unit = {
     var path: Option[String] = None

@@ -32,8 +32,9 @@ object RangeJoin {
 
   /** Band join rows: all left columns + `rightCols`, one output row
     * per (left, right-in-window) pair. `leftTs`/`rightTs` are long
-    * columns in the same unit; window is `[leftTs+lo, leftTs+hi]`,
-    * lo <= hi.
+    * columns in the same unit; window is `[leftTs+lo, leftTs+hi]`
+    * with lo < hi (a zero-width band would make the bucket width 0;
+    * for an exact-point join use an equi-join on the timestamp).
     */
   def bandJoin(
       left: DataFrame, right: DataFrame,
@@ -54,10 +55,14 @@ object RangeJoin {
       .drop("__b", "__rts")
   }
 
-  /** Per-left-row count of right rows in the band; left rows with no
-    * matches get 0 (left-outer semantics without a second wide join:
-    * the count join is re-joined to `left` broadcast-free on the
-    * already-partitioned key column).
+  /** Per-left-row count of right rows in the band, keyed by
+    * `leftKey` — which must uniquely identify left rows: counts
+    * aggregate by key, so under a non-unique key every row of that
+    * key would receive the key-level total. Left rows with no matches
+    * get 0 (left-outer semantics without a second wide join: the
+    * count join is re-joined to `left` broadcast-free on the
+    * already-partitioned key column). Band bounds follow
+    * [[bandJoin]]: lo < hi.
     */
   def countInBand(
       left: DataFrame, right: DataFrame,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 import graft.sources.CloudWatchLogs
 
@@ -87,10 +88,80 @@ object LogStream {
       .drop(r(key))
   }
 
+  /** One-shot drain: run the streaming pipeline with
+    * Trigger.AvailableNow — process everything the source has at
+    * start, then terminate on its own. The Spark twin of the
+    * reference reader's terminate-when-caught-up loop (it stops when
+    * every shard reports MillisBehindLatest == 0,
+    * kinesis_logs_reader.py:99-106); here "caught up" is the source's
+    * available-offsets snapshot, checkpointed across restarts.
+    * `configure` attaches the sink; returns true iff the query
+    * stopped by itself within `timeoutMs`.
+    */
+  def drainAvailable[T](
+      ds: Dataset[T],
+      configure: DataStreamWriter[T] => DataStreamWriter[T],
+      timeoutMs: Long = 300000L): Boolean = {
+    val q = configure(ds.writeStream.trigger(Trigger.AvailableNow())).start()
+    try q.awaitTermination(timeoutMs)
+    finally if (q.isActive) q.stop()
+  }
+
+  /** Attach to a record directory at the stream TAIL — the twin of
+    * the reference's default LATEST iterator (no start_time ⇒ only
+    * records that land after attach are read;
+    * kinesis_logs_reader.py:60-68). File-source realization: snapshot
+    * the file names present at attach time and exclude them from the
+    * stream — exact (name-based, no mtime races). A native Kinesis
+    * connector expresses the same as startingPosition=LATEST for
+    * free; with the file source the excluded files are still listed
+    * and row-group-pruned, so this is tail *semantics*, not a seek —
+    * acceptable because the snapshot is the backlog at attach, not
+    * the stream's lifetime history.
+    */
+  def attachLatest(
+      spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Seq[String] =
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
+      else Seq.empty
+    val base = spark.readStream.schema(schema).parquet(path)
+    if (existing.isEmpty) base
+    else base.where(
+      !substring_index(input_file_name(), "/", -1).isin(existing: _*))
+  }
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)
   case class TimedEventIn(userId: Long, tsNs: Long, eventTime: java.sql.Timestamp)
+
+  /** Merge a batch of event times into gap-delimited sessions,
+    * folding in the open session carried in state. Standard interval
+    * sweep over items ordered by start: an item within `gapNs` of the
+    * current interval extends it with endNs = max(end, t) and
+    * startNs = min(start, t) — an out-of-order event admitted by the
+    * watermark can therefore never move a session end BACKWARDS, and
+    * an event earlier than (start - gap) forms its own, separately
+    * emitted, session. Returns merged intervals in time order; the
+    * last one is the open tail.
+    */
+  private def mergeSessions(
+      times: Array[Long], open: Option[OpenSession], gapNs: Long): Seq[OpenSession] = {
+    val items = (times.map(t => OpenSession(t, t, 1)) ++ open.toSeq)
+      .sortBy(iv => (iv.startNs, iv.endNs))
+    val out = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    items.foreach { iv =>
+      out.lastOption match {
+        case Some(c) if iv.startNs <= c.endNs + gapNs =>
+          out(out.length - 1) =
+            OpenSession(c.startNs, math.max(c.endNs, iv.endNs), c.n + iv.n)
+        case _ => out += iv
+      }
+    }
+    out.toSeq
+  }
 
   /** Like [[sessionize]] but with event-time expiry: a session idle
     * past the watermark is emitted and its state removed, instead of
@@ -113,21 +184,11 @@ object LogStream {
             state.remove()
             expired
           } else {
-            val times = it.map(_.tsNs).toArray.sorted
-            var open = state.getOption
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            times.foreach { t =>
-              open match {
-                case Some(s) if t - s.endNs <= gapNs =>
-                  open = Some(s.copy(endNs = t, n = s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
-            }
-            open.foreach { s =>
+            val merged = mergeSessions(
+              it.map(_.tsNs).toArray.sorted, state.getOption, gapNs)
+            val closed = merged.dropRight(1).map(s =>
+              SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n))
+            merged.lastOption.foreach { s =>
               state.update(s)
               // expire once the watermark passes the session's gap
               // horizon (must be set strictly beyond current watermark)
@@ -150,21 +211,11 @@ object LogStream {
       .flatMapGroupsWithState[OpenSession, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[EventIn], state: GroupState[OpenSession]) =>
-          val times = it.map(_.tsNs).toArray.sorted
-          var open = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          times.foreach { t =>
-            open match {
-              case Some(s) if t - s.endNs <= gapNs =>
-                open = Some(s.copy(endNs = t, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n)
-                open = Some(OpenSession(t, t, 1))
-              case None =>
-                open = Some(OpenSession(t, t, 1))
-            }
-          }
-          open.foreach(state.update)
+          val merged = mergeSessions(
+            it.map(_.tsNs).toArray.sorted, state.getOption, gapNs)
+          val closed = merged.dropRight(1).map(s =>
+            SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n))
+          merged.lastOption.foreach(state.update)
           closed.iterator
       }
   }

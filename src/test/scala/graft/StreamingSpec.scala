@@ -179,6 +179,79 @@ class StreamingSpec extends SparkSpec {
     (1L to 3L).foreach(u => assert(out.get(u).contains(2L), s"user $u: $out"))
   }
 
+  test("st9: AvailableNow drain emits every seeded record then stops on its own") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    // NOTE: no q.stop() — self-termination IS the assertion (the twin
+    // of the reference's MillisBehindLatest == 0 drain loop)
+    val selfStopped = LogStream.drainAvailable(
+      LogStream.parse(stream),
+      (w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) =>
+        w.format("memory").queryName("st9_out").outputMode("append"))
+    assert(selfStopped, "drain query did not terminate by itself")
+    assert(spark.table("st9_out").count() === events(spark, sf).count())
+  }
+
+  test("st10: LATEST attach sees only records that land after attach") {
+    val dir = Files.createTempDirectory("graft_stream_latest").toString
+    val payloads = spark.read.parquet(payloadDir)
+    // seed BEFORE attach: the reference's no-start_time default reads
+    // none of this (kinesis_logs_reader.py:60-68)
+    payloads.write.mode("overwrite").parquet(dir)
+    val stream = LogStream.attachLatest(
+      spark, dir, StructType(Seq(StructField("data", BinaryType))))
+    val q = LogStream.parse(stream).writeStream
+      .format("memory").queryName("st10_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("st10_out").count() === 0) // nothing pre-attach
+      // post-attach traffic: one re-appended copy of the payloads
+      payloads.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("st10_out").count() === events(spark, sf).count())
+  }
+
+  test("st11: out-of-order event within the watermark merges without shrinking the session") {
+    import org.apache.spark.sql.{Dataset, SaveMode}
+    val dir = Files.createTempDirectory("graft_stream_ooo").toString
+    val t0 = 1704067200000L
+    def write(rows: Seq[(Long, Long)], mode: SaveMode): Unit =
+      rows.toDF("userId", "tsMs")
+        .select(col("userId"), (col("tsMs") * 1000000L).as("tsNs"),
+          timestamp_millis(col("tsMs")).as("eventTime"))
+        .write.mode(mode).parquet(dir)
+    // batch 1: session [t0, t0+10min]
+    write(Seq((1L, t0), (1L, t0 + 600000L)), SaveMode.Overwrite)
+    val in: Dataset[LogStream.TimedEventIn] = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsNs", LongType),
+        StructField("eventTime", TimestampType))))
+      .parquet(dir)
+      .withWatermark("eventTime", "1 hour")
+      .as[LogStream.TimedEventIn]
+    val q = LogStream.sessionizeExpiring(in, gapNs = 1800L * 1000 * 1000 * 1000)
+      .writeStream.format("memory").queryName("st11_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an event INSIDE the open session's span, older than
+      // its current end (admitted — watermark delay is 1h). The old
+      // merge set end = t, silently moving the session end backwards.
+      write(Seq((1L, t0 + 300000L)), SaveMode.Append)
+      q.processAllAvailable()
+      // advance the watermark far past the session to expire it
+      write(Seq((99L, t0 + 48L * 3600000L)), SaveMode.Append)
+      q.processAllAvailable()
+      write(Seq((98L, t0 + 96L * 3600000L)), SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("st11_out")
+      .select(col("userId"), col("startMs"), col("endMs"), col("nEvents"))
+      .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L)
+    assert(out.toSeq === Seq((1L, t0, t0 + 600000L, 3L)))
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
