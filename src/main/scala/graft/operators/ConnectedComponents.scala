@@ -45,6 +45,30 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame =
     runWithStats(edges, maxIter).labels
 
+  /** Driver-side union-find for the small-graph fast path: a dup
+    * graph of < `smallCutoff` edges is a few MB at most — the same
+    * bounded-data class as a broadcast side — and the distributed
+    * fixpoint's per-round job overhead (measured ~1s for a 256-edge
+    * graph) dwarfs a millisecond driver pass. Path-compressed,
+    * min-root by construction.
+    */
+  private def unionFind(
+      es: Array[(Long, Long)], ns: Array[Long]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ns.map(n => n -> find(n))
+  }
+
   /** Large-star: for each node u, with m = min(N(u) ∪ {u}), emit
     * (v, m) for every neighbor v > u. Output edges are canonical
     * (u > v), self-loop-free.
@@ -80,29 +104,40 @@ object ConnectedComponents {
       sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
       sum(xxhash64(col("v"), col("u"), lit(0x9e3779b9L)).cast("decimal(38,0)"))).head().toSeq
 
-  def runWithStats(edges: DataFrame, maxIter: Int = 50): Stats = {
+  /** `smallCutoff`: graphs under this edge count run as a driver
+    * union-find instead of distributed rounds (0 forces the
+    * distributed path — used by specs to exercise it on small data).
+    */
+  def runWithStats(
+      edges: DataFrame, maxIter: Int = 50, smallCutoff: Long = 100000L): Stats = {
+    // materialize the input edge list once: it feeds the node set,
+    // the canonical edge set, and (for callers like d7) is usually an
+    // expensive pipeline — without this leaf each consumer re-derives
+    // the whole upstream plan
     val raw = edges.select(
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .localCheckpoint(eager = false)
     // every node ever seen in an edge (incl. self-loop-only nodes,
     // which drop out of the canonical edge set but keep a label)
     val nodes = raw.select(explode(array(col("a"), col("b"))).as("id")).distinct()
-    var cur = raw.where(col("a") =!= col("b"))
+    val cur0 = raw.where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    // small-graph fast path: near-dup edge sets are usually tiny
-    // relative to the corpus; below ~100k edges per-round shuffle
-    // parallelism is pure task-scheduling overhead
-    val small = cur.count() < 100000L
-    if (small) cur = cur.coalesce(1)
-
+    if (cur0.count() < smallCutoff) {
+      import org.apache.spark.sql.Row
+      val es = cur0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ns = nodes.collect().map(_.getLong(0))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Stats(unionFind(es, ns).toSeq.toDF("id", "component"), 0)
+    }
+    var cur = cur0
     var curSig = signature(cur)
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxIter) {
-      var next = smallStar(largeStar(cur))
-      if (small) next = next.coalesce(1)
-      val chk = next.localCheckpoint(eager = false)
+      val chk = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val sig = signature(chk)
       stable = sig == curSig
       cur = chk
@@ -121,6 +156,9 @@ object ConnectedComponents {
       .distinct()
     val out = nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      // labels are one row per node and usually consumed more than
+      // once downstream (e.g. cluster sizes + the join back)
+      .localCheckpoint(eager = false)
     Stats(out, rounds)
   }
 }

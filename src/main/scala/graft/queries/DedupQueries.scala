@@ -57,6 +57,13 @@ object DedupQueries {
       Dedup.embeddingPairs(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
         .orderBy("id_a", "id_b")),
 
+    // sub-quadratic LSH-bucketed variant (recall < 1 at thresholds
+    // near the bulk angle — exactness spec'd on clustered data in
+    // DedupSpec; no oracle by design, see NOTES_r03.md)
+    "d8_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairsLsh(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
+        .orderBy("id_a", "id_b")),
+
     // near-dup clustering: verified pairs → connected components →
     // (id, component, cluster_size); the keep-one-per-cluster step of
     // a dedup pipeline (see operators.ConnectedComponents)

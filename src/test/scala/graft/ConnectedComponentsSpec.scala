@@ -37,7 +37,9 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("adversarial 10k-node path graph converges in O(log n) rounds") {
     val chain = (0L until 10000L).map(i => (i + 1, i))
-    val stats = ConnectedComponents.runWithStats(chain.toDF("src", "dst"))
+    // smallCutoff = 0: exercise the distributed star path, not the
+    // driver union-find fast path
+    val stats = ConnectedComponents.runWithStats(chain.toDF("src", "dst"), smallCutoff = 0L)
     // min-label propagation would need 10k rounds (diameter); the
     // alternating-star contraction is logarithmic
     assert(stats.rounds <= 20, s"took ${stats.rounds} rounds")
@@ -49,7 +51,9 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("unconverged exit throws instead of returning wrong labels") {
     val chain = (0L until 64L).map(i => (i + 1, i))
     intercept[IllegalStateException] {
-      ConnectedComponents.run(chain.toDF("src", "dst"), maxIter = 1).collect()
+      ConnectedComponents
+        .runWithStats(chain.toDF("src", "dst"), maxIter = 1, smallCutoff = 0L)
+        .labels.collect()
     }
   }
 
@@ -76,6 +80,12 @@ class ConnectedComponentsSpec extends SparkSpec {
       n -> nodesInEdges.filter(m => find(m.toInt) == find(n.toInt)).min
     }.toMap
 
+    // both paths must agree with the reference: driver union-find
+    // fast path (default cutoff) and the distributed star fixpoint
     assert(components(edges) === expected)
+    val distributed = ConnectedComponents
+      .runWithStats(edges.toDF("src", "dst"), smallCutoff = 0L)
+      .labels.as[(Long, Long)].collect().toMap
+    assert(distributed === expected)
   }
 }
