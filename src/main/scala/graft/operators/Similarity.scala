@@ -107,9 +107,11 @@ object Similarity {
     def assign(cents: DataFrame): DataFrame =
       data.crossJoin(broadcast(cents))
         .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-        .groupBy("n_id", "n_vec")
-        .agg(max_by(col("c_id"), struct(col("c_sim"), (-col("c_id")).as("t"))).as("c_id"))
-        .select("c_id", "n_id", "n_vec")
+        .groupBy("n_id") // vector travels in the agg VALUE, not the 256-byte group key
+        .agg(max_by(
+          struct(col("c_id"), col("n_vec")),
+          struct(col("c_sim"), (-col("c_id")).as("t"))).as("m"))
+        .select(col("m.c_id").as("c_id"), col("n_id"), col("m.n_vec").as("n_vec"))
     // seed: the nlist lowest-id vectors; then Lloyd rounds re-center
     // each list at its members' element-wise mean (two narrow aggs per
     // round — the standard k-means refinement, kept fully in
@@ -134,8 +136,10 @@ object Similarity {
     // (same tie semantics as the old window: sim desc, c_id asc)
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))
-      .groupBy("q_id", "q_vec")
-      .agg(topk(col("qc_sim"), col("c_id"), nprobe).as("tk"))
+      .groupBy("q_id")
+      .agg(
+        topk(col("qc_sim"), col("c_id"), nprobe).as("tk"),
+        first(col("q_vec")).as("q_vec"))
       .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
       .select(col("e.id").as("c_id"), col("q_id"), col("q_vec"))
     val scored = assigned.join(broadcast(probes), Seq("c_id"))

@@ -34,4 +34,53 @@ object ParquetLake {
   def readRange(spark: SparkSession, path: String, fromDate: String, toDate: String): DataFrame =
     spark.read.parquet(path)
       .where(col("p_date") >= fromDate && col("p_date") <= toDate)
+
+  case class CompactionStat(partition: String, filesBefore: Int, filesAfter: Int)
+
+  /** Small-file compaction — the lake maintenance op a streaming
+    * ingest needs at scale: every micro-batch appends a file per
+    * partition, and a 100 TB table read slows linearly with file
+    * count (driver listing, per-file open cost, tiny row groups).
+    * Rewrites each `p_date=` partition whose data files exceed
+    * ceil(bytes / targetFileBytes) into exactly that many files,
+    * optionally re-sorting (`sortCols`) to restore row-group min/max
+    * clustering. Partitions are independent — on a cluster this
+    * driver loop parallelizes trivially (one job per partition; jobs
+    * don't overlap files). The swap is write-aside + rename, the
+    * standard pre-table-format pattern: crash between delete and
+    * rename loses no data (compacted copy exists under
+    * `.compact_*`), though readers can briefly see both — a real
+    * deployment layers a table format's atomic commit on top.
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): Seq[CompactionStat] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
+    parts.toSeq.sortBy(_.getPath.getName).flatMap { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      if (files.length <= nOut) None
+      else {
+        val tmp = new Path(p.getPath.getParent, s".compact_${p.getPath.getName}")
+        fs.delete(tmp, true)
+        val part = spark.read.parquet(p.getPath.toString).repartition(nOut)
+        val sorted =
+          if (sortCols.isEmpty) part else part.sortWithinPartitions(sortCols.map(col): _*)
+        sorted.write.mode("overwrite").parquet(tmp.toString)
+        files.foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .foreach(f => fs.rename(f.getPath, new Path(p.getPath, f.getPath.getName)))
+        fs.delete(tmp, true)
+        Some(CompactionStat(p.getPath.getName, files.length, nOut))
+      }
+    }
+  }
 }

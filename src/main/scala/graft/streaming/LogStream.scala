@@ -132,6 +132,34 @@ object LogStream {
       !substring_index(input_file_name(), "/", -1).isin(existing: _*))
   }
 
+  /** Batch writer for [[startIdempotentSink]]: batch `id` lands in a
+    * `batch_id=id` partition under dynamic partition overwrite, so a
+    * REPLAYED batch (restart between sink write and offset commit —
+    * foreachBatch is at-least-once) overwrites its own previous
+    * output instead of appending duplicates. Exactly-once by
+    * idempotence, the standard foreachBatch pattern for sinks
+    * without transactional commit.
+    */
+  def idempotentBatchWriter(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, id: Long) => {
+      val spark = batch.sparkSession
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.withColumn("batch_id", lit(id))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    }
+
+  /** Start a stream into an idempotent batch-partitioned parquet
+    * sink (see [[idempotentBatchWriter]]).
+    */
+  def startIdempotentSink(
+      flat: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    flat.writeStream
+      .foreachBatch(idempotentBatchWriter(path))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)

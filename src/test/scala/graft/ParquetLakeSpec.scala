@@ -42,4 +42,37 @@ class ParquetLakeSpec extends SparkSpec {
   test("roundtrip preserves every row") {
     assert(spark.read.parquet(lakeDir).count() === events(spark, sf).count())
   }
+
+  test("lk2: compaction merges small files, preserves rows, keeps pruning") {
+    // fragmented lake: 8 append waves, several files per partition
+    val dir = Files.createTempDirectory("graft_lake_frag").toString
+    val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
+      .withColumn("p_date", to_date(timestamp_millis(col("ts_ms"))).cast("string"))
+    (0 until 8).foreach { w =>
+      ev.where(col("event_id") % 8 === w)
+        .repartition(3)
+        .write.mode("append").partitionBy("p_date").parquet(dir)
+    }
+    def fileCount(): Int = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date="))
+      .map(_.listFiles().count(f => f.getName.startsWith("part-"))).sum
+    val before = fileCount()
+    val beforeRows = spark.read.parquet(dir)
+      .select("event_id", "user_id", "event_type", "ts_ms", "p_date")
+    val beforeSet = beforeRows.collect().map(_.toString).sorted
+    val stats = graft.sources.ParquetLake.compact(
+      spark, dir, targetFileBytes = 1L << 30, sortCols = Seq("user_id"))
+    val after = fileCount()
+    assert(stats.nonEmpty)
+    assert(after < before, s"$before -> $after")
+    // every surviving partition is at the one-file target
+    stats.foreach(s => assert(s.filesAfter === 1, s.toString))
+    val afterSet = spark.read.parquet(dir)
+      .select("event_id", "user_id", "event_type", "ts_ms", "p_date")
+      .collect().map(_.toString).sorted
+    assert(afterSet.toSeq === beforeSet.toSeq)
+    // directory-level pruning still works on the compacted lake
+    val pruned = ParquetLake.readRange(spark, dir, "2024-01-10", "2024-01-12")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
 }

@@ -252,6 +252,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, t0, t0 + 600000L, 3L)))
   }
 
+  test("st12: foreachBatch idempotent sink deduplicates a replayed batch") {
+    val outDir = Files.createTempDirectory("graft_stream_idem").toString
+    val ckpt = Files.createTempDirectory("graft_stream_idem_ckpt").toString
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val q = LogStream.startIdempotentSink(LogStream.parse(stream), outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val expected = events(spark, sf).count()
+    assert(spark.read.parquet(outDir).count() === expected)
+    // simulate the at-least-once replay: re-run batch 0's write with
+    // the same batch id — dynamic partition overwrite makes it a
+    // no-op-equivalent, not an append
+    val batch0 = spark.read.parquet(outDir).where(col("batch_id") === 0)
+      .drop("batch_id")
+    LogStream.idempotentBatchWriter(outDir)(batch0, 0L)
+    assert(spark.read.parquet(outDir).count() === expected)
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
