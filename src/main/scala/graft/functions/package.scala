@@ -43,6 +43,16 @@ package object functions {
   def dot(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Deterministic hash shard in [0, k): md5-derived, so it is
+    * engine-replayable (DuckDB: `('0x'||substr(md5(id),1,7))::BIGINT
+    * % k`) and cluster-size invariant — unlike round-robin or rand(),
+    * the same row lands in the same shard on any cluster, any run.
+    */
+  def hashShard(id: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{conv, lit, md5, pmod, substring}
+    pmod(conv(substring(md5(id.cast("string")), 1, 7), 16, 10).cast("long"), lit(k.toLong))
+  }
+
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 

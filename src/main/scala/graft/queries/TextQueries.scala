@@ -287,6 +287,26 @@ object TextQueries {
         .orderBy("source", "bin")
     }),
 
+    // training-export sharding: deterministic md5 shard assignment
+    // (cluster-size invariant), per-shard manifest with an id
+    // checksum — the accounting side of ParquetLake.exportShards
+    "t16_export_shards" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.functions.hashShard(col("doc_id"), 8).as("shard"),
+          size(T.tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))).as("ids_md5"))
+        .orderBy("shard")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -296,6 +316,17 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t16_export_shards" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 8 AS shard,
+        |  len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::BIGINT AS n_toks
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     "t6_top_tokens" ->
       """WITH x AS (
         |  SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token

@@ -35,6 +35,26 @@ object ParquetLake {
     spark.read.parquet(path)
       .where(col("p_date") >= fromDate && col("p_date") <= toDate)
 
+  /** Deterministic hash-sharded training export: rows land in
+    * `shard=0..k-1` directories by md5(id) % k
+    * ([[graft.functions.hashShard]]) — cluster-size invariant, so an
+    * export is reproducible shard-for-shard on any cluster, and a
+    * downstream trainer can address shards stably. Returns the
+    * per-shard manifest read back FROM THE WRITTEN FILES (truthful
+    * accounting, not a parallel recompute); the t16_export_shards
+    * query is the oracle-checked twin of this manifest.
+    */
+  def exportShards(df: DataFrame, idCol: String, path: String, k: Int): DataFrame = {
+    df.withColumn("shard", graft.functions.hashShard(col(idCol), k))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+      // directory-inferred partition columns come back as int
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard")
+  }
+
   case class CompactionStat(partition: String, filesBefore: Int, filesAfter: Int)
 
   /** Small-file compaction — the lake maintenance op a streaming

@@ -43,6 +43,24 @@ class ParquetLakeSpec extends SparkSpec {
     assert(spark.read.parquet(lakeDir).count() === events(spark, sf).count())
   }
 
+  test("lk3: hash-sharded export is total, deterministic, and matches the t16 manifest") {
+    val dir = Files.createTempDirectory("graft_export").toString
+    val docs = graft.queries.table(spark, sf, "documents")
+    val manifest = ParquetLake.exportShards(docs, "doc_id", dir, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every row exported exactly once, shards within [0, 8)
+    assert(manifest.values.sum === docs.count())
+    assert(manifest.keySet.forall(s => s >= 0 && s < 8))
+    // manifest agrees with the oracle-checked t16 accounting query
+    val t16 = SparkEntry.queries("t16_export_shards")(spark, sf)
+      .select("shard", "n_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest === t16)
+    // shard dirs on disk
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("shard=")) === manifest.size)
+  }
+
   test("lk2: compaction merges small files, preserves rows, keeps pruning") {
     // fragmented lake: 8 append waves, several files per partition
     val dir = Files.createTempDirectory("graft_lake_frag").toString
