@@ -7,12 +7,12 @@ import graft.operators.{ConnectedComponents, Dedup}
 
 /** End-to-end composition: the operators chain into the standard
   * training-data pipeline — quality filter → exact dedup → near-dup
-  * clustering (keep one per cluster) → decontamination → split —
-  * with exact row accounting at every stage.
+  * clustering (keep one per cluster) → decontamination → split →
+  * sharded export — with exact row accounting at every stage.
   */
 class PipelineSpec extends SparkSpec {
 
-  test("quality → dedup → cluster → decontaminate → split, with exact accounting") {
+  test("quality → dedup → cluster → decontaminate → split → export, with exact accounting") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val total = docs.count()
     assert(total > 0)
@@ -69,5 +69,15 @@ class PipelineSpec extends SparkSpec {
     val again = split.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === counts)
+
+    // 6. sharded export of the train split: nothing lost, nothing
+    // duplicated, shard assignment reproducible
+    val exportDir = java.nio.file.Files.createTempDirectory("graft_pipe_export").toString
+    val train = split.where(col("split") === "train").drop("split")
+    val manifest = graft.sources.ParquetLake.exportShards(train, "doc_id", exportDir, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.values.sum === counts.getOrElse("train", 0L))
+    val reread = spark.read.parquet(exportDir)
+    assert(reread.select("doc_id").distinct().count() === counts.getOrElse("train", 0L))
   }
 }
