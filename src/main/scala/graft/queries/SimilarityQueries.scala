@@ -22,8 +22,10 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
-    // LSH-bucketed ANN: same shape, approximate — recall vs s1 is
-    // asserted in SimilaritySpec (no SQL oracle).
+    // LSH-bucketed ANN: same shape, approximate but fully
+    // deterministic (seeded hyperplanes) — replayed exactly by the
+    // DuckDB oracle below; recall vs s1 additionally asserted in
+    // SimilaritySpec.
     "s2_knn_lsh" -> ((s, dir) =>
       Similarity.lshKnn(
         table(s, dir, "embeddings"), "embedding", "vec_id",
@@ -39,7 +41,44 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")))
 
+  /** The 4 seeded hyperplanes of lshKnn's default config, inlined as
+    * a SQL list-of-lists literal. Double.toString is
+    * shortest-roundtrip, so DuckDB parses the exact same doubles; the
+    * bucket bit is the sign of dot(v, plane) (equal to the sign of
+    * cosine — norms are positive), making the whole s2 pipeline
+    * engine-replayable.
+    */
+  private val lshPlanesSql: String =
+    graft.operators.Similarity.hyperplanes(4, 64)
+      .map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   val oracleSql: Map[String, String] = Map(
+    "s2_knn_lsh" -> {
+      def bit(p: Int): String =
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), w AS (
+         |  SELECT $lshPlanesSql AS pl
+         |), b AS (
+         |  SELECT vec_id, v,
+         |  ${(0 until 4).map(bit).mkString(" + ")} AS bucket
+         |  FROM e, w
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 5
+         |), probes AS (
+         |  SELECT q_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS probe FROM q
+         |), sc AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+         |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS c
+         |  FROM b a JOIN probes ON a.bucket = probe WHERE a.vec_id <> q_id
+         |), r AS (
+         |  SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM sc
+         |)
+         |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
     "s1_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
