@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{CosineSimilarity, GunzipBytes, GzipBytes, SimHash64, UnzstdBytes, ZstdBytes}
+import graft.functions.{CosineSimilarity, DotProduct, GunzipBytes, GzipBytes, SimHash64, UnzstdBytes, ZstdBytes}
 
 /** Session bootstrap for the graft engine.
   *
@@ -24,6 +24,8 @@ object GraftSession {
       "graft_unzstd", es => UnzstdBytes(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", es => SimHash64(es.head), "built-in")
   }
