@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Dedup, Similarity}
+
+/** Degenerate-input behavior: every operator must return an empty
+  * (or well-defined) result on empty input, never throw — at 100 TB
+  * some partition, date, or source is always empty.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noVecs =
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+  test("dedup family on an empty corpus returns empty, not an error") {
+    assert(Dedup.exact(noDocs, "text", "doc_id").count() === 0)
+    assert(Dedup.minhashCandidates(noDocs, "text", "doc_id").count() === 0)
+    assert(Dedup.jaccardVerified(noDocs, "text", "doc_id", 0.5).count() === 0)
+    assert(Dedup.simhashPairs(noDocs, "text", "doc_id", 3).count() === 0)
+    assert(Dedup.embeddingPairs(noVecs, "embedding", "vec_id", 0.5).count() === 0)
+    assert(Dedup.embeddingPairsLsh(noVecs, "embedding", "vec_id", 0.5).count() === 0)
+  }
+
+  test("similarity search with an empty corpus or empty query set returns empty") {
+    val queries = Seq((0L, Array.fill(64)(1.0f)))
+      .toDF("q_id", "q_vec")
+    val noQueries = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_vec")
+    assert(Similarity.bruteKnn(noVecs, "embedding", "vec_id", queries, 5).count() === 0)
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(Similarity.bruteKnn(corpus, "embedding", "vec_id", noQueries, 5).count() === 0)
+    assert(Similarity.lshKnn(corpus, "embedding", "vec_id", noQueries, 5).count() === 0)
+    assert(Similarity.ivfKnn(corpus, "embedding", "vec_id", noQueries, 5).count() === 0)
+  }
+
+  test("connected components of an empty edge set is empty (both paths)") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.run(noEdges).count() === 0)
+    val st = ConnectedComponents.runWithStats(noEdges, smallCutoff = 0L)
+    assert(st.labels.count() === 0)
+  }
+
+  test("single-document corpus: no pairs anywhere, exact keeps the doc") {
+    val one = Seq((7L, "a single lonely document about nothing")).toDF("doc_id", "text")
+    assert(Dedup.exact(one, "text", "doc_id").count() === 1)
+    assert(Dedup.minhashCandidates(one, "text", "doc_id").count() === 0)
+    assert(Dedup.jaccardVerified(one, "text", "doc_id", 0.5).count() === 0)
+    val oneVec = Seq((7L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingPairs(oneVec, "embedding", "vec_id", 0.1).count() === 0)
+  }
+
+  test("documents with empty/whitespace text flow through fingerprints") {
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "\t\n"), (4L, "real text here"))
+      .toDF("doc_id", "text")
+    // all-whitespace normalizes to the same fingerprint; no throws
+    val fp = Dedup.exact(weird, "text", "doc_id").collect()
+    assert(fp.map(_.getAs[Long]("n_copies")).sum === 4L)
+    assert(Dedup.simhashFingerprints(weird, "text", "doc_id").count() === 4)
+  }
+}
