@@ -1,0 +1,34 @@
+package graft
+
+/** A library session serves many queries at once: concurrent
+  * execution must give the same answers as serial, with no
+  * cross-query interference from operator-internal materialization
+  * (localCheckpoint blocks, broadcast cleanup, AQE re-planning).
+  */
+class ConcurrencySpec extends SparkSpec {
+
+  private val names = Seq(
+    "d1_exact_dedup", "d2_minhash_lsh", "q1_pricing_summary",
+    "t2_quality", "m3_quantize", "s1_knn_brute")
+
+  test("six queries running concurrently match their serial results") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val serial = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq).toMap
+    val pool = Executors.newFixedThreadPool(names.size)
+    try {
+      val futures = names.map { n =>
+        n -> pool.submit(new Callable[Seq[String]] {
+          override def call(): Seq[String] =
+            SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
+        })
+      }
+      futures.foreach { case (n, f) =>
+        assert(f.get(300, TimeUnit.SECONDS) === serial(n), s"query $n diverged under concurrency")
+      }
+    } finally {
+      pool.shutdownNow()
+      ()
+    }
+  }
+}
