@@ -73,6 +73,20 @@ object AnalyticsQueries {
         .orderBy("l_suppkey", "rn")
     }),
 
+    // event-time RANGE frame: trailing 1h per user — peers (equal
+    // timestamps) enter the frame together, unlike a ROWS frame; the
+    // decimal cast keeps the sliding sum exact and engine-stable
+    "q25_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms")
+        .rangeBetween(-3600000L, 0L)
+      events(s, dir)
+        .select(
+          col("event_id"), col("user_id"), col("ts_ms"),
+          round(sum(dec(col("value"))).over(w), 4).cast("double").as("trailing_sum"),
+          count(lit(1)).over(w).as("n_in_hour"))
+        .orderBy("event_id")
+    }),
+
     "q5_cust_no_orders" -> ((s, dir) => {
       // customers with no orders since 2000 (NOT EXISTS → left_anti)
       val recent = table(s, dir, "orders")
@@ -446,6 +460,13 @@ object AnalyticsQueries {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, rn""".stripMargin,
+    "q25_trailing_window" ->
+      """SELECT event_id, user_id, ts_ms,
+        |round(sum(value::DECIMAL(18,4)) OVER w, 4)::DOUBLE AS trailing_sum,
+        |count(*) OVER w AS n_in_hour
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q5_cust_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
