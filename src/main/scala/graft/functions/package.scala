@@ -63,4 +63,5 @@ package object functions {
     ColumnShim.column(
       TopKByScore(ColumnShim.expression(score), ColumnShim.expression(id), k)
         .toAggregateExpression())
+
 }

@@ -406,6 +406,27 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // Theta sketches (Spark 4's built-in Datasketches suite):
+    // distinct-count SET OPERATIONS over pre-built per-group sketches
+    // — intersection ("users who did both") is the capability HLL
+    // union can't give. Below the sketch's 2^12 nominal entries the
+    // estimates are exact, so this row is oracle-checked against
+    // DuckDB's exact set algebra; at 100 TB the same query returns
+    // ~1/sqrt(k)-error estimates from a tiny reduce over sketch bytes.
+    "a4_theta_intersect" -> ((s, dir) => {
+      val sk = events(s, dir)
+        .groupBy("event_type")
+        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(eager = false) // consumed by both join sides
+      val a = sk.where(col("event_type") === "click").select(col("sk").as("sk_a"))
+      val b = sk.where(col("event_type") === "purchase").select(col("sk").as("sk_b"))
+      a.crossJoin(b).select(
+        theta_sketch_estimate(col("sk_a")).as("click_users"),
+        theta_sketch_estimate(col("sk_b")).as("purchase_users"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b"))).as("both_users"),
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b"))).as("either_users"))
+    }),
+
     // Datasketches HLL: per-group sketches UNIONED into a corpus-wide
     // estimate without rescanning — the mergeable-summary pattern that
     // makes 100 TB distinct-counting a map-side pass + tiny reduce.
@@ -460,6 +481,13 @@ object AnalyticsQueries {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, rn""".stripMargin,
+    "a4_theta_intersect" ->
+      """SELECT
+        |(SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS click_users,
+        |(SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS purchase_users,
+        |(SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click'
+        |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')) AS both_users,
+        |(SELECT count(DISTINCT user_id) FROM events WHERE event_type IN ('click', 'purchase')) AS either_users""".stripMargin,
     "q25_trailing_window" ->
       """SELECT event_id, user_id, ts_ms,
         |round(sum(value::DECIMAL(18,4)) OVER w, 4)::DOUBLE AS trailing_sum,

@@ -103,6 +103,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a4: theta set ops are exact below 2^lgK and ~5% above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // exact regime: two overlapping sets below nominal entries
+    val small = ((0L until 1000L).map(("a", _)) ++ (500L until 1500L).map(("b", _)))
+      .toDF("grp", "v")
+    val sk = small.groupBy("grp").agg(theta_sketch_agg(col("v")).as("sk"))
+    val a = sk.where(col("grp") === "a").select(col("sk").as("sk_a"))
+    val b = sk.where(col("grp") === "b").select(col("sk").as("sk_b"))
+    val r = a.crossJoin(b).select(
+      theta_sketch_estimate(col("sk_a")).as("ea"),
+      theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b"))).as("ei"),
+      theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b"))).as("eu"),
+      theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b"))).as("ed")).head()
+    assert(r.getLong(0) === 1000L)
+    assert(r.getLong(1) === 500L)
+    assert(r.getLong(2) === 1500L)
+    assert(r.getLong(3) === 500L) // a \ b
+    // estimation regime: 100k distinct through a 2^12 sketch
+    val big = (0L until 100000L).toDF("v").agg(theta_sketch_agg(col("v")).as("sk"))
+      .select(theta_sketch_estimate(col("sk"))).head().getLong(0)
+    assert(math.abs(big - 100000.0) / 100000.0 < 0.05, s"estimate $big")
+  }
+
   test("q16: grouping-set cells are mutually consistent") {
     val rows = AnalyticsQueries.queries("q16_grouping_sets")(spark, sf).collect()
     val byG = rows.groupBy(_.getAs[Long]("g"))
