@@ -1,11 +1,41 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Sums executor task metrics across all tasks; per-query deltas are
+    * taken by snapshotting before/after each run. Catches what wall
+    * time alone hides: a query that "runs" in 2s while spilling 4 GB
+    * is a scale problem the timer can't see (the round-3 d6 anomaly
+    * was invisible until cross-checked standalone).
+    */
+  private final class TaskMetricsListener extends SparkListener {
+    val memSpilled = new AtomicLong
+    val diskSpilled = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  private case class Run(
+      sec: Double, memSpilled: Long, diskSpilled: Long,
+      residentBefore: BlockHygiene.StorageSnapshot)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // hygiene: free dead checkpoint/cache blocks between queries (the
+    // round-3 pathology was block accumulation ACROSS queries — set
+    // SPARK_GRAFT_BENCH_HYGIENE=0 to reproduce it for diagnosis)
+    val hygiene = sys.env.getOrElse("SPARK_GRAFT_BENCH_HYGIENE", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,6 +45,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // JIT/codegen warmup: run the suite once at the smallest SF so the
     // measured pass reflects steady-state throughput, not first-call
@@ -28,13 +61,17 @@ object Bench {
       try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
+    if (hygiene) BlockHygiene.freeBlocks(spark)
+
     // two measured passes, min per query: scheduler/GC noise between
     // runs exceeds per-query cost at this scale, and the metric
     // claims steady-state throughput. A query that throws is tracked
     // separately — its (near-zero) time-to-failure must not make the
     // total look faster.
     val failed = scala.collection.mutable.TreeSet.empty[String]
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Double = {
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, name: String): Run = {
+      val resident = BlockHygiene.snapshot(spark)
+      val mem0 = listener.memSpilled.get(); val disk0 = listener.diskSpilled.get()
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the computed columns of map-only queries)
@@ -44,20 +81,40 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // free the query's own checkpoint blocks AFTER the timer: block
+      // release is session hygiene, not part of query cost, and on a
+      // long-lived session it runs at stage boundaries
+      if (hygiene) BlockHygiene.freeBlocks(spark)
+      Run(sec, listener.memSpilled.get() - mem0, listener.diskSpilled.get() - disk0, resident)
     }
     val pass1 = ordered.map { case (name, fn) => name -> once(fn, name) }
     val pass2 = ordered.map { case (name, fn) => name -> once(fn, name) }.toMap
-    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // total covers succeeding queries only; failures are listed, not
-    // averaged in as near-zero times
-    val total = results.collect { case (n, v) if !failed(n) => v }.sum
-    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""n_failed":${failed.size},"failed":$failedArr,""" +
-      s""""method":"min-of-2-passes-after-sf0.001-warmup","sf":"$sfDir"}""")
+    val results = pass1.map { case (name, r1) => (name, r1, pass2(name)) }
+
+    // full per-query detail (both passes + spill + resident-storage
+    // counters) goes to a FILE: the driver keeps only the tail of
+    // stdout, so the stdout line must stay compact (r3's 2.1 KB line
+    // was truncated into unparseability)
+    val detail = results.map { case (name, r1, r2) =>
+      def one(r: Run) =
+        s"""{"sec":${f"${r.sec}%.3f"},"mem_spilled":${r.memSpilled},"disk_spilled":${r.diskSpilled},""" +
+          s""""resident_rdds_before":${r.residentBefore.nRdds},"resident_mem_before":${r.residentBefore.memBytes},""" +
+          s""""resident_disk_before":${r.residentBefore.diskBytes}}"""
+      s"""  "$name": {"sec":${f"${math.min(r1.sec, r2.sec)}%.3f"},"ok":${!failed(name)},"pass1":${one(r1)},"pass2":${one(r2)}}"""
+    }.mkString(",\n")
+    val detailJson =
+      s"""{\n"method":"min-of-2-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",\n"queries":{\n$detail\n}}\n"""
+    val out = new java.io.PrintWriter("BENCH_DETAIL.json")
+    try out.write(detailJson) finally out.close()
+
+    val times = results.map { case (name, r1, r2) => name -> math.min(r1.sec, r2.sec) }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // total covers succeeding queries only; failures are listed in
+    // BENCH_DETAIL.json (ok:false), not averaged in as near-zero times
+    val total = times.collect { case (n, v) if !failed(n) => v }.sum
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,""" +
+      s""""n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

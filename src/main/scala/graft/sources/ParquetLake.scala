@@ -57,6 +57,25 @@ object ParquetLake {
 
   case class CompactionStat(partition: String, filesBefore: Int, filesAfter: Int)
 
+  /** Run independent per-partition maintenance jobs concurrently from
+    * the driver: Spark's scheduler interleaves their stages across
+    * executors, so a 1000-partition compaction isn't serialized on
+    * one job's tail tasks. Bounded pool — each job holds a parquet
+    * footer + plan on the driver.
+    */
+  private def inParallel[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    if (items.isEmpty) Seq.empty
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(parallelism, items.length)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
   /** Small-file compaction — the lake maintenance op a streaming
     * ingest needs at scale: every micro-batch appends a file per
     * partition, and a 100 TB table read slows linearly with file
@@ -64,43 +83,215 @@ object ParquetLake {
     * Rewrites each `p_date=` partition whose data files exceed
     * ceil(bytes / targetFileBytes) into exactly that many files,
     * optionally re-sorting (`sortCols`) to restore row-group min/max
-    * clustering. Partitions are independent — on a cluster this
-    * driver loop parallelizes trivially (one job per partition; jobs
-    * don't overlap files). The swap is write-aside + rename, the
-    * standard pre-table-format pattern: crash between delete and
-    * rename loses no data (compacted copy exists under
-    * `.compact_*`), though readers can briefly see both — a real
-    * deployment layers a table format's atomic commit on top.
+    * clustering. Partitions are independent and compacted as
+    * `parallelism` concurrent jobs. The swap is write-aside + rename:
+    * crash loses no data (the compacted copy exists under
+    * `.compact_*`), but DIRECTORY-LISTING readers racing the swap can
+    * briefly see a partial file set — [[compactManifested]] is the
+    * atomic-visibility variant (readers go through the committed
+    * manifest and never observe an in-flight swap).
     */
   def compact(
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
-      sortCols: Seq[String] = Nil): Seq[CompactionStat] = {
+      sortCols: Seq[String] = Nil,
+      parallelism: Int = 8): Seq[CompactionStat] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
-    parts.toSeq.sortBy(_.getPath.getName).flatMap { p =>
+      .toSeq.sortBy(_.getPath.getName)
+    inParallel(parts, parallelism) { p =>
       val files = fs.listStatus(p.getPath)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       if (files.length <= nOut) None
       else {
-        val tmp = new Path(p.getPath.getParent, s".compact_${p.getPath.getName}")
-        fs.delete(tmp, true)
-        val part = spark.read.parquet(p.getPath.toString).repartition(nOut)
-        val sorted =
-          if (sortCols.isEmpty) part else part.sortWithinPartitions(sortCols.map(col): _*)
-        sorted.write.mode("overwrite").parquet(tmp.toString)
+        rewritePartition(spark, fs, p.getPath, nOut, sortCols)
         files.foreach(f => fs.delete(f.getPath, false))
-        fs.listStatus(tmp)
-          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-          .foreach(f => fs.rename(f.getPath, new Path(p.getPath, f.getPath.getName)))
-        fs.delete(tmp, true)
         Some(CompactionStat(p.getPath.getName, files.length, nOut))
       }
+    }.flatten
+  }
+
+  /** Rewrite one partition directory's current content into `nOut`
+    * files placed ALONGSIDE the existing ones (unique part- names),
+    * returning the new files' lake-relative paths. Old files are not
+    * touched — visibility and deletion are the caller's commit
+    * protocol.
+    */
+  private def rewritePartition(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      partDir: org.apache.hadoop.fs.Path, nOut: Int,
+      sortCols: Seq[String]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(partDir.getParent, s".compact_${partDir.getName}")
+    fs.delete(tmp, true)
+    val part = spark.read.parquet(partDir.toString).repartition(nOut)
+    val sorted =
+      if (sortCols.isEmpty) part else part.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write.mode("overwrite").parquet(tmp.toString)
+    val moved = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map { f =>
+        fs.rename(f.getPath, new Path(partDir, f.getPath.getName))
+        s"${partDir.getName}/${f.getPath.getName}"
+      }.toSeq
+    fs.delete(tmp, true)
+    moved
+  }
+
+  // ---------------------------------------------------------------
+  // Manifest-gated visibility: a minimal table-format commit.
+  //
+  // The lake root holds versioned manifests `_graft_manifest.v<N>`,
+  // each a newline-separated list of lake-relative data-file paths.
+  // A manifest is committed by writing `._graft_manifest.tmp` and
+  // renaming it to the NEXT version — rename-to-fresh-name is atomic
+  // on HDFS/local (and on object stores with a metadata layer), so a
+  // version either exists completely or not at all; readers take
+  // max(N). Writers never modify a committed manifest or a referenced
+  // file, so any reader sees exactly one consistent snapshot —
+  // a compaction crash leaves either the old version (new files
+  // present but unreferenced — garbage, not duplicates) or the new
+  // one (old files unreferenced until [[vacuum]]).
+  // ---------------------------------------------------------------
+
+  private val ManifestPrefix = "_graft_manifest.v"
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  private def manifestVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .map(s => s.getPath.getName.stripPrefix(ManifestPrefix).toInt -> s.getPath)
+      .sortBy(_._1)
+
+  /** Lake-relative data-file paths of the current committed snapshot,
+    * or None if the lake has never committed a manifest.
+    */
+  def readManifest(spark: SparkSession, path: String): Option[Seq[String]] = {
+    val (fs, root) = fsFor(spark, path)
+    manifestVersions(fs, root).lastOption.map { case (_, p) =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
     }
+  }
+
+  /** Atomically commit a new snapshot listing `files` (lake-relative)
+    * as the next manifest version; returns that version.
+    */
+  def commitManifest(spark: SparkSession, path: String, files: Seq[String]): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val next = manifestVersions(fs, root).lastOption.map(_._1 + 1).getOrElse(1)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"._graft_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new org.apache.hadoop.fs.Path(root, s"$ManifestPrefix$next")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"manifest commit failed: $target")
+    next
+  }
+
+  /** Bootstrap a manifest from the lake's current directory listing
+    * (for lakes written by [[writePartitioned]] or a streaming sink).
+    */
+  def snapshotManifest(spark: SparkSession, path: String): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val files = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(f => s"${f.getPath.getParent.getName}/${f.getPath.getName}")
+      .toSeq
+    commitManifest(spark, path, files)
+  }
+
+  /** Read the lake through its committed manifest: exactly the
+    * snapshot's files, whatever concurrent maintenance is doing to
+    * the directories. `basePath` keeps the `p_date=`/`shard=`
+    * partition columns.
+    */
+  def readManifested(spark: SparkSession, path: String): DataFrame = {
+    val files = readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** [[compact]] with atomic visibility: compacted files are written
+    * alongside the old ones, a single new manifest version flips all
+    * partitions at once, and only then are the replaced files
+    * deleted. A reader holding any committed version sees a complete,
+    * duplicate-free snapshot at every instant; a crash at any step
+    * leaves the previous snapshot intact ([[vacuum]] reclaims
+    * orphans). Requires a committed manifest ([[snapshotManifest]] to
+    * bootstrap).
+    */
+  def compactManifested(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil,
+      parallelism: Int = 8): Seq[CompactionStat] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val current = readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val byPartition = current.groupBy(_.split('/').head)
+    val results = inParallel(byPartition.toSeq.sortBy(_._1), parallelism) {
+      case (part, files) =>
+        val partDir = new Path(root, part)
+        val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        if (files.length <= nOut) (part, files, files, None)
+        else {
+          val newFiles = rewritePartition(spark, fs, partDir, nOut, sortCols)
+          (part, files, newFiles, Some(CompactionStat(part, files.length, nOut)))
+        }
+    }
+    val stats = results.flatMap(_._4)
+    if (stats.nonEmpty) {
+      commitManifest(spark, path, results.flatMap(_._3))
+      // now invisible to every reader of the new version; reclaim
+      results.foreach { case (_, old, newFiles, changed) =>
+        if (changed.isDefined)
+          old.filterNot(newFiles.contains).foreach(f =>
+            fs.delete(new Path(root, f), false))
+      }
+    }
+    stats
+  }
+
+  /** Reclaim files no committed-current reader can see: data files
+    * not referenced by the latest manifest (orphans from a crashed
+    * compaction) and manifest versions older than the latest
+    * `keepVersions`. Returns the deleted lake-relative paths.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val versions = manifestVersions(fs, root)
+    val referenced = readManifest(spark, path).getOrElse(return Seq.empty).toSet
+    val dataOrphans = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(f => s"${f.getPath.getParent.getName}/${f.getPath.getName}")
+      .filterNot(referenced)
+      .toSeq
+    dataOrphans.foreach(f => fs.delete(new Path(root, f), false))
+    val oldManifests = versions.dropRight(keepVersions)
+    oldManifests.foreach { case (_, p) => fs.delete(p, false) }
+    dataOrphans ++ oldManifests.map(_._2.getName)
   }
 }

@@ -118,6 +118,12 @@ object LogStream {
     * and row-group-pruned, so this is tail *semantics*, not a seek —
     * acceptable because the snapshot is the backlog at attach, not
     * the stream's lifetime history.
+    *
+    * The exclusion is a stream-static anti-join (left-outer against
+    * the broadcast snapshot + null filter — Spark does not support
+    * stream-static left_anti directly), NOT an `isin` over file-name
+    * literals: a 100k-file backlog would otherwise become a
+    * 100k-literal In expression in every micro-batch's plan.
     */
   def attachLatest(
       spark: SparkSession, path: String, schema: StructType): DataFrame = {
@@ -128,8 +134,15 @@ object LogStream {
       else Seq.empty
     val base = spark.readStream.schema(schema).parquet(path)
     if (existing.isEmpty) base
-    else base.where(
-      !substring_index(input_file_name(), "/", -1).isin(existing: _*))
+    else {
+      import spark.implicits._
+      val snapshot = broadcast(existing.toDF("_snapshot_file"))
+      base
+        .withColumn("_file", substring_index(input_file_name(), "/", -1))
+        .join(snapshot, col("_file") === col("_snapshot_file"), "left_outer")
+        .where(col("_snapshot_file").isNull)
+        .drop("_file", "_snapshot_file")
+    }
   }
 
   /** Batch writer for [[startIdempotentSink]]: batch `id` lands in a
