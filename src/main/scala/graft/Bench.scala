@@ -29,7 +29,26 @@ object Bench {
       sec: Double, memSpilled: Long, diskSpilled: Long,
       residentBefore: BlockHygiene.StorageSnapshot)
 
+  /** The async listener bus may still be draining a query's tail task
+    * events when the query returns; wait for the spill counters to go
+    * quiet (bounded) so those events aren't attributed to the next
+    * query's delta.
+    */
+  private def quiesce(listener: TaskMetricsListener): Unit = {
+    var prev = (listener.memSpilled.get(), listener.diskSpilled.get())
+    var stable = 0
+    val deadline = System.nanoTime() + 500000000L
+    while (stable < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(20)
+      val cur = (listener.memSpilled.get(), listener.diskSpilled.get())
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    // f"" interpolators honor the default locale; a comma-decimal
+    // locale would emit invalid JSON ("0,488")
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // hygiene: free dead checkpoint/cache blocks between queries (the
@@ -42,13 +61,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // 67 queries × several codegen units each cycle the default
+      // 100-entry LRU, forcing Janino recompiles every pass; a
+      // many-query session wants them all resident
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
+    // optional subset filter for diagnosis: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // JIT/codegen warmup: run the suite once at the smallest SF so the
     // measured pass reflects steady-state throughput, not first-call
     // class-generation cost (on a real cluster the JVMs are long-lived).
@@ -82,6 +108,7 @@ object Bench {
           System.err.println(s"[bench] $name: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      quiesce(listener)
       // free the query's own checkpoint blocks AFTER the timer: block
       // release is session hygiene, not part of query cost, and on a
       // long-lived session it runs at stage boundaries

@@ -32,21 +32,30 @@ object BlockHygiene {
   }
 
   /** Drop every cached relation and persisted/checkpoint block in the
-    * session, then nudge the JVM so the ContextCleaner reaps
-    * unreferenced broadcast/shuffle state too. Returns the snapshot
-    * taken just before freeing (what was resident).
+    * session. Returns the snapshot taken just before freeing (what
+    * was resident).
+    *
+    * The direct unpersist is the whole fix for checkpoint-block
+    * accumulation (the round-3 d6 pathology): blocks are freed
+    * deterministically without waiting for the driver to GC the
+    * owning RDD objects. `gc = true` additionally forces a full GC so
+    * the ContextCleaner also reaps unreferenced broadcast/shuffle
+    * state — do NOT do that between benchmarked queries: a G1 full GC
+    * uncommits heap back to the OS, and the next allocation-heavy
+    * query pays the re-expansion (measured ~10-20% across the suite,
+    * worst on the dedup family).
     *
     * ONLY safe when no live DataFrame still depends on a checkpointed
     * relation: `localCheckpoint` truncates lineage, so a dropped
     * block cannot be recomputed. Call between independent queries or
     * pipeline stages, never mid-query.
     */
-  def freeBlocks(spark: SparkSession): StorageSnapshot = {
+  def freeBlocks(spark: SparkSession, gc: Boolean = false): StorageSnapshot = {
     val before = snapshot(spark)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = true))
-    System.gc()
+    if (gc) System.gc()
     before
   }
 }

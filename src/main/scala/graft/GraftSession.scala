@@ -43,5 +43,9 @@ object GraftSession {
       // bloom filter built from the build side's join keys, pruning
       // fact rows before the shuffle — free selectivity at 100 TB
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // a long-lived many-query session generates more codegen units
+      // than the default 100-entry class cache holds; evictions mean
+      // multi-second Janino recompiles of the biggest pipelines
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
 }

@@ -50,20 +50,42 @@ object KinesisSource {
     */
   val Format = "aws-kinesis"
 
+  /** Datetime pattern used for the AT_TIMESTAMP position value (UTC).
+    * Emitted alongside the value as
+    * `kinesis.startingPosition.timestampFormat` so the connector
+    * parses with the exact pattern we wrote, whatever its default.
+    */
+  val AtTimestampPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+
   /** Build the connector option map.
     *
     *  - no startTime → `kinesis.startingPosition = LATEST`
     *    (reference: kinesis_logs_reader.py:71-72)
-    *  - startTime    → `AT_TIMESTAMP` + epoch-millis timestamp option
+    *  - startTime    → `AT_TIMESTAMP` + the timestamp option
     *    (reference: kinesis_logs_reader.py:73-75)
+    *
+    * The AT_TIMESTAMP value is a formatted UTC datetime plus an
+    * explicit `timestampFormat` — the spelling the AWS Labs connector
+    * README documents; set `timestampAsEpochMillis=true` for
+    * connector builds that take epoch millis instead. CAVEAT: this
+    * sandbox has no AWS endpoint and no copy of the connector docs,
+    * so NEITHER spelling is verified against a pinned connector
+    * version here — before production use, check your connector's
+    * README and pick the matching form.
     */
-  def options(args: KinesisArgs): Map[String, String] = {
+  def options(args: KinesisArgs, timestampAsEpochMillis: Boolean = false): Map[String, String] = {
     require(args.streamName.nonEmpty, "streamName must be non-empty")
     val position = args.startTime match {
       case None => Map("kinesis.startingPosition" -> "LATEST")
-      case Some(t) => Map(
+      case Some(t) if timestampAsEpochMillis => Map(
         "kinesis.startingPosition" -> "AT_TIMESTAMP",
         "kinesis.startingPosition.timestamp" -> t.toEpochMilli.toString)
+      case Some(t) => Map(
+        "kinesis.startingPosition" -> "AT_TIMESTAMP",
+        "kinesis.startingPosition.timestamp" ->
+          java.time.format.DateTimeFormatter.ofPattern(AtTimestampPattern)
+            .withZone(java.time.ZoneOffset.UTC).format(t),
+        "kinesis.startingPosition.timestampFormat" -> AtTimestampPattern)
     }
     Map("kinesis.streamName" -> args.streamName) ++
       args.region.map("kinesis.region" -> _) ++

@@ -84,10 +84,18 @@ object ParquetLake {
     * ceil(bytes / targetFileBytes) into exactly that many files,
     * optionally re-sorting (`sortCols`) to restore row-group min/max
     * clustering. Partitions are independent and compacted as
-    * `parallelism` concurrent jobs. The swap is write-aside + rename:
-    * crash loses no data (the compacted copy exists under
-    * `.compact_*`), but DIRECTORY-LISTING readers racing the swap can
-    * briefly see a partial file set — [[compactManifested]] is the
+    * `parallelism` concurrent jobs.
+    *
+    * Swap protocol: write-aside to `.compact_*`, delete the original
+    * files, then rename the compacted files in. A crash mid-swap
+    * leaves a TRANSIENT GAP in the directory view (some rows
+    * invisible until the `.compact_*` copy is renamed in by hand) —
+    * never duplicates, and a re-run compacts only what the directory
+    * currently holds, so it cannot bake anything in twice. Only the
+    * files listed at the start are read and deleted: a file appended
+    * concurrently is left untouched for the next compaction cycle.
+    * DIRECTORY-LISTING readers racing the swap can briefly miss the
+    * in-flight partition's rows — [[compactManifested]] is the
     * atomic-visibility variant (readers go through the committed
     * manifest and never observe an in-flight swap).
     */
@@ -95,12 +103,13 @@ object ParquetLake {
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil,
-      parallelism: Int = 8): Seq[CompactionStat] = {
+      parallelism: Int = 8,
+      partitionPrefix: String = "p_date="): Seq[CompactionStat] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionPrefix))
       .toSeq.sortBy(_.getPath.getName)
     inParallel(parts, parallelism) { p =>
       val files = fs.listStatus(p.getPath)
@@ -109,38 +118,41 @@ object ParquetLake {
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       if (files.length <= nOut) None
       else {
-        rewritePartition(spark, fs, p.getPath, nOut, sortCols)
+        val aside = rewriteAside(spark, fs, p.getPath, files.map(_.getPath).toSeq, nOut, sortCols)
+        // delete-before-rename: duplicates are unrecoverable after a
+        // re-run, a gap is recoverable from the .compact_* copy
         files.foreach(f => fs.delete(f.getPath, false))
+        aside.foreach(f => fs.rename(f, new Path(p.getPath, f.getName)))
+        fs.delete(asideDir(p.getPath), true)
         Some(CompactionStat(p.getPath.getName, files.length, nOut))
       }
     }.flatten
   }
 
-  /** Rewrite one partition directory's current content into `nOut`
-    * files placed ALONGSIDE the existing ones (unique part- names),
-    * returning the new files' lake-relative paths. Old files are not
-    * touched — visibility and deletion are the caller's commit
-    * protocol.
+  private def asideDir(partDir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(partDir.getParent, s".compact_${partDir.getName}")
+
+  /** Rewrite EXACTLY `inputFiles` into `nOut` files under the
+    * partition's hidden `.compact_*` aside directory, returning the
+    * written files' paths (still in the aside dir — the swap/commit
+    * protocol is the caller's). Reading the explicit file list, not
+    * the directory, means orphans from a crashed prior run or files
+    * appended after listing are never folded into the rewrite.
     */
-  private def rewritePartition(
+  private def rewriteAside(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      partDir: org.apache.hadoop.fs.Path, nOut: Int,
-      sortCols: Seq[String]): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val tmp = new Path(partDir.getParent, s".compact_${partDir.getName}")
+      partDir: org.apache.hadoop.fs.Path,
+      inputFiles: Seq[org.apache.hadoop.fs.Path], nOut: Int,
+      sortCols: Seq[String]): Seq[org.apache.hadoop.fs.Path] = {
+    val tmp = asideDir(partDir)
     fs.delete(tmp, true)
-    val part = spark.read.parquet(partDir.toString).repartition(nOut)
+    val part = spark.read.parquet(inputFiles.map(_.toString): _*).repartition(nOut)
     val sorted =
       if (sortCols.isEmpty) part else part.sortWithinPartitions(sortCols.map(col): _*)
     sorted.write.mode("overwrite").parquet(tmp.toString)
-    val moved = fs.listStatus(tmp)
+    fs.listStatus(tmp)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map { f =>
-        fs.rename(f.getPath, new Path(partDir, f.getPath.getName))
-        s"${partDir.getName}/${f.getPath.getName}"
-      }.toSeq
-    fs.delete(tmp, true)
-    moved
+      .map(_.getPath).toSeq
   }
 
   // ---------------------------------------------------------------
@@ -175,12 +187,22 @@ object ParquetLake {
       .map(s => s.getPath.getName.stripPrefix(ManifestPrefix).toInt -> s.getPath)
       .sortBy(_._1)
 
-  /** Lake-relative data-file paths of the current committed snapshot,
-    * or None if the lake has never committed a manifest.
+  /** Lake-relative data-file paths of a committed snapshot — the
+    * latest by default, or an explicit `version` (which must be a
+    * still-retained manifest) — or None if the lake has never
+    * committed a manifest.
     */
-  def readManifest(spark: SparkSession, path: String): Option[Seq[String]] = {
+  def readManifest(
+      spark: SparkSession, path: String, version: Option[Int] = None): Option[Seq[String]] = {
     val (fs, root) = fsFor(spark, path)
-    manifestVersions(fs, root).lastOption.map { case (_, p) =>
+    val versions = manifestVersions(fs, root)
+    val chosen = version match {
+      case Some(v) => versions.find(_._1 == v).orElse(
+        throw new IllegalArgumentException(
+          s"manifest version $v not found under $path (have ${versions.map(_._1).mkString(",")})"))
+      case None => versions.lastOption
+    }
+    chosen.map { case (_, p) =>
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
       finally in.close()
@@ -217,25 +239,31 @@ object ParquetLake {
     commitManifest(spark, path, files)
   }
 
-  /** Read the lake through its committed manifest: exactly the
-    * snapshot's files, whatever concurrent maintenance is doing to
-    * the directories. `basePath` keeps the `p_date=`/`shard=`
-    * partition columns.
+  /** Read the lake through a committed manifest (latest by default):
+    * exactly the snapshot's files, whatever concurrent maintenance is
+    * doing to the directories. `basePath` keeps the
+    * `p_date=`/`shard=` partition columns.
     */
-  def readManifested(spark: SparkSession, path: String): DataFrame = {
-    val files = readManifest(spark, path).getOrElse(
+  def readManifested(
+      spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val files = readManifest(spark, path, version).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
     spark.read.option("basePath", path)
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 
-  /** [[compact]] with atomic visibility: compacted files are written
-    * alongside the old ones, a single new manifest version flips all
-    * partitions at once, and only then are the replaced files
-    * deleted. A reader holding any committed version sees a complete,
-    * duplicate-free snapshot at every instant; a crash at any step
-    * leaves the previous snapshot intact ([[vacuum]] reclaims
-    * orphans). Requires a committed manifest ([[snapshotManifest]] to
+  /** [[compact]] with atomic visibility: EXACTLY the manifest's files
+    * are rewritten (orphans from a crashed prior run, or files
+    * appended after the manifest commit, are never folded in), the
+    * compacted files land alongside the old ones, and a single new
+    * manifest version flips all partitions at once. Replaced files
+    * are NOT deleted here — they stay referenced by the older
+    * retained manifest versions, so a reader holding any RETAINED
+    * committed version sees a complete, duplicate-free snapshot at
+    * every instant; [[vacuum]] is the only deletion point. A crash at
+    * any step leaves the previous snapshot intact (half-written
+    * compaction output is unreferenced garbage, not duplicates).
+    * Requires a committed manifest ([[snapshotManifest]] to
     * bootstrap).
     */
   def compactManifested(
@@ -253,35 +281,42 @@ object ParquetLake {
         val partDir = new Path(root, part)
         val bytes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        if (files.length <= nOut) (part, files, files, None)
+        if (files.length <= nOut) (part, files, None)
         else {
-          val newFiles = rewritePartition(spark, fs, partDir, nOut, sortCols)
-          (part, files, newFiles, Some(CompactionStat(part, files.length, nOut)))
+          val aside = rewriteAside(
+            spark, fs, partDir, files.map(f => new Path(root, f)), nOut, sortCols)
+          val newFiles = aside.map { f =>
+            fs.rename(f, new Path(partDir, f.getName))
+            s"$part/${f.getName}"
+          }
+          fs.delete(asideDir(partDir), true)
+          (part, newFiles, Some(CompactionStat(part, files.length, nOut)))
         }
     }
-    val stats = results.flatMap(_._4)
-    if (stats.nonEmpty) {
-      commitManifest(spark, path, results.flatMap(_._3))
-      // now invisible to every reader of the new version; reclaim
-      results.foreach { case (_, old, newFiles, changed) =>
-        if (changed.isDefined)
-          old.filterNot(newFiles.contains).foreach(f =>
-            fs.delete(new Path(root, f), false))
-      }
-    }
+    val stats = results.flatMap(_._3)
+    if (stats.nonEmpty) commitManifest(spark, path, results.flatMap(_._2))
     stats
   }
 
-  /** Reclaim files no committed-current reader can see: data files
-    * not referenced by the latest manifest (orphans from a crashed
-    * compaction) and manifest versions older than the latest
-    * `keepVersions`. Returns the deleted lake-relative paths.
+  /** The only deletion point of the manifested lake. Drops manifest
+    * versions older than the latest `keepVersions`, then deletes data
+    * files referenced by NONE of the remaining manifests (replaced
+    * compaction inputs whose manifests have aged out, half-written
+    * output of a crashed compaction). Every retained version stays
+    * fully readable ([[readManifested]] with an explicit version).
+    * Returns the deleted lake-relative paths.
     */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
     val versions = manifestVersions(fs, root)
-    val referenced = readManifest(spark, path).getOrElse(return Seq.empty).toSet
+    if (versions.isEmpty) return Seq.empty
+    val oldManifests = versions.dropRight(math.max(1, keepVersions))
+    oldManifests.foreach { case (_, p) => fs.delete(p, false) }
+    val kept = versions.drop(oldManifests.length)
+    val referenced = kept.flatMap { case (v, _) =>
+      readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
+    }.toSet
     val dataOrphans = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .flatMap(d => fs.listStatus(d.getPath))
@@ -290,8 +325,6 @@ object ParquetLake {
       .filterNot(referenced)
       .toSeq
     dataOrphans.foreach(f => fs.delete(new Path(root, f), false))
-    val oldManifests = versions.dropRight(keepVersions)
-    oldManifests.foreach { case (_, p) => fs.delete(p, false) }
     dataOrphans ++ oldManifests.map(_._2.getName)
   }
 }

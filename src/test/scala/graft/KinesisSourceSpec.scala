@@ -47,15 +47,31 @@ class KinesisSourceSpec extends SparkSpec {
     assert(!opts.contains("kinesis.region"))
   }
 
-  test("k2: start_time maps to AT_TIMESTAMP with the epoch-millis timestamp") {
+  test("k2: start_time maps to AT_TIMESTAMP as formatted UTC + explicit format") {
     val t = Instant.parse("2024-01-01T12:30:00Z")
     val opts = KinesisSource.options(
       KinesisArgs("s", startTime = Some(t),
         region = Some("us-east-1"), endpointUrl = Some("https://example.test")))
     assert(opts("kinesis.startingPosition") === "AT_TIMESTAMP")
-    assert(opts("kinesis.startingPosition.timestamp") === t.toEpochMilli.toString)
+    assert(opts("kinesis.startingPosition.timestamp") === "2024-01-01T12:30:00.000Z")
+    assert(opts("kinesis.startingPosition.timestampFormat") === KinesisSource.AtTimestampPattern)
+    // the emitted value round-trips through the emitted pattern
+    val parsed = java.time.format.DateTimeFormatter
+      .ofPattern(opts("kinesis.startingPosition.timestampFormat"))
+      .withZone(java.time.ZoneOffset.UTC)
+      .parse(opts("kinesis.startingPosition.timestamp"), Instant.from(_))
+    assert(parsed === t)
     assert(opts("kinesis.region") === "us-east-1")
     assert(opts("kinesis.endpointUrl") === "https://example.test")
+  }
+
+  test("k2b: epoch-millis spelling for connector builds that take millis") {
+    val t = Instant.parse("2024-01-01T12:30:00Z")
+    val opts = KinesisSource.options(
+      KinesisArgs("s", startTime = Some(t)), timestampAsEpochMillis = true)
+    assert(opts("kinesis.startingPosition") === "AT_TIMESTAMP")
+    assert(opts("kinesis.startingPosition.timestamp") === t.toEpochMilli.toString)
+    assert(!opts.contains("kinesis.startingPosition.timestampFormat"))
   }
 
   test("k3: empty stream name is rejected") {

@@ -93,4 +93,89 @@ class ParquetLakeSpec extends SparkSpec {
     val pruned = ParquetLake.readRange(spark, dir, "2024-01-10", "2024-01-12")
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
+
+  /** Fragmented lake fixture: several files per p_date partition. */
+  private def fragmentedLake(): String = {
+    val dir = Files.createTempDirectory("graft_lake_man").toString
+    val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
+      .withColumn("p_date", to_date(timestamp_millis(col("ts_ms"))).cast("string"))
+    (0 until 4).foreach { w =>
+      ev.where(col("event_id") % 4 === w)
+        .repartition(2)
+        .write.mode("append").partitionBy("p_date").parquet(dir)
+    }
+    dir
+  }
+
+  private def plantOrphan(dir: String): java.io.File = {
+    // simulate a crashed prior compaction: a stray data file in a
+    // partition directory that no manifest references
+    val part = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date=")).head
+    val src = part.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(part, "part-orphan-from-crash.snappy.parquet")
+    Files.copy(src.toPath, orphan.toPath)
+    orphan
+  }
+
+  test("lk4: manifested compaction never folds orphans in, never duplicates rows") {
+    val dir = fragmentedLake()
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val beforeRows = ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val orphan = plantOrphan(dir)
+    val stats = ParquetLake.compactManifested(
+      spark, dir, targetFileBytes = 1L << 30, sortCols = Seq("user_id"))
+    assert(stats.nonEmpty)
+    // crash-recovery guarantee (the round-4 bug): the orphan must NOT
+    // have been folded into the rewrite — row set is unchanged
+    val afterRows = ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterRows === beforeRows)
+    // deferred deletes: the PREVIOUS committed version is still fully
+    // readable (compaction inputs stay on disk until vacuum)
+    val oldRows = ParquetLake.readManifested(spark, dir, Some(v1))
+      .collect().map(_.toString).sorted.toSeq
+    assert(oldRows === beforeRows)
+    assert(orphan.exists(), "compaction must not delete anything; vacuum does")
+  }
+
+  test("lk5: vacuum keeps every retained version readable, then reclaims aged-out files") {
+    val dir = fragmentedLake()
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val expected = ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val orphan = plantOrphan(dir)
+    ParquetLake.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    // keepVersions=2 retains v1+v2: v1's files must survive the vacuum
+    val deleted2 = ParquetLake.vacuum(spark, dir, keepVersions = 2)
+    assert(deleted2.contains(s"${orphan.getParentFile.getName}/${orphan.getName}"))
+    assert(!orphan.exists())
+    assert(ParquetLake.readManifested(spark, dir, Some(v1))
+      .collect().map(_.toString).sorted.toSeq === expected)
+    // keepVersions=1 ages v1 out: its files are reclaimed, v1 unreadable,
+    // latest still intact
+    val deleted1 = ParquetLake.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted1.nonEmpty)
+    intercept[IllegalArgumentException] {
+      ParquetLake.readManifested(spark, dir, Some(v1))
+    }
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === expected)
+  }
+
+  test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
+    val dir = fragmentedLake()
+    val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    // simulate a crashed run's leftover aside dir with a stray copy
+    val part = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date=")).head
+    val aside = new java.io.File(dir, s".compact_${part.getName}")
+    assert(aside.mkdir())
+    val src = part.listFiles().filter(_.getName.startsWith("part-")).head
+    Files.copy(src.toPath, new java.io.File(aside, src.getName).toPath)
+    val stats = ParquetLake.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(stats.nonEmpty)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === expected)
+  }
 }
