@@ -67,7 +67,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: unpersisting localCheckpointed RDDs between
+    // queries emits a WARN per RDD, and the driver keeps only the
+    // last ~2KB of merged output — noise there can push the final
+    // metric line out of the captured tail
+    spark.sparkContext.setLogLevel("ERROR")
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -135,13 +139,16 @@ object Bench {
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.write(detailJson) finally out.close()
 
+    // keep this line SHORT: the driver captures only the last ~2KB of
+    // output, and this line must survive intact inside that window
+    // (full precision lives in BENCH_DETAIL.json)
     val times = results.map { case (name, r1, r2) => name -> math.min(r1.sec, r2.sec) }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     // total covers succeeding queries only; failures are listed in
     // BENCH_DETAIL.json (ok:false), not averaged in as near-zero times
     val total = times.collect { case (n, v) if !failed(n) => v }.sum
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,""" +
-      s""""n_failed":${failed.size},"sf":"$sfDir"}""")
+      s""""n_failed":${failed.size},"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
 import graft.functions.{CosineSimilarity, DotProduct, GunzipBytes, GzipBytes, SimHash64, UnzstdBytes, ZstdBytes}
 
 /** Session bootstrap for the graft engine.
@@ -28,6 +31,18 @@ object GraftSession {
       "graft_dot", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", es => SimHash64(es.head), "built-in")
+    // Spark's runtime-filter bloom expressions are not in the public
+    // registry; expose them for explicit bloom prefilters (d9). The
+    // agg takes xxhash64(value) longs; might_contain probes the
+    // serialized sketch with the same hash.
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg", {
+        case Seq(child) => new BloomFilterAggregate(child)
+        case Seq(child, n) => new BloomFilterAggregate(child, n)
+        case es => new BloomFilterAggregate(es(0), es(1), es(2))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain", es => BloomFilterMightContain(es(0), es(1)), "built-in")
   }
 
   /** Local-mode builder with scale-appropriate defaults (AQE on,

@@ -304,4 +304,60 @@ object Dedup {
       .where(col("cos_sim") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** Benchmark decontamination with a bloom prefilter — the scale
+    * path of d6 for when the held-out set's shingle dictionary is too
+    * large to broadcast as strings. Same contract and EXACT same
+    * result as the broadcast-join form (bloom filters have no false
+    * negatives; the false positives are discarded by the exact join,
+    * which now only sees the bloom-surviving sliver of the corpus):
+    *
+    *   1. a distributed `graft_bloom_agg` (Spark's runtime-filter
+    *      BloomFilterAggregate over xxhash64 of each benchmark
+    *      shingle) reduces the benchmark set to ~1.2 bytes/item at
+    *      the default fpp — 100M shingles ≈ 170 MB of bits vs many GB
+    *      of strings;
+    *   2. every corpus shingle probes the bloom (`graft_might_contain`,
+    *      codegen'd) — a map-side filter, no shuffle, no join;
+    *   3. only surviving (doc, shingle) rows enter the exact
+    *      verification join that computes true overlap counts.
+    *
+    * The sketch is embedded as a binary literal here (simple, plan-
+    * visible); at the 100 TB grain the same dataflow ships it as a
+    * scalar subquery / runtime filter so the driver never holds it —
+    * Spark's InjectRuntimeFilter builds this exact shape for joins
+    * automatically, which is also why the expressions are reused
+    * rather than re-implemented.
+    */
+  def decontaminateBloom(
+      df: DataFrame, textCol: String, idCol: String,
+      isBench: org.apache.spark.sql.Column,
+      estimatedShingles: Long = 1L << 20): DataFrame = {
+    graft.GraftSession.ensureRegistered(df.sparkSession)
+    val docs = spread(df)
+    val bench = docs.where(isBench)
+      .select(explode(T.wordShingles(T.tokens(col(textCol)))).as("s"))
+      .distinct()
+    val corpus = docs.where(!isBench)
+      .select(col(idCol).as("doc_id"),
+        T.wordShingles(T.tokens(col(textCol))).as("ss"))
+      .localCheckpoint(eager = false)
+    val bloom = bench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("s")), lit(estimatedShingles)))
+      .head().getAs[Array[Byte]](0)
+    val candidates = corpus
+      .select(col("doc_id"), explode(col("ss")).as("s"))
+      // empty benchmark ⇒ null sketch ⇒ nothing can be contaminated
+      .where(if (bloom == null) lit(false)
+             else call_function("graft_might_contain", lit(bloom), xxhash64(col("s"))))
+    val shared = candidates
+      .join(bench, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"), size(col("ss")).cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("frac", round(col("n_shared").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
 }

@@ -87,6 +87,28 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // weekly retention cohorts: users grouped by first-activity week,
+    // distinct-user counts at each week offset k. Two shuffles, both
+    // on user_id (the cohort agg and the activity join co-partition),
+    // then one bounded agg on (cohort, k) — the classic product-
+    // analytics matrix, scale-safe because nothing is per-event wide.
+    "q26_retention_cohorts" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      val cohort = ev.groupBy("user_id")
+        .agg(min(col("act_week")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .withColumn("k",
+          (datediff(col("act_week"), col("cohort_week")) / 7).cast("long"))
+        .groupBy("cohort_week", "k")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(
+          unix_millis(col("cohort_week")).as("cohort_ms"),
+          col("k"), col("n_users"), col("n_events"))
+        .orderBy("cohort_ms", "k")
+    }),
+
     "q5_cust_no_orders" -> ((s, dir) => {
       // customers with no orders since 2000 (NOT EXISTS → left_anti)
       val recent = table(s, dir, "orders")
@@ -495,6 +517,21 @@ object AnalyticsQueries {
         |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // both engines truncate weeks to Monday 00:00; k is an exact
+    // day-difference of week-truncated stamps, so no boundary-counting
+    // semantics can diverge
+    "q26_retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS act_week FROM events
+        |), c AS (
+        |  SELECT user_id, min(act_week) AS cohort_week FROM a GROUP BY 1
+        |)
+        |SELECT epoch_ms(cohort_week) AS cohort_ms,
+        |date_diff('day', cohort_week::DATE, act_week::DATE) // 7 AS k,
+        |count(DISTINCT a.user_id) AS n_users,
+        |count(*) AS n_events
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q5_cust_no_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')

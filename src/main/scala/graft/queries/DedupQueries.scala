@@ -79,6 +79,18 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // d6's scale path: bloom-sketch prefilter instead of a broadcast
+    // string join — bit-identical output (no false negatives; false
+    // positives die in the exact verify join), so it shares d6's
+    // oracle. See Dedup.decontaminateBloom.
+    "d9_decontaminate_bloom" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Dedup.decontaminateBloom(
+        table(s, dir, "documents"), "text", "doc_id",
+        isBench = col("doc_id") % 97 === 0)
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: flag corpus docs sharing word-3-gram
     // shingles with a held-out "benchmark" slice (doc_id % 97 == 0).
     // The benchmark shingle set is tiny → broadcast hash join; the
@@ -166,6 +178,24 @@ object DedupQueries {
         |)
         |SELECT c.id, c.component, s2.cluster_size
         |FROM comp c JOIN sizes s2 USING (component) ORDER BY c.id""".stripMargin),
+    // d9 is the bloom-prefiltered twin of d6 and must produce the
+    // bit-identical relation — same oracle text
+    "d9_decontaminate_bloom" -> (shingleCtes +
+      """, bench AS (
+        |  SELECT DISTINCT unnest(s) AS sng FROM sh WHERE doc_id % 97 = 0
+        |), corpus AS (
+        |  SELECT doc_id, s, len(s)::BIGINT AS n_shingles FROM sh WHERE doc_id % 97 <> 0
+        |), ex2 AS (
+        |  SELECT doc_id, unnest(s) AS sng FROM corpus
+        |), shared AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM ex2 JOIN bench USING (sng) GROUP BY 1
+        |)
+        |SELECT c.doc_id, c.n_shingles,
+        |coalesce(sh2.n_shared, 0)::BIGINT AS n_shared,
+        |round(coalesce(sh2.n_shared, 0)::DOUBLE / c.n_shingles, 4) AS frac,
+        |(coalesce(sh2.n_shared, 0) > 0) AS contaminated
+        |FROM corpus c LEFT JOIN shared sh2 ON c.doc_id = sh2.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
     "d6_decontaminate" -> (shingleCtes +
       """, bench AS (
         |  SELECT DISTINCT unnest(s) AS sng FROM sh WHERE doc_id % 97 = 0

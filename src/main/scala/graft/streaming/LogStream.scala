@@ -64,6 +64,32 @@ object LogStream {
   def enrich(flat: DataFrame, dim: DataFrame, usingColumns: Seq[String]): DataFrame =
     flat.join(broadcast(dim), usingColumns, "left")
 
+  /** Cross-boundary exact dedup: drop stream records whose content
+    * fingerprint already exists in a historical corpus, then drop
+    * intra-stream repeats — the streaming face of d1 for continuous
+    * ingest into an already-deduplicated lake.
+    *
+    * The history side is a static relation keyed by fingerprint
+    * (md5 of normalized text, same key as [[graft.operators.Dedup.exact]]),
+    * joined stream-static as left-outer + null-filter (Spark does not
+    * plan stream-static left_anti). Only fingerprints cross the join —
+    * never document bodies. Intra-stream uniqueness uses
+    * `dropDuplicatesWithinWatermark`, so state stays bounded by the
+    * watermark horizon instead of growing with stream lifetime; the
+    * already-in-history case never enters that state store at all.
+    */
+  def dedupeAgainstHistory(
+      stream: DataFrame, historyFps: DataFrame, fpCol: String,
+      eventTimeCol: String, watermarkDelay: String): DataFrame = {
+    val hist = historyFps.select(col(fpCol).as("_hist_fp")).distinct()
+    stream
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .join(hist, col(fpCol) === col("_hist_fp"), "left_outer")
+      .where(col("_hist_fp").isNull)
+      .drop("_hist_fp")
+      .dropDuplicatesWithinWatermark(fpCol)
+  }
+
   /** Watermarked stream-stream interval join: left rows meet right
     * rows with the same `key` whose event time falls in
     * [left - lookback, left]. Both sides carry watermarks, so join

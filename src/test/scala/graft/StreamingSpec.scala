@@ -81,6 +81,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("st4_out").count() === expected)
   }
 
+  test("st13: streaming dedup against a historical corpus drops known + repeated docs") {
+    // corpus of 500 docs: the first half is already in history; the
+    // stream delivers every doc TWICE (at-least-once redelivery)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("doc_id") * 1000).as("event_time"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val history = docs.where(col("doc_id") < 250).select("fp")
+    val dir = Files.createTempDirectory("graft_stream_hist").toString
+    docs.write.mode("overwrite").parquet(dir)
+    docs.write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(docs.schema).parquet(dir)
+    val out = LogStream.dedupeAgainstHistory(stream, history, "fp", "event_time", "1 hour")
+    val q = out.writeStream.format("memory").queryName("st13_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("st13_out")
+    // exactly the unseen fingerprints, exactly once each (a doc ≥ 250
+    // whose text also appears below 250 counts as already-known)
+    val expected = docs.where(col("doc_id") >= 250)
+      .select("fp").distinct()
+      .join(history.distinct(), Seq("fp"), "left_anti").count()
+    assert(got.count() === expected)
+    assert(got.select("fp").distinct().count() === expected)
+    assert(got.join(history, "fp").count() === 0)
+  }
+
   test("st5: stream-static broadcast enrichment joins every record, no state") {
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
