@@ -335,9 +335,12 @@ object Dedup {
       estimatedShingles: Long = 1L << 20): DataFrame = {
     graft.GraftSession.ensureRegistered(df.sparkSession)
     val docs = spread(df)
+    // one shingling+distinct pass feeds BOTH the bloom build (eager
+    // head() below) and the exact verify join
     val bench = docs.where(isBench)
       .select(explode(T.wordShingles(T.tokens(col(textCol)))).as("s"))
       .distinct()
+      .localCheckpoint(eager = false)
     val corpus = docs.where(!isBench)
       .select(col(idCol).as("doc_id"),
         T.wordShingles(T.tokens(col(textCol))).as("ss"))

@@ -75,4 +75,25 @@ class PlanAssertSpec extends SparkSpec {
     val p = plan("d6_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("d9: bloom prefilter sits between the corpus explode and the verify join") {
+    val p = plan("d9_decontaminate_bloom")
+    assert(p.contains("might_contain"), p.take(3000))
+    // node order in the tree text (parents print before children):
+    // the verify join, then its bloom-Filter left child, then the
+    // shingle Generate under it — i.e. the join's stream side is
+    // already bloom-pruned before any shuffle or broadcast probe
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).toSeq
+    val iJoin = tree.indexWhere(_.contains("Join Inner"))
+    val iFilter = tree.indexWhere(l => l.contains("Filter"), iJoin + 1)
+    val iGenerate = tree.indexWhere(_.contains("Generate"), iFilter + 1)
+    assert(iJoin > 0 && iFilter > iJoin && iGenerate > iFilter,
+      tree.mkString("\n"))
+  }
+
+  test("q26: the cohort scan reads only (ts, user_id); no wide columns") {
+    val p = plan("q26_retention_cohorts")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p.take(3000))
+    assert(!p.contains("props"), p.take(3000))
+  }
 }
