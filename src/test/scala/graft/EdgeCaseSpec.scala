@@ -23,6 +23,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashPairs(noDocs, "text", "doc_id", 3).count() === 0)
     assert(Dedup.embeddingPairs(noVecs, "embedding", "vec_id", 0.5).count() === 0)
     assert(Dedup.embeddingPairsLsh(noVecs, "embedding", "vec_id", 0.5).count() === 0)
+    assert(Dedup.decontaminateBloom(noDocs, "text", "doc_id", lit(false)).count() === 0)
+  }
+
+  test("bloom decontamination with an empty benchmark flags nothing") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // no doc satisfies the benchmark predicate → null sketch → every
+    // corpus doc must come back uncontaminated, not throw
+    val out = Dedup.decontaminateBloom(docs, "text", "doc_id", lit(false)).collect()
+    assert(out.length === 2)
+    assert(out.forall(!_.getAs[Boolean]("contaminated")))
+    // and all-benchmark means an empty corpus result
+    assert(Dedup.decontaminateBloom(docs, "text", "doc_id", lit(true)).count() === 0)
   }
 
   test("similarity search with an empty corpus or empty query set returns empty") {
