@@ -56,6 +56,24 @@ package object functions {
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 
+  /** Morton (Z-order) interleave of two pre-quantized long columns —
+    * each in [0, 2^bits): bit i of `a` lands at position 2i+1, bit i
+    * of `b` at 2i. Rows sorted by the result cluster in BOTH
+    * dimensions at once (each contiguous run covers a ~2^(-levels)
+    * tile of either axis), which is what turns parquet row-group
+    * min/max stats into two-dimensional pruning. Pure built-in
+    * shift/mask tree, whole-stage-codegen'd; 2*bits ≤ 62.
+    */
+  def morton(a: Column, b: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
   /** Aggregate: top-k (score desc, id asc) pairs as a sorted
     * array<struct<score,id>> with map-side partial combination.
     */

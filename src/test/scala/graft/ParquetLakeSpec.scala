@@ -164,6 +164,55 @@ class ParquetLakeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === expected)
   }
 
+  test("lk7: morton interleave matches the bit model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
+    def model(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.morton(col("a"), col("b"), 12).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === pairs.map { case (a, b) => model(a, b, 12) })
+    // interleave is a bijection on the grid: sorted z-codes are distinct
+    assert(got.distinct.length === pairs.distinct.length)
+  }
+
+  test("lk8: z-order layout clusters BOTH dimensions; single-sort only clusters one") {
+    val ev = events(spark, sf).select(col("event_id"), col("user_id"), col("ts_ms"))
+    def spans(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("user_id"), max("user_id"), min("ts_ms"), max("ts_ms")).head()
+        (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+      }
+      val (gu, gt) = {
+        val r = ev.agg(min("user_id"), max("user_id"), min("ts_ms"), max("ts_ms")).head()
+        ((r.getLong(1) - r.getLong(0)).toDouble, (r.getLong(3) - r.getLong(2)).toDouble)
+      }
+      (perFile.map(_._1 / gu).sum / perFile.length,
+        perFile.map(_._2 / gt).sum / perFile.length)
+    }
+    val sortedDir = Files.createTempDirectory("graft_lake_tsorted").toString
+    ev.repartitionByRange(16, col("ts_ms")).sortWithinPartitions("ts_ms")
+      .write.mode("overwrite").parquet(sortedDir)
+    val zDir = Files.createTempDirectory("graft_lake_zorder").toString
+    ParquetLake.zorderWrite(ev, zDir, "user_id", "ts_ms", bits = 12, numFiles = 16)
+    val (suSorted, _) = spans(sortedDir)
+    val (suZ, stZ) = spans(zDir)
+    // time-sorted files span ~the full user range; z-ordered files
+    // cover a tile: materially narrower in BOTH dimensions
+    assert(suSorted > 0.8, s"time-sorted user span $suSorted")
+    assert(suZ < 0.6 * suSorted, s"zorder user span $suZ vs sorted $suSorted")
+    assert(stZ < 0.6, s"zorder ts span $stZ")
+    // layout change loses no rows
+    assert(spark.read.parquet(zDir).count() === ev.count())
+  }
+
   test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
     val dir = fragmentedLake()
     val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
