@@ -87,6 +87,28 @@ object ParquetLake {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Bucketed-table write: hash-cluster `df` on `bucketCol` into
+    * `numBuckets` file buckets (catalog-recorded, optionally sorted
+    * within each bucket). A bucketed scan reports its hash
+    * partitioning to the planner, so EVERY later join or aggregate
+    * keyed on the bucket column — across queries, across sessions —
+    * runs with zero Exchange: the 100 TB fact table is shuffled once
+    * at write time instead of once per query. The pre-repartition on
+    * the bucket column uses the same murmur3-pmod assignment as the
+    * bucket spec, so each task holds exactly one bucket's rows and
+    * writes exactly one file per bucket (no small-file explosion —
+    * the classic bucketed-write footgun of tasks × buckets files).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   case class CompactionStat(partition: String, filesBefore: Int, filesAfter: Int)
 
   /** Run independent per-partition maintenance jobs concurrently from

@@ -213,6 +213,68 @@ class ParquetLakeSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() === ev.count())
   }
 
+  test("lk9: co-bucketed tables join and aggregate with zero Exchange") {
+    val ev = events(spark, sf).select("event_id", "user_id", "ts_ms")
+    val users = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    ParquetLake.writeBucketed(ev, "lk9_fact", "user_id", 8, Seq("user_id"))
+    ParquetLake.writeBucketed(users, "lk9_dim", "user_id", 8, Seq("user_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.table("lk9_fact")
+      val dim = spark.table("lk9_dim")
+      val joined = fact.join(dim, "user_id")
+      val p = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      // same rows as the plain (shuffled) join of the source frames
+      val expected = ev.join(users, "user_id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(joined.collect().map(_.toString).sorted.toSeq === expected)
+      // an aggregate keyed on the bucket column is also shuffle-free
+      val agg = fact.groupBy("user_id").agg(sum("ts_ms").as("s"))
+      val pa = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!pa.contains("Exchange"), pa)
+      assert(agg.count() === users.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS lk9_fact")
+      spark.sql("DROP TABLE IF EXISTS lk9_dim")
+    }
+  }
+
+  test("lk10: a selective dim filter prunes fact partitions at runtime (DPP)") {
+    import spark.implicits._
+    val fact = spark.read.parquet(lakeDir)
+    // directory-inferred partition columns come back as DATE
+    val allDates = fact.select(col("p_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(allDates.length >= 3, s"need several partitions, got ${allDates.length}")
+    val kept = allDates.take(2).toSet
+    // a parquet-backed dim (a local Seq would constant-fold the
+    // filter into a LocalRelation and the pruning rule sees no
+    // selective predicate to subquery on)
+    val dimDir = Files.createTempDirectory("graft_lake_dim").toString
+    allDates.toSeq.toDF("d")
+      .withColumn("keep", when(col("d").isInCollection(kept), 1).otherwise(0))
+      .select(to_date(col("d")).as("p_date"), col("keep"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.where(col("keep") === 1), "p_date")
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).toLowerCase
+    // the fact scan's PartitionFilters must carry a runtime
+    // dynamicpruning subquery fed by the dim side — directory-level
+    // skipping decided at run time, not a full scan + post-filter
+    assert(p.contains("dynamicpruning"), p)
+    val expected = fact.where(col("p_date").cast("string").isInCollection(kept)).count()
+    assert(joined.count() === expected)
+    assert(expected > 0)
+  }
+
   test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
     val dir = fragmentedLake()
     val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
