@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-parquet lake layout: the write side of the engine.
@@ -71,20 +71,37 @@ object ParquetLake {
   def zorderWrite(
       df: DataFrame, path: String, c1: String, c2: String,
       bits: Int = 12, numFiles: Int = 0): Unit = {
-    val Row(lo1: Long, hi1: Long, lo2: Long, hi2: Long) = df.agg(
+    val stats = df.agg(
       min(col(c1).cast("long")), max(col(c1).cast("long")),
       min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
-    val n = 1L << bits
-    def q(c: String, lo: Long, hi: Long) =
-      if (hi == lo) lit(0L)
-      else expr(s"width_bucket(cast($c as long), ${lo}L, ${hi + 1}L, $n)") - 1
-    val z = df.withColumn("_z",
-      graft.functions.morton(q(c1, lo1, hi1), q(c2, lo2, hi2), bits))
-    val parts = if (numFiles > 0) numFiles else df.sparkSession.sparkContext.defaultParallelism
-    z.repartitionByRange(parts, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(path)
+    def bound(i: Int): Option[Long] = if (stats.isNullAt(i)) None else Some(stats.getLong(i))
+    (bound(0), bound(1), bound(2), bound(3)) match {
+      case (Some(lo1), Some(hi1), Some(lo2), Some(hi2)) =>
+        // width_bucket's upper bound is hi+1 so the max value lands in
+        // the top bucket, not the overflow bucket — which makes
+        // hi == Long.MaxValue unrepresentable; reject it explicitly
+        // rather than wrap around to a negative bound
+        Seq(c1 -> hi1, c2 -> hi2).foreach { case (c, hi) =>
+          if (hi == Long.MaxValue) throw new IllegalArgumentException(
+            s"zorderWrite: max($c) == Long.MaxValue cannot be bucketed; pre-rank the column")
+        }
+        val n = 1L << bits
+        def q(c: String, lo: Long, hi: Long) =
+          if (hi == lo) lit(0L)
+          else expr(s"width_bucket(cast($c as long), ${lo}L, ${hi + 1}L, $n)") - 1
+        val z = df.withColumn("_z",
+          graft.functions.morton(q(c1, lo1, hi1), q(c2, lo2, hi2), bits))
+        val parts = if (numFiles > 0) numFiles else df.sparkSession.sparkContext.defaultParallelism
+        z.repartitionByRange(parts, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+          .write.mode("overwrite").parquet(path)
+      case _ =>
+        // empty input, or a cluster column that is entirely null:
+        // there is nothing to cluster — write the data (and schema)
+        // as-is instead of dying on the degenerate stats row
+        df.write.mode("overwrite").parquet(path)
+    }
   }
 
   /** Bucketed-table write: hash-cluster `df` on `bucketCol` into
@@ -140,13 +157,19 @@ object ParquetLake {
     * clustering. Partitions are independent and compacted as
     * `parallelism` concurrent jobs.
     *
-    * Swap protocol: write-aside to `.compact_*`, delete the original
-    * files, then rename the compacted files in. A crash mid-swap
-    * leaves a TRANSIENT GAP in the directory view (some rows
-    * invisible until the `.compact_*` copy is renamed in by hand) —
-    * never duplicates, and a re-run compacts only what the directory
-    * currently holds, so it cannot bake anything in twice. Only the
-    * files listed at the start are read and deleted: a file appended
+    * Swap protocol (crash-safe, resumable): write-aside to
+    * `.compact_*`, atomically write a COMMIT marker listing exactly
+    * the original files the aside copy replaces, delete those
+    * originals, rename the compacted files in, then drop the marker.
+    * The marker is the commit point: before it exists the aside dir
+    * is discardable garbage (the partition is untouched); after it
+    * exists the swap is FINISHED — not redone — by the next run's
+    * [[recoverInterrupted]], which deletes any listed original still
+    * present and renames the remaining aside files in. So a crash at
+    * any step loses nothing and duplicates nothing: the transient
+    * directory-view gap between delete and rename heals on the next
+    * compact() (or a direct recoverInterrupted call). Only the files
+    * listed at the start are read and deleted: a file appended
     * concurrently is left untouched for the next compaction cycle.
     * DIRECTORY-LISTING readers racing the swap can briefly miss the
     * in-flight partition's rows — [[compactManifested]] is the
@@ -166,6 +189,7 @@ object ParquetLake {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionPrefix))
       .toSeq.sortBy(_.getPath.getName)
     inParallel(parts, parallelism) { p =>
+      recoverInterrupted(fs, p.getPath)
       val files = fs.listStatus(p.getPath)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       val bytes = files.map(_.getLen).sum
@@ -173,11 +197,15 @@ object ParquetLake {
       if (files.length <= nOut) None
       else {
         val aside = rewriteAside(spark, fs, p.getPath, files.map(_.getPath).toSeq, nOut, sortCols)
-        // delete-before-rename: duplicates are unrecoverable after a
-        // re-run, a gap is recoverable from the .compact_* copy
+        // commit point: from here the swap must complete (this run or
+        // the next one's recovery) — the aside copy is the only place
+        // the listed originals' rows live once deletes start
+        writeAtomic(fs, commitMarker(p.getPath),
+          files.map(_.getPath.getName).sorted.mkString("", "\n", "\n"))
         files.foreach(f => fs.delete(f.getPath, false))
-        aside.foreach(f => fs.rename(f, new Path(p.getPath, f.getName)))
+        aside.foreach(f => renameOrThrow(fs, f, new Path(p.getPath, f.getName)))
         fs.delete(asideDir(p.getPath), true)
+        fs.delete(commitMarker(p.getPath), false)
         Some(CompactionStat(p.getPath.getName, files.length, nOut))
       }
     }.flatten
@@ -185,6 +213,68 @@ object ParquetLake {
 
   private def asideDir(partDir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(partDir.getParent, s".compact_${partDir.getName}")
+
+  private def commitMarker(partDir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(partDir.getParent, s".compact_${partDir.getName}.COMMIT")
+
+  private def renameOrThrow(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** Write `content` to `target` atomically: create a sibling `.tmp`
+    * and rename it in, so a reader (or crash-recovery) never sees a
+    * half-written file.
+    */
+  private def writeAtomic(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, s"${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(target, false)
+    renameOrThrow(fs, tmp, target)
+  }
+
+  /** Finish or discard an interrupted [[compact]] swap of `partDir`.
+    * With a COMMIT marker present, the aside dir holds a complete
+    * compacted copy of the marker's listed originals, so the swap is
+    * completed: listed originals still present are deleted, aside
+    * files renamed in (both idempotent — safe if recovery itself
+    * crashes). Without a marker, a leftover aside dir is a
+    * pre-commit-point partial rewrite: the partition is untouched and
+    * the aside is discarded. Returns true if an interrupted swap was
+    * completed.
+    */
+  def recoverInterrupted(
+      fs: org.apache.hadoop.fs.FileSystem,
+      partDir: org.apache.hadoop.fs.Path): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val marker = commitMarker(partDir)
+    val aside = asideDir(partDir)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val listed =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      listed.foreach { name =>
+        val f = new Path(partDir, name)
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+      if (fs.exists(aside))
+        fs.listStatus(aside)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .foreach(f => renameOrThrow(fs, f.getPath, new Path(partDir, f.getPath.getName)))
+      fs.delete(aside, true)
+      fs.delete(marker, false)
+      true
+    } else {
+      if (fs.exists(aside)) fs.delete(aside, true)
+      false
+    }
+  }
 
   /** Rewrite EXACTLY `inputFiles` into `nOut` files under the
     * partition's hidden `.compact_*` aside directory, returning the
@@ -199,6 +289,10 @@ object ParquetLake {
       inputFiles: Seq[org.apache.hadoop.fs.Path], nOut: Int,
       sortCols: Seq[String]): Seq[org.apache.hadoop.fs.Path] = {
     val tmp = asideDir(partDir)
+    if (fs.exists(commitMarker(partDir)))
+      throw new IllegalStateException(
+        s"interrupted compact() swap committed for $partDir — the aside dir holds the only " +
+        s"copy of deleted originals; run compact()/recoverInterrupted on this lake first")
     fs.delete(tmp, true)
     val part = spark.read.parquet(inputFiles.map(_.toString): _*).repartition(nOut)
     val sorted =
@@ -358,9 +452,21 @@ object ParquetLake {
     * compaction inputs whose manifests have aged out, half-written
     * output of a crashed compaction). Every retained version stays
     * fully readable ([[readManifested]] with an explicit version).
-    * Returns the deleted lake-relative paths.
+    *
+    * Unreferenced files younger than `retainMillis` are SKIPPED
+    * (Delta-style vacuum retention): a concurrent
+    * [[compactManifested]] renames its output into the partition dirs
+    * before committing the new manifest, and a concurrent append sits
+    * unreferenced until [[snapshotManifest]] runs — deleting either
+    * in that window would make the next committed manifest reference
+    * missing files. The default 7-day horizon is far longer than any
+    * in-flight write; pass `retainMillis = 0` only when no writer or
+    * compaction can be running. Returns the deleted lake-relative
+    * paths.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Seq[String] = {
+  def vacuum(
+      spark: SparkSession, path: String, keepVersions: Int = 2,
+      retainMillis: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
     val versions = manifestVersions(fs, root)
@@ -371,10 +477,12 @@ object ParquetLake {
     val referenced = kept.flatMap { case (v, _) =>
       readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
     }.toSet
+    val horizon = System.currentTimeMillis() - math.max(0L, retainMillis)
     val dataOrphans = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .filter(_.getModificationTime <= horizon)
       .map(f => s"${f.getPath.getParent.getName}/${f.getPath.getName}")
       .filterNot(referenced)
       .toSeq
