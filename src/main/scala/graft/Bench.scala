@@ -72,6 +72,15 @@ object Bench {
     // last ~2KB of merged output — noise there can push the final
     // metric line out of the captured tail
     spark.sparkContext.setLogLevel("ERROR")
+    // limit-shaped queries (q3/r7) end their job as soon as enough rows
+    // arrive and cancel the rest; the cancelled stragglers' task-end
+    // events then reference weakly-held accumulators the finished query
+    // already dropped, and DAGScheduler ERROR-logs each one ("attempted
+    // to access non-existent accumulator", ~500/run — benign, known
+    // straggler race). Silence that logger so the stack traces can't
+    // land inside the driver's ~2KB captured stdout tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.FATAL)
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 

@@ -175,6 +175,13 @@ object ParquetLake {
     * in-flight partition's rows — [[compactManifested]] is the
     * atomic-visibility variant (readers go through the committed
     * manifest and never observe an in-flight swap).
+    *
+    * SINGLE WRITER per lake: two concurrent compact() runs are not
+    * supported — each run's recovery pass treats the other's
+    * pre-commit aside dir as crashed-run garbage and deletes it
+    * mid-rewrite. Serialize maintenance externally (one scheduler, or
+    * a lake-level lock/lease file); concurrent READERS and appenders
+    * of other files are fine, per the paragraph above.
     */
   def compact(
       spark: SparkSession, path: String,
@@ -225,7 +232,13 @@ object ParquetLake {
 
   /** Write `content` to `target` atomically: create a sibling `.tmp`
     * and rename it in, so a reader (or crash-recovery) never sees a
-    * half-written file.
+    * half-written file. The delete of a pre-existing target is
+    * defensive only (markers never pre-exist in normal operation).
+    * Atomicity holds where rename is atomic — HDFS and local; on an
+    * object store whose rename is copy+delete (S3A without a metadata
+    * layer) a concurrent reader or crash can observe a missing or
+    * half-copied marker, the same caveat the manifest-commit block
+    * documents for itself.
     */
   private def writeAtomic(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -246,7 +259,10 @@ object ParquetLake {
     * crashes). Without a marker, a leftover aside dir is a
     * pre-commit-point partial rewrite: the partition is untouched and
     * the aside is discarded. Returns true if an interrupted swap was
-    * completed.
+    * completed. Assumes the lake's SINGLE-WRITER contract (see
+    * [[compact]]): the no-marker branch cannot distinguish a crashed
+    * run's garbage from another LIVE run's in-flight rewrite, so it
+    * must never race a concurrent compaction of the same lake.
     */
   def recoverInterrupted(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -321,6 +337,17 @@ object ParquetLake {
 
   private val ManifestPrefix = "_graft_manifest.v"
 
+  /** A `col=value` partition directory. The dot-prefix exclusion is
+    * load-bearing: [[compact]]'s aside dirs are named
+    * `.compact_p_date=...` — they CONTAIN '=', and treating one as a
+    * partition dir would bake an in-flight (or crashed) rewrite's
+    * files into a committed manifest, or let [[vacuum]] delete aside
+    * files that, after a post-COMMIT crash, are the only copy of the
+    * deleted originals' rows.
+    */
+  private def isPartitionDir(s: org.apache.hadoop.fs.FileStatus): Boolean =
+    s.isDirectory && s.getPath.getName.contains("=") && !s.getPath.getName.startsWith(".")
+
   private def fsFor(spark: SparkSession, path: String) = {
     val root = new org.apache.hadoop.fs.Path(path)
     (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
@@ -379,7 +406,7 @@ object ParquetLake {
   def snapshotManifest(spark: SparkSession, path: String): Int = {
     val (fs, root) = fsFor(spark, path)
     val files = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(isPartitionDir)
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .map(f => s"${f.getPath.getParent.getName}/${f.getPath.getName}")
@@ -433,8 +460,11 @@ object ParquetLake {
         else {
           val aside = rewriteAside(
             spark, fs, partDir, files.map(f => new Path(root, f)), nOut, sortCols)
+          // renameOrThrow, not bare rename: a silently-failed rename
+          // would still be committed into the manifest, and the next
+          // readManifested of that snapshot would fail on a missing file
           val newFiles = aside.map { f =>
-            fs.rename(f, new Path(partDir, f.getName))
+            renameOrThrow(fs, f, new Path(partDir, f.getName))
             s"$part/${f.getName}"
           }
           fs.delete(asideDir(partDir), true)
@@ -469,6 +499,19 @@ object ParquetLake {
       retainMillis: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
+    // an interrupted plain-compact swap (COMMIT marker present) means
+    // an aside dir holds the ONLY copy of already-deleted originals —
+    // no deletion sweep may run until that swap is finished
+    if (fs.exists(root)) {
+      val pending = fs.listStatus(root).filter(s =>
+        s.isFile && s.getPath.getName.startsWith(".compact_") &&
+          s.getPath.getName.endsWith(".COMMIT"))
+      if (pending.nonEmpty)
+        throw new IllegalStateException(
+          s"vacuum refused: interrupted compact() swap(s) pending under $path " +
+            s"(${pending.map(_.getPath.getName).mkString(", ")}); " +
+            "run compact() or recoverInterrupted first")
+    }
     val versions = manifestVersions(fs, root)
     if (versions.isEmpty) return Seq.empty
     val oldManifests = versions.dropRight(math.max(1, keepVersions))
@@ -479,7 +522,7 @@ object ParquetLake {
     }.toSet
     val horizon = System.currentTimeMillis() - math.max(0L, retainMillis)
     val dataOrphans = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(isPartitionDir)
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .filter(_.getModificationTime <= horizon)

@@ -148,14 +148,16 @@ class ParquetLakeSpec extends SparkSpec {
     val orphan = plantOrphan(dir)
     ParquetLake.compactManifested(spark, dir, targetFileBytes = 1L << 30)
     // keepVersions=2 retains v1+v2: v1's files must survive the vacuum
-    val deleted2 = ParquetLake.vacuum(spark, dir, keepVersions = 2)
+    // (retainMillis=0: no writer is running, and the default 7-day
+    // horizon would skip this test's seconds-old files entirely)
+    val deleted2 = ParquetLake.vacuum(spark, dir, keepVersions = 2, retainMillis = 0)
     assert(deleted2.contains(s"${orphan.getParentFile.getName}/${orphan.getName}"))
     assert(!orphan.exists())
     assert(ParquetLake.readManifested(spark, dir, Some(v1))
       .collect().map(_.toString).sorted.toSeq === expected)
     // keepVersions=1 ages v1 out: its files are reclaimed, v1 unreadable,
     // latest still intact
-    val deleted1 = ParquetLake.vacuum(spark, dir, keepVersions = 1)
+    val deleted1 = ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
     assert(deleted1.nonEmpty)
     intercept[IllegalArgumentException] {
       ParquetLake.readManifested(spark, dir, Some(v1))
@@ -273,6 +275,53 @@ class ParquetLakeSpec extends SparkSpec {
     val expected = fact.where(col("p_date").cast("string").isInCollection(kept)).count()
     assert(joined.count() === expected)
     assert(expected > 0)
+  }
+
+  test("lk11: snapshotManifest ignores .compact_ aside dirs (they contain '=' too)") {
+    val dir = fragmentedLake()
+    val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    // leftover aside dir from a crashed compact(): its name embeds the
+    // partition dir name, so it also contains '=' — the manifest
+    // bootstrap must not bake its files in as a phantom partition
+    val part = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date=")).head
+    val aside = new java.io.File(dir, s".compact_${part.getName}")
+    assert(aside.mkdir())
+    val src = part.listFiles().filter(_.getName.startsWith("part-")).head
+    Files.copy(src.toPath, new java.io.File(aside, src.getName).toPath)
+    ParquetLake.snapshotManifest(spark, dir)
+    val manifest = ParquetLake.readManifest(spark, dir).get
+    assert(manifest.nonEmpty)
+    assert(!manifest.exists(_.startsWith(".compact_")), manifest.mkString("\n"))
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === expected)
+  }
+
+  test("lk12: vacuum never touches aside files and refuses while a swap is pending") {
+    val dir = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, dir)
+    ParquetLake.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    val part = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date=")).head
+    // aside dir with an old-mtime file: pre-fix, vacuum's '='-filter
+    // listed it as a partition dir and reclaimed the "orphan" — which
+    // after a post-COMMIT crash is the sole copy of deleted rows
+    val aside = new java.io.File(dir, s".compact_${part.getName}")
+    assert(aside.mkdir())
+    val src = part.listFiles().filter(_.getName.startsWith("part-")).head
+    val asideFile = new java.io.File(aside, src.getName)
+    Files.copy(src.toPath, asideFile.toPath)
+    assert(asideFile.setLastModified(1000L))
+    val deleted = ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(asideFile.exists(), "vacuum must never delete aside files")
+    assert(!deleted.exists(_.startsWith(".compact_")), deleted.mkString("\n"))
+    // with the swap COMMITTED (marker present) vacuum must refuse outright
+    val marker = new java.io.File(dir, s".compact_${part.getName}.COMMIT")
+    Files.write(marker.toPath, s"${src.getName}\n".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    }
+    assert(marker.delete())
   }
 
   test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
