@@ -472,9 +472,172 @@ object AnalyticsQueries {
           hll_sketch_estimate(col("sku")).as("approx_users"))
         .crossJoin(overallExact)
       perType.unionByName(overall).orderBy("event_type")
+    }),
+
+    // Datasketches frequent-items (Spark 4's approx_top_k suite):
+    // heavy hitters with the accumulate → combine → estimate merge
+    // shape — per-group sketches built map-side, combined in a tiny
+    // reduce, never a full token-count shuffle. Below the sketch's
+    // tracked capacity the counts are exact (no evictions), so this
+    // row is oracle-checked against DuckDB's exact counts, the a4
+    // posture; at 100 TB vocabularies the same query returns
+    // guaranteed-error-bounded counts from bounded memory per group.
+    // The estimate asks for MORE items than the vocabulary and the
+    // deterministic (n desc, token) rank cut happens outside the
+    // sketch, so the result never depends on sketch-internal tie
+    // order. The final window is single-partition by construction:
+    // it ranks the ≤64-row estimate output, not data.
+    "a5_approx_top_k" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val toks = table(s, dir, "documents")
+        .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+      val perLang = toks.groupBy("lang")
+        .agg(expr("approx_top_k_accumulate(token, 4096)").as("sk"))
+      val est = perLang
+        .agg(expr("approx_top_k_combine(sk, 4096)").as("sk"))
+        .select(explode(expr("approx_top_k_estimate(sk, 64)")).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("n"))
+      val w = Window.orderBy(col("n").desc, col("token"))
+      est.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .select("rn", "token", "n")
+        .orderBy("rn")
+    }),
+
+    // TPC-H Q8 shape: one nation's revenue share within its region
+    // per order year. The supplier→nation→region lookup broadcasts
+    // (dim-sized), so numerator and denominator are one conditional
+    // sum over a single fact shuffle on the order key — share math
+    // costs nothing beyond the join the revenue query already pays.
+    "q27_market_share" -> ((s, dir) => {
+      val afr = broadcast(
+        table(s, dir, "supplier")
+          .join(table(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(table(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "AFRICA")
+          .select(col("s_suppkey"), col("n_name")))
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      table(s, dir, "lineitem")
+        .join(afr, col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          sum(when(col("n_name") === "NATION_5", rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"),
+          sum(rev).as("tot"),
+          count(lit(1)).as("n_lines"))
+        // sums are exact decimals on both engines; the one double op
+        // is the final division of identical values → deterministic
+        .select(
+          col("yr"),
+          round(col("nat").cast("double") / col("tot").cast("double"), 4).as("share"),
+          round(col("tot"), 2).cast("double").as("revenue"),
+          col("n_lines"))
+        .orderBy("yr")
+    }),
+
+    // TPC-H Q13 shape: distribution of per-customer order counts.
+    // Orders pre-aggregate FIRST (the shuffle carries (custkey, n),
+    // not order rows), then the customer left join preserves
+    // zero-order customers; the second groupBy runs over the tiny
+    // distinct-count domain.
+    "q28_cust_order_dist" -> ((s, dir) => {
+      val perCust = table(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      table(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_orders")
+    }),
+
+    // TPC-H Q21 shape: suppliers who were the last to ship in
+    // multi-supplier finished orders. The classic EXISTS + NOT-EXISTS
+    // double correlation is decorrelated by hand into per-(order,
+    // supplier) max-shipdate aggregates plus ONE unbounded-frame
+    // window pass on the order key (max/count/second-max share the
+    // single shuffle); a correlated-subquery plan would rescan the
+    // fact per predicate. other_max = the latest shipdate among the
+    // ORDER'S OTHER suppliers: the global max when another supplier
+    // attains it (this supplier below it, or ≥2 suppliers tied at
+    // it), else the second-distinct max.
+    "q29_waiting_suppliers" -> ((s, dir) => {
+      val f = table(s, dir, "lineitem")
+        .join(
+          table(s, dir, "orders").where(col("o_orderstatus") === "F").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val perSup = f.groupBy("l_orderkey", "l_suppkey").agg(max("l_shipdate").as("sup_max"))
+      val w = Window.partitionBy("l_orderkey")
+      val stats = perSup
+        .withColumn("max1", max("sup_max").over(w))
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .withColumn("cnt_at_max", sum(when(col("sup_max") === col("max1"), 1).otherwise(0)).over(w))
+        .withColumn("max2", max(when(col("sup_max") < col("max1"), col("sup_max"))).over(w))
+        .where(col("nsupp") >= 2)
+        .withColumn("other_max",
+          when(col("sup_max") < col("max1") || col("cnt_at_max") >= 2, col("max1"))
+            .otherwise(col("max2")))
+        .select("l_orderkey", "l_suppkey", "other_max")
+      f.join(stats, Seq("l_orderkey", "l_suppkey"))
+        .where(col("l_shipdate") >= col("other_max"))
+        .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // exact regime: the sketch tracks far more items than the 31-token
+    // vocabulary, so counts are exact and the deterministic rank cut
+    // matches DuckDB's exact top-10
+    "a5_approx_top_k" ->
+      """WITH x AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM x GROUP BY 1
+        |), r AS (
+        |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c
+        |)
+        |SELECT rn, token, n FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q27_market_share" ->
+      """WITH f AS (
+        |  SELECT year(o_orderdate)::BIGINT AS yr,
+        |    CASE WHEN n_name = 'NATION_5'
+        |      THEN l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))
+        |      ELSE 0 END AS natrev,
+        |    l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE r_name = 'AFRICA'
+        |)
+        |SELECT yr, round(sum(natrev)::DOUBLE / sum(rev)::DOUBLE, 4) AS share,
+        |round(sum(rev), 2)::DOUBLE AS revenue, count(*) AS n_lines
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_cust_order_dist" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT coalesce(n, 0)::BIGINT AS n_orders, count(*) AS n_cust
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_waiting_suppliers" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM f l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM f l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM f l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS sum_qty,
