@@ -305,6 +305,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, public): cluster the embedding space with
+    * deterministic k-means ([[Similarity.kmeansCentroids]]), find
+    * near-dup pairs ONLY within each cluster, and keep one
+    * representative per connected dup group. Returns one row per
+    * input: (id, c_id, keep).
+    *
+    * Why this is the 100 TB shape: with cluster count scaling with
+    * the data (nlist ∝ N, cluster size ~constant), the pairwise
+    * compare is constant work PER ITEM — total O(N²/nlist) vs the
+    * exact d5 self-join's Θ(N²) — and assignment is one broadcast of
+    * nlist centroids. The price is the paper's known recall loss: a
+    * dup pair split across k-means cells is never compared (near-
+    * identical vectors share a nearest centroid except on knife-edge
+    * ties, so in practice recall ≈ 1 at near-dup thresholds).
+    *
+    * Mechanics: the in-cluster self-join shuffles once on the cell id
+    * (AQE splits skewed cells; a pathological mega-cell can be
+    * sub-blocked with [[embeddingPairs]]' triangle scheme inside the
+    * cell). Dup edges feed [[ConnectedComponents]] (O(log n) rounds),
+    * whose min-id component label is the kept representative —
+    * deterministic and engine-stable; the paper's keep-farthest-from-
+    * centroid policy is a max_by swap on the same dataflow.
+    */
+  def semDedup(
+      df: DataFrame, vecCol: String, idCol: String, minCos: Double,
+      nlist: Int = 16, lloydIters: Int = 1): DataFrame = {
+    val data = spread(df).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val assigned = Similarity.assignNearest(
+        data, Similarity.kmeansCentroids(data, nlist, lloydIters))
+      .withColumn("n2", dot(col("n_vec"), col("n_vec")))
+      .localCheckpoint(eager = false) // three consumers: two join sides + output
+    val a = assigned.select(
+      col("c_id"), col("n_id").as("id_a"), col("n_vec").as("v_a"), col("n2").as("n2_a"))
+    val b = assigned.select(
+      col("c_id"), col("n_id").as("id_b"), col("n_vec").as("v_b"), col("n2").as("n2_b"))
+    val edges = a.join(b, Seq("c_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(dot(col("v_a"), col("v_b")) / (sqrt(col("n2_a")) * sqrt(col("n2_b"))) >= minCos)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.run(edges)
+    assigned.select(col("n_id").as("id"), col("c_id"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("keep", col("component").isNull || col("component") === col("id"))
+      .select(col("id"), col("c_id"), col("keep"))
+  }
+
   /** Benchmark decontamination with a bloom prefilter — the scale
     * path of d6 for when the held-out set's shingle dictionary is too
     * large to broadcast as strings. Same contract and EXACT same

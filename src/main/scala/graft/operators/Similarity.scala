@@ -94,35 +94,37 @@ object Similarity {
     * are refined by `lloydIters` k-means rounds — no RNG anywhere, so
     * results are cluster-size invariant.
     */
-  def ivfKnn(
-      corpus: DataFrame, vecCol: String, idCol: String,
-      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      lloydIters: Int = 1): DataFrame = {
-    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    // nearest-centroid assignment as a max_by aggregate — partial
-    // combine runs map-side, so only one (vector, centroid) row per
-    // vector survives per partition; a row_number Window here would
-    // instead sort/shuffle all N×nlist scored rows. Tie-break matches
-    // the old window (highest sim, then lowest centroid id).
-    def assign(cents: DataFrame): DataFrame =
-      data.crossJoin(broadcast(cents))
-        .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-        .groupBy("n_id") // vector travels in the agg VALUE, not the 256-byte group key
-        .agg(max_by(
-          struct(col("c_id"), col("n_vec")),
-          struct(col("c_sim"), (-col("c_id")).as("t"))).as("m"))
-        .select(col("m.c_id").as("c_id"), col("n_id"), col("m.n_vec").as("n_vec"))
-    // seed: the nlist lowest-id vectors; then Lloyd rounds re-center
-    // each list at its members' element-wise mean (two narrow aggs per
-    // round — the standard k-means refinement, kept fully in
-    // DataFrames so it scales like any other aggregation). Each round
-    // re-materializes the tiny centroid relation (lazy localCheckpoint)
-    // so centroid lineage doesn't compound across iterations.
-    var cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+  /** Nearest-centroid assignment as a max_by aggregate — partial
+    * combine runs map-side, so only one (vector, centroid) row per
+    * vector survives per partition; a row_number Window here would
+    * instead sort/shuffle all N×nlist scored rows. Tie-break: highest
+    * sim, then lowest centroid id. `data`: (n_id, n_vec); returns
+    * (c_id, n_id, n_vec).
+    */
+  private[graft] def assignNearest(data: DataFrame, cents: DataFrame): DataFrame =
+    data.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
+      .groupBy("n_id") // vector travels in the agg VALUE, not the 256-byte group key
+      .agg(max_by(
+        struct(col("c_id"), col("n_vec")),
+        struct(col("c_sim"), (-col("c_id")).as("t"))).as("m"))
+      .select(col("m.c_id").as("c_id"), col("n_id"), col("m.n_vec").as("n_vec"))
+
+  /** Deterministic k-means over `data` (n_id, n_vec): seed with the
+    * `nlist` lowest-id vectors, then `iters` Lloyd rounds re-center
+    * each cell at its members' element-wise mean (two narrow aggs per
+    * round — the standard k-means refinement, kept fully in
+    * DataFrames so it scales like any other aggregation). Each round
+    * re-materializes the tiny centroid relation (lazy localCheckpoint)
+    * so centroid lineage doesn't compound across iterations. No RNG
+    * anywhere → results are cluster-size invariant.
+    */
+  private[graft] def kmeansCentroids(data: DataFrame, nlist: Int, iters: Int): DataFrame = {
+    var cents = data.orderBy(col("n_id")).limit(nlist)
+      .select(col("n_id").as("c_id"), col("n_vec").as("c_vec"))
       .localCheckpoint(eager = false)
-    (0 until math.max(0, lloydIters)).foreach { _ =>
-      cents = assign(cents)
+    (0 until math.max(0, iters)).foreach { _ =>
+      cents = assignNearest(data, cents)
         .select(col("c_id"), posexplode(col("n_vec")).as(Seq("pos", "x")))
         .groupBy("c_id", "pos").agg(avg(col("x")).as("m"))
         .groupBy("c_id")
@@ -131,7 +133,16 @@ object Similarity {
           transform(col("pm"), e => e("m").cast("float")).as("c_vec"))
         .localCheckpoint(eager = false)
     }
-    val assigned = assign(cents)
+    cents
+  }
+
+  def ivfKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 1): DataFrame = {
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val cents = kmeansCentroids(data, nlist, lloydIters)
+    val assigned = assignNearest(data, cents)
     // top-nprobe lists per query via the bounded-heap aggregate
     // (same tie semantics as the old window: sim desc, c_id asc)
     val probes = queries.crossJoin(broadcast(cents))

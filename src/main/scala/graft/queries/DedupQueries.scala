@@ -64,6 +64,15 @@ object DedupQueries {
       Dedup.embeddingPairsLsh(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup-style semantic dedup: k-means cells → within-cell
+    // near-dup pairs → keep one representative per connected group.
+    // Lloyd's distributed fp averaging is not bit-replayable in SQL
+    // (same reason as s3_knn_ivf) → rows-only + DedupSpec invariants
+    // and a planted-cluster exactness spec.
+    "d10_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
+        .orderBy("id")),
+
     // near-dup clustering: verified pairs → connected components →
     // (id, component, cluster_size); the keep-one-per-cluster step of
     // a dedup pipeline (see operators.ConnectedComponents)

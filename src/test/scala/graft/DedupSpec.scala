@@ -117,6 +117,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh.toSeq === exact.toSeq)
   }
 
+  test("d10: semdedup keeps exactly one representative per planted cluster") {
+    // every planted 5-pack is near-identical, so its members share a
+    // nearest k-means centroid and form one within-cell dup component;
+    // solos have no neighbor above the threshold anywhere
+    val rows = Dedup.semDedup(planted, "embedding", "vec_id", 0.9, nlist = 10, lloydIters = 2)
+      .collect()
+    assert(rows.length === 10 * 5 + 50)
+    val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("id")).toSet
+    // one representative per planted cluster: the min id of the pack
+    (0 until 10).foreach { c =>
+      val pack = (0 until 5).map(m => c * 5L + m)
+      assert(pack.count(kept) === 1, s"cluster $c kept ${pack.filter(kept)}")
+      assert(kept(pack.min), s"representative of cluster $c must be min id")
+    }
+    // every solo survives
+    (0 until 50).foreach(i => assert(kept(1000L + i)))
+  }
+
+  test("d10: semdedup output invariants on the embeddings table") {
+    val emb = graft.queries.table(spark, sf, "embeddings")
+    val rows = graft.queries.DedupQueries.queries("d10_semdedup")(spark, sf).collect()
+    assert(rows.length === emb.count())
+    // ids unique, each assigned to exactly one cell
+    assert(rows.map(_.getAs[Long]("id")).distinct.length === rows.length)
+    // dedup only ever removes rows, never all of a cell's rows
+    val byCell = rows.groupBy(_.getAs[Long]("c_id"))
+    byCell.foreach { case (cell, members) =>
+      assert(members.exists(_.getAs[Boolean]("keep")), s"cell $cell kept nothing")
+    }
+  }
+
   test("d6: decontamination excludes the benchmark slice and flags iff shared") {
     val rows = graft.queries.DedupQueries.queries("d6_decontaminate")(spark, sf).collect()
     assert(rows.nonEmpty)
