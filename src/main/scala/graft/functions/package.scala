@@ -74,6 +74,30 @@ package object functions {
     }
   }
 
+  /** N-column Morton interleave — the k-dimensional generalization of
+    * [[morton]]: bit i of column j lands at position k*i + (k-1-j),
+    * so for k=2 this is exactly morton(a, b). Sorting by the result
+    * clusters rows in ALL k dimensions at once (each contiguous run
+    * covers a tile of every axis) — the layout for fact tables
+    * queried by three or more independent keys, where any single-sort
+    * only ever prunes its leading column. Pure built-in shift/mask
+    * tree, whole-stage-codegen'd; k*bits ≤ 62. Resolution per
+    * dimension falls as bits (and pruning power as file-count^(1/k)),
+    * so prefer the 2-column form unless the query mix really carries
+    * three hot predicates.
+    */
+  def mortonN(cols: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val k = cols.length
+    require(k >= 2, s"mortonN needs >= 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 62, s"need 1 <= bits and $k*bits <= 62, got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), k * i + (k - 1 - j)))
+      }
+    }
+  }
+
   /** Aggregate: top-k (score desc, id asc) pairs as a sorted
     * array<struct<score,id>> with map-side partial combination.
     */

@@ -70,37 +70,48 @@ object ParquetLake {
     */
   def zorderWrite(
       df: DataFrame, path: String, c1: String, c2: String,
+      bits: Int = 12, numFiles: Int = 0): Unit =
+    zorderWriteN(df, path, Seq(c1, c2), bits, numFiles)
+
+  /** k-column Z-order write ([[graft.functions.mortonN]] interleave):
+    * same layout move for fact tables carrying three or more hot
+    * predicate columns. Per-dimension resolution is `bits` (k*bits ≤
+    * 62) and pruning power falls as file-count^(1/k) per axis, so
+    * keep k at the number of predicates the query mix actually has.
+    */
+  def zorderWriteN(
+      df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 12, numFiles: Int = 0): Unit = {
-    val stats = df.agg(
-      min(col(c1).cast("long")), max(col(c1).cast("long")),
-      min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+    require(cols.length >= 2, s"zorderWriteN needs >= 2 columns, got ${cols.length}")
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
     def bound(i: Int): Option[Long] = if (stats.isNullAt(i)) None else Some(stats.getLong(i))
-    (bound(0), bound(1), bound(2), bound(3)) match {
-      case (Some(lo1), Some(hi1), Some(lo2), Some(hi2)) =>
-        // width_bucket's upper bound is hi+1 so the max value lands in
-        // the top bucket, not the overflow bucket — which makes
-        // hi == Long.MaxValue unrepresentable; reject it explicitly
-        // rather than wrap around to a negative bound
-        Seq(c1 -> hi1, c2 -> hi2).foreach { case (c, hi) =>
-          if (hi == Long.MaxValue) throw new IllegalArgumentException(
-            s"zorderWrite: max($c) == Long.MaxValue cannot be bucketed; pre-rank the column")
-        }
-        val n = 1L << bits
-        def q(c: String, lo: Long, hi: Long) =
-          if (hi == lo) lit(0L)
-          else expr(s"width_bucket(cast($c as long), ${lo}L, ${hi + 1}L, $n)") - 1
-        val z = df.withColumn("_z",
-          graft.functions.morton(q(c1, lo1, hi1), q(c2, lo2, hi2), bits))
-        val parts = if (numFiles > 0) numFiles else df.sparkSession.sparkContext.defaultParallelism
-        z.repartitionByRange(parts, col("_z"))
-          .sortWithinPartitions("_z")
-          .drop("_z")
-          .write.mode("overwrite").parquet(path)
-      case _ =>
-        // empty input, or a cluster column that is entirely null:
-        // there is nothing to cluster — write the data (and schema)
-        // as-is instead of dying on the degenerate stats row
-        df.write.mode("overwrite").parquet(path)
+    val bounds = cols.indices.map(i => (bound(2 * i), bound(2 * i + 1)))
+    if (bounds.forall { case (lo, hi) => lo.isDefined && hi.isDefined }) {
+      // width_bucket's upper bound is hi+1 so the max value lands in
+      // the top bucket, not the overflow bucket — which makes
+      // hi == Long.MaxValue unrepresentable; reject it explicitly
+      // rather than wrap around to a negative bound
+      cols.zip(bounds).foreach { case (c, (_, hi)) =>
+        if (hi.get == Long.MaxValue) throw new IllegalArgumentException(
+          s"zorderWrite: max($c) == Long.MaxValue cannot be bucketed; pre-rank the column")
+      }
+      val n = 1L << bits
+      def q(c: String, lo: Long, hi: Long) =
+        if (hi == lo) lit(0L)
+        else expr(s"width_bucket(cast($c as long), ${lo}L, ${hi + 1}L, $n)") - 1
+      val z = df.withColumn("_z", graft.functions.mortonN(
+        cols.zip(bounds).map { case (c, (lo, hi)) => q(c, lo.get, hi.get) }, bits))
+      val parts = if (numFiles > 0) numFiles else df.sparkSession.sparkContext.defaultParallelism
+      z.repartitionByRange(parts, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(path)
+    } else {
+      // empty input, or a cluster column that is entirely null:
+      // there is nothing to cluster — write the data (and schema)
+      // as-is instead of dying on the degenerate stats row
+      df.write.mode("overwrite").parquet(path)
     }
   }
 

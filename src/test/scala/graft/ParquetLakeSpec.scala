@@ -215,6 +215,63 @@ class ParquetLakeSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() === ev.count())
   }
 
+  test("lk13: mortonN matches the bit model for 3 columns and morton for 2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val triples = Seq.fill(200)((
+      rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    def model(vs: Seq[Long], bits: Int): Long = {
+      val k = vs.length
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        vs.zipWithIndex.foldLeft(acc) { case (a, (v, j)) =>
+          a | (((v >> i) & 1L) << (k * i + (k - 1 - j)))
+        }
+      }
+    }
+    val got3 = triples.toDF("a", "b", "c")
+      .select(graft.functions.mortonN(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got3.toSeq === triples.map { case (a, b, c) => model(Seq(a, b, c), 10) })
+    // k=2 degenerates to the 2-column morton exactly
+    val two = triples.map { case (a, b, _) => (a, b) }
+    val gotN2 = two.toDF("a", "b")
+      .select(graft.functions.mortonN(Seq(col("a"), col("b")), 10).as("z"))
+      .collect().map(_.getLong(0))
+    val got2 = two.toDF("a", "b")
+      .select(graft.functions.morton(col("a"), col("b"), 10).as("z"))
+      .collect().map(_.getLong(0))
+    assert(gotN2.toSeq === got2.toSeq)
+  }
+
+  test("lk14: 3-column z-order write clusters every dimension") {
+    val ev = events(spark, sf).select(col("event_id"), col("user_id"), col("ts_ms"))
+    val dir = Files.createTempDirectory("graft_lake_z3").toString
+    ParquetLake.zorderWriteN(ev, dir, Seq("user_id", "ts_ms", "event_id"), bits = 10, numFiles = 27)
+    val global = ev.agg(
+      min("user_id"), max("user_id"), min("ts_ms"), max("ts_ms"),
+      min("event_id"), max("event_id")).head()
+    def width(lo: Int, hi: Int): Double = (global.getLong(hi) - global.getLong(lo)).toDouble
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 8, s"got ${files.length} files")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath).agg(
+        min("user_id"), max("user_id"), min("ts_ms"), max("ts_ms"),
+        min("event_id"), max("event_id")).head()
+      ((r.getLong(1) - r.getLong(0)) / width(0, 1),
+        (r.getLong(3) - r.getLong(2)) / width(2, 3),
+        (r.getLong(5) - r.getLong(4)) / width(4, 5))
+    }
+    def avg(xs: Array[Double]): Double = xs.sum / xs.length
+    val (su, st, se) = (avg(spans.map(_._1)), avg(spans.map(_._2)), avg(spans.map(_._3)))
+    // 27 files over a 3-d curve ≈ 3 splits per axis: every dimension's
+    // average per-file span must be well below the full range
+    assert(su < 0.75, s"user span $su")
+    assert(st < 0.75, s"ts span $st")
+    assert(se < 0.75, s"event span $se")
+    assert(spark.read.parquet(dir).count() === ev.count())
+  }
+
   test("lk9: co-bucketed tables join and aggregate with zero Exchange") {
     val ev = events(spark, sf).select("event_id", "user_id", "ts_ms")
     val users = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
