@@ -392,14 +392,25 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         T.wordShingles(T.tokens(col(textCol))).as("ss"))
       .localCheckpoint(eager = false)
-    val bloom = bench
-      .agg(call_function("graft_bloom_agg", xxhash64(col("s")), lit(estimatedShingles)))
-      .head().getAs[Array[Byte]](0)
+    // the sketch is built INSIDE the plan as a scalar subquery — the
+    // at-scale form: the driver never materializes the sketch bytes,
+    // and the plan carries a subquery reference instead of a multi-MB
+    // binary literal (which also made every .explain render it).
+    // Spark's own InjectRuntimeFilter emits exactly this
+    // might_contain(scalar-subquery) shape. An empty benchmark yields
+    // a null sketch and might_contain(null, _) is null, so nothing
+    // survives the prefilter — same contract as the literal form. The
+    // temp view name is uniquified per call: view names are
+    // session-global and concurrent builds must not clobber each
+    // other's relation (the view stays registered — the returned plan
+    // resolves against it lazily).
+    val vname = s"graft_d9_bench_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    bench.createOrReplaceTempView(vname)
+    val sketch = expr(
+      s"(SELECT graft_bloom_agg(xxhash64(s), ${estimatedShingles}L) FROM $vname)")
     val candidates = corpus
       .select(col("doc_id"), explode(col("ss")).as("s"))
-      // empty benchmark ⇒ null sketch ⇒ nothing can be contaminated
-      .where(if (bloom == null) lit(false)
-             else call_function("graft_might_contain", lit(bloom), xxhash64(col("s"))))
+      .where(call_function("graft_might_contain", sketch, xxhash64(col("s"))))
     val shared = candidates
       .join(bench, "s")
       .groupBy("doc_id")
