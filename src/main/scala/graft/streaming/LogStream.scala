@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -44,6 +44,38 @@ object LogStream {
       .groupBy(window(col("event_time"), windowDur))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
+
+  /** Streaming heavy hitters: per-tumbling-window approx_top_k of a
+    * key column. The frequent-items sketch is a mergeable aggregate
+    * buffer, so per-window streaming state is ONE bounded sketch
+    * (`maxItemsTracked` entries), not a count map over the key
+    * cardinality — with the watermark bounding live windows, state is
+    * O(windows × sketch size) however many distinct keys the stream
+    * carries. The rank cut happens deterministically OUTSIDE the
+    * sketch: the estimate is drained in full (capacity items) and
+    * sorted (count desc, item asc) before slicing `k`, so below
+    * capacity — where sketch counts are exact — output is the exact
+    * top-k with stable tie order; above capacity it degrades to the
+    * sketch's documented error bound.
+    */
+  def windowedTopK(
+      flat: DataFrame, key: Column, windowDur: String, watermarkDelay: String,
+      k: Int, maxItemsTracked: Int = 4096): DataFrame =
+    flat
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(call_function(
+        "approx_top_k", key, lit(maxItemsTracked), lit(maxItemsTracked)).as("tk"))
+      .select(
+        col("window.start").as("w_start"),
+        posexplode(slice(array_sort(col("tk"), (l, r) =>
+          when(l("count") > r("count"), -1).when(l("count") < r("count"), 1)
+            .when(l("item") < r("item"), -1).when(l("item") > r("item"), 1)
+            .otherwise(0)), 1, k)).as(Seq("pos", "e")))
+      .select(
+        col("w_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.item").as("item"), col("e.count").as("n"))
 
   /** Streaming exactly-once on re-delivered records: drop duplicate
     * log ids within the watermark horizon. Kinesis get_records is

@@ -64,6 +64,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("st14: streaming windowed heavy hitters match exact batch top-k") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val q = LogStream.windowedTopK(
+        LogStream.parse(stream), col("fields")("user_id"), "1 hour", "10 minutes", k = 3)
+      .writeStream.format("memory").queryName("st14_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("st14_out")
+      .select(unix_millis(col("w_start")).as("w"), col("rank"), col("item"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    // exact batch ground truth with the same deterministic tie order;
+    // per-window distinct users sit far below sketch capacity, so the
+    // streaming sketch counts are exact
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("n").desc, col("item"))
+    val batch = events(spark, sf)
+      .groupBy(
+        (expr("ts_ms div 3600000") * 3600000L).as("w"),
+        col("user_id").cast("string").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(wB).cast("long"))
+      .where(col("rank") <= 3)
+      .collect().map(r => (r.getAs[Long]("w"), r.getAs[Long]("rank"),
+        r.getAs[String]("item"), r.getAs[Long]("n"))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("st4: dropDuplicatesWithinWatermark restores exactly-once on re-delivery") {
     // simulate Kinesis at-least-once: the same payload files delivered twice
     val dir = Files.createTempDirectory("graft_stream_redeliver").toString
