@@ -551,6 +551,28 @@ object AnalyticsQueries {
         .orderBy("n_orders")
     }),
 
+    // TPC-H Q11 shape: groups whose aggregate exceeds a fraction of
+    // the GLOBAL aggregate — the decorrelated global-scalar-threshold
+    // pattern. The global total is a one-row aggregate of the
+    // already-grouped relation (re-used via its localCheckpoint, not
+    // recomputed from the fact), broadcast into the filter; both
+    // sides of the comparison are exact decimals, so the threshold
+    // has no fp boundary.
+    "q30_important_parts" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      val pv = table(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(sum(rev).as("v"))
+        .localCheckpoint(eager = false) // feeds both the total and the filter
+      val tot = pv.agg(sum(col("v")).as("t"), count(lit(1)).as("c"))
+      // "above 1.5× the mean part value", written multiplicatively
+      // (2·v·c > 3·t) so the comparison is exact-decimal at any scale
+      // factor — no division rounding, no sf-tuned constant
+      pv.crossJoin(broadcast(tot))
+        .where(col("v") * col("c") * 2 > col("t") * 3)
+        .select(col("l_partkey"), round(col("v"), 2).cast("double").as("value"))
+        .orderBy("l_partkey")
+    }),
+
     // TPC-H Q21 shape: suppliers who were the last to ship in
     // multi-supplier finished orders. The classic EXISTS + NOT-EXISTS
     // double correlation is decorrelated by hand into per-(order,
@@ -623,6 +645,14 @@ object AnalyticsQueries {
         |SELECT coalesce(n, 0)::BIGINT AS n_orders, count(*) AS n_cust
         |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))) AS v
+        |  FROM lineitem GROUP BY 1
+        |), tot AS (SELECT sum(v) AS t, count(*) AS c FROM pv)
+        |SELECT l_partkey, round(v, 2)::DOUBLE AS value
+        |FROM pv, tot WHERE v * c * 2 > t * 3
+        |ORDER BY 1""".stripMargin,
     "q29_waiting_suppliers" ->
       """WITH f AS (
         |  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem

@@ -148,6 +148,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d9: two live bloom builds on one session do not clobber each other") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.table(spark, sf, "documents")
+    // per-call uniquified temp views: the second build must not steal
+    // the first's bench relation out from under its scalar subquery
+    val first = Dedup.decontaminateBloom(docs, "text", "doc_id", col("doc_id") % 97 === 0)
+    val second = Dedup.decontaminateBloom(docs, "text", "doc_id", col("doc_id") % 101 === 0)
+    val n1 = first.where(col("contaminated")).count()
+    val n2 = second.where(col("contaminated")).count()
+    // different benchmark slices -> different (both nonzero) results
+    assert(n1 > 0 && n2 > 0 && n1 != n2)
+    // first still evaluates to ITS slice after second was built
+    assert(first.where(col("contaminated")).count() === n1)
+  }
+
   test("d6: decontamination excludes the benchmark slice and flags iff shared") {
     val rows = graft.queries.DedupQueries.queries("d6_decontaminate")(spark, sf).collect()
     assert(rows.nonEmpty)
