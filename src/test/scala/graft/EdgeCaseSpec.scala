@@ -38,6 +38,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.decontaminateBloom(docs, "text", "doc_id", lit(true)).count() === 0)
   }
 
+  test("semdedup on empty/single/solo-only input keeps everything, never throws") {
+    assert(Dedup.semDedup(noVecs, "embedding", "vec_id", 0.9).count() === 0)
+    val one = Seq((3L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val oneOut = Dedup.semDedup(one, "embedding", "vec_id", 0.9).collect()
+    assert(oneOut.length === 1 && oneOut.head.getAs[Boolean]("keep"))
+    // fewer vectors than nlist: every seed is its own centroid, all kept
+    val few = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)),
+      (2L, Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)),
+      (3L, Array.tabulate(64)(i => if (i == 2) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val fewOut = Dedup.semDedup(few, "embedding", "vec_id", 0.9, nlist = 16).collect()
+    assert(fewOut.length === 3)
+    assert(fewOut.forall(_.getAs[Boolean]("keep")))
+  }
+
   test("similarity search with an empty corpus or empty query set returns empty") {
     val queries = Seq((0L, Array.fill(64)(1.0f)))
       .toDF("q_id", "q_vec")
