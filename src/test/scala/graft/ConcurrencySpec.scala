@@ -10,11 +10,12 @@ class ConcurrencySpec extends SparkSpec {
   private val names = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "q1_pricing_summary",
     "t2_quality", "m3_quantize", "s1_knn_brute",
-    // d9 exercises concurrent function registration + an eager
-    // sketch-collect job inside query construction; q26 a multi-agg
-    "d9_decontaminate_bloom", "q26_retention_cohorts")
+    // d9 exercises concurrent function registration + the per-call
+    // uniquified bench view behind its bloom scalar subquery; d10
+    // runs eager CC jobs inside query construction; q26 a multi-agg
+    "d9_decontaminate_bloom", "q26_retention_cohorts", "d10_semdedup")
 
-  test("eight queries running concurrently match their serial results") {
+  test("nine queries running concurrently match their serial results") {
     import java.util.concurrent.{Callable, Executors, TimeUnit}
     val serial = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq).toMap
