@@ -45,6 +45,24 @@ object Bench {
     }
   }
 
+  /** Denies only log events whose formatted message mentions the
+    * known-benign cancelled-straggler accumulator race; attached to
+    * the root LoggerConfig (DAGScheduler has no config of its own, so
+    * its events are handled there) and applied to live loggers.
+    */
+  private def muteNonExistentAccumulatorNoise(): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.Filter
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val filter = RegexFilter.createFilter(
+      ".*non-existent accumulator.*", null, java.lang.Boolean.FALSE,
+      Filter.Result.DENY, Filter.Result.NEUTRAL)
+    ctx.getConfiguration.getRootLogger.addFilter(filter)
+    ctx.updateLoggers()
+  }
+
   def main(args: Array[String]): Unit = {
     // f"" interpolators honor the default locale; a comma-decimal
     // locale would emit invalid JSON ("0,488")
@@ -77,10 +95,11 @@ object Bench {
     // events then reference weakly-held accumulators the finished query
     // already dropped, and DAGScheduler ERROR-logs each one ("attempted
     // to access non-existent accumulator", ~500/run — benign, known
-    // straggler race). Silence that logger so the stack traces can't
-    // land inside the driver's ~2KB captured stdout tail.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler", org.apache.logging.log4j.Level.FATAL)
+    // straggler race). A message-targeted RegexFilter mutes exactly
+    // that line so the stack traces can't land inside the driver's
+    // ~2KB captured stdout tail, while genuine scheduler errors (lost
+    // executors, taskset aborts) still surface.
+    muteNonExistentAccumulatorNoise()
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 

@@ -108,6 +108,83 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Incremental MinHash-LSH: candidate pairs between an increment of
+    * NEW documents and the EXISTING corpus only — the daily-crawl
+    * shape. The corpus band keys are the reusable index: at 100 TB
+    * they are computed once and persisted bucketed by (band, h), so
+    * each increment pays only its own signature pass plus a join
+    * that is broadcast-sized on the probe side; old×old pairs are
+    * never re-examined (minhashCandidates re-derives them every run).
+    * Returns (id_new, id_old, n_bands).
+    */
+  def minhashCandidatesIncremental(
+      corpus: DataFrame, increment: DataFrame, textCol: String, idCol: String,
+      numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    val idx = bandKeys(corpus, textCol, idCol, numPerms, bands)
+      .localCheckpoint(eager = false)
+    val probe = bandKeys(increment, textCol, idCol, numPerms, bands)
+      .localCheckpoint(eager = false)
+    probe.toDF("id_new", "band", "h")
+      .join(idx.toDF("id_old", "band", "h"), Seq("band", "h"))
+      .groupBy("id_new", "id_old")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Cross-document exact substring (word n-gram) dedup, after Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better" — the ExactSubstr method, re-expressed relationally):
+    * every occurrence of a repeated n-gram except the globally first
+    * one (min (doc_id, pos)) is a duplicate span; tokens covered by
+    * any duplicate span are dropped and each document reassembled
+    * from its surviving tokens. Returns one row per input document:
+    * (doc_id, n_tok, n_removed, kept_text).
+    *
+    * Scale shape: the corpus-wide work shuffles (gram, doc_id, pos)
+    * keys, never text — the gram groupBy is map-side combined to
+    * (first-occurrence, count) per gram, unique grams (the vast
+    * majority) are dropped BEFORE the occurrence join back, and AQE
+    * handles hot-gram skew on that join; coverage + reassembly
+    * shuffle on doc_id. Documents shorter than n pass through.
+    */
+  def spanDedup(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val docs = spread(df)
+      .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(eager = false)
+    // one row per n-gram occurrence; checkpointed because it feeds
+    // both the per-gram aggregate and the dup-occurrence join (the
+    // d2 lesson: otherwise both sides re-derive the gram pass)
+    val occ = docs.where(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .toDF("doc_id", "pos", "gram")
+      .localCheckpoint(eager = false)
+    val repeated = occ.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+    val covered = occ.join(repeated, "gram")
+      .where(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val tokPos = docs
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "pos", "tok")
+    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("kept_text"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Per-doc 64-bit SimHash fingerprint (hex). */
   def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
     spread(df).select(
@@ -369,12 +446,14 @@ object Dedup {
     *   3. only surviving (doc, shingle) rows enter the exact
     *      verification join that computes true overlap counts.
     *
-    * The sketch is embedded as a binary literal here (simple, plan-
-    * visible); at the 100 TB grain the same dataflow ships it as a
-    * scalar subquery / runtime filter so the driver never holds it —
-    * Spark's InjectRuntimeFilter builds this exact shape for joins
-    * automatically, which is also why the expressions are reused
-    * rather than re-implemented.
+    * The sketch is built INSIDE the plan as a scalar subquery over a
+    * per-call temp view (dropped before returning — analysis has
+    * already inlined the resolved relation into the returned plan):
+    * the driver never materializes the sketch bytes, and the plan
+    * carries a subquery reference instead of a multi-MB binary
+    * literal. Spark's own InjectRuntimeFilter emits exactly this
+    * might_contain(scalar-subquery) shape for joins, which is also
+    * why its expressions are reused rather than re-implemented.
     */
   def decontaminateBloom(
       df: DataFrame, textCol: String, idCol: String,
@@ -402,8 +481,7 @@ object Dedup {
     // survives the prefilter — same contract as the literal form. The
     // temp view name is uniquified per call: view names are
     // session-global and concurrent builds must not clobber each
-    // other's relation (the view stays registered — the returned plan
-    // resolves against it lazily).
+    // other's relation mid-construction.
     val vname = s"graft_d9_bench_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     bench.createOrReplaceTempView(vname)
     val sketch = expr(
@@ -415,10 +493,17 @@ object Dedup {
       .join(bench, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
-    corpus.select(col("doc_id"), size(col("ss")).cast("long").as("n_shingles"))
+    val out = corpus
+      .select(col("doc_id"), size(col("ss")).cast("long").as("n_shingles"))
       .join(shared, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("frac", round(col("n_shared").cast("double") / col("n_shingles"), 4))
       .withColumn("contaminated", col("n_shared") > 0)
+    // DataFrame construction is eagerly analyzed, so the view's
+    // relation is already inlined into `out`'s plan — drop the
+    // registration now or a long-lived session grows one never-freed
+    // catalog entry (each pinning its checkpoint plan) per call
+    df.sparkSession.catalog.dropTempView(vname)
+    out
   }
 }
