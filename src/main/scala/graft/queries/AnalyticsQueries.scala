@@ -573,6 +573,80 @@ object AnalyticsQueries {
         .orderBy("l_partkey")
     }),
 
+    // TPC-H Q2 shape: per-part minimum-cost supplier with ties — the
+    // classic correlated-min subquery, decorrelated to ONE window min
+    // over the (part, supplier) pre-aggregate. The pre-agg shuffles on
+    // the composite key, the window re-shuffles on part only; both
+    // carry (part, supp, cost) rows, never lineitems. No partsupp
+    // table exists in this schema, so lineitem serves as the
+    // part-supplier cost relation (cost = min extended price, an
+    // exact-decimal min — no division, engine-stable).
+    "q31_min_cost_supplier" -> ((s, dir) => {
+      val ps = table(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(dec(col("l_extendedprice"))).as("cost"))
+      val w = Window.partitionBy("l_partkey")
+      ps.withColumn("min_cost", min("cost").over(w))
+        .where(col("cost") === col("min_cost"))
+        .join(broadcast(table(s, dir, "part").where(col("p_size") <= 5)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("s_name"), col("n_name"),
+          round(col("cost"), 2).cast("double").as("cost"))
+        .orderBy("p_partkey", "s_name")
+    }),
+
+    // TPC-H Q15 shape: supplier(s) attaining the GLOBAL max of an
+    // aggregated revenue view (correlated scalar-max subquery). The
+    // view aggregates once and is reused for both the max and the
+    // filter via its localCheckpoint; the one-row max broadcasts.
+    // Exact-decimal equality — no fp boundary at the cut.
+    "q32_top_supplier" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      val view = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(rev).as("total_rev"))
+        .localCheckpoint(eager = false)
+      val top = view.agg(max(col("total_rev")).as("m"))
+      view.crossJoin(broadcast(top))
+        .where(col("total_rev") === col("m"))
+        .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_rev"), 2).cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q22 shape: above-average-balance customers with no RECENT
+    // orders ("lapsed" — every customer has lifetime orders at TPC-H
+    // ratios), grouped by nation. The global average enters
+    // multiplicatively (bal·cnt > tot — exact decimals, no division
+    // rounding at the threshold); the lapsed predicate is a left_anti
+    // against the recent order keys only (the date filter pushes to
+    // the orders scan, shrinking the anti side before its shuffle).
+    // Customer is the dim table here, but the same plan holds when
+    // it's fact-sized: the anti join shuffles on custkey, the one-row
+    // total broadcasts.
+    "q33_sales_opportunity" -> ((s, dir) => {
+      val pos = table(s, dir, "customer")
+        .where(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
+        .localCheckpoint(eager = false)
+      val tot = pos.agg(sum(col("bal")).as("tot"), count(lit(1)).as("cnt"))
+      pos.crossJoin(broadcast(tot))
+        .where(col("bal") * col("cnt") > col("tot"))
+        .join(table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("bal")), 2).cast("double").as("total_bal"))
+        .orderBy("cntrycode")
+    }),
+
     // TPC-H Q21 shape: suppliers who were the last to ship in
     // multi-supplier finished orders. The classic EXISTS + NOT-EXISTS
     // double correlation is decorrelated by hand into per-(order,
@@ -653,6 +727,43 @@ object AnalyticsQueries {
         |SELECT l_partkey, round(v, 2)::DOUBLE AS value
         |FROM pv, tot WHERE v * c * 2 > t * 3
         |ORDER BY 1""".stripMargin,
+    "q31_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice::DECIMAL(18,4)) AS cost
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT p_partkey, s_name, n_name, round(cost, 2)::DOUBLE AS cost
+        |FROM ps
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 5
+        |  AND cost = (SELECT min(cost) FROM ps p2 WHERE p2.l_partkey = ps.l_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q32_top_supplier" ->
+      """WITH v AS (
+        |  SELECT l_suppkey,
+        |    sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, round(total_rev, 2)::DOUBLE AS total_rev
+        |FROM v JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM v)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q33_sales_opportunity" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal::DECIMAL(18,4) AS bal
+        |  FROM customer WHERE c_acctbal > 0
+        |), t AS (SELECT sum(bal) AS tot, count(*) AS cnt FROM pos)
+        |SELECT c_nationkey::BIGINT AS cntrycode, count(*) AS n_cust,
+        |  round(sum(bal), 2)::DOUBLE AS total_bal
+        |FROM pos, t
+        |WHERE bal * cnt > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_waiting_suppliers" ->
       """WITH f AS (
         |  SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem

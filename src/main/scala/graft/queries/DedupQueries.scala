@@ -42,6 +42,26 @@ object DedupQueries {
       Dedup.minhashCandidates(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("id_a", "id_b")),
 
+    // incremental probe: NEW docs (doc_id % 10 == 0) against the
+    // existing corpus index — the daily-crawl shape; old×old pairs
+    // are never re-examined (see Dedup.minhashCandidatesIncremental)
+    "d11_incremental_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = table(s, dir, "documents")
+      Dedup.minhashCandidatesIncremental(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+        .orderBy("id_new", "id_old")
+    }),
+
+    // cross-doc exact substring dedup (Lee et al. 2022 ExactSubstr):
+    // drop every token covered by a repeated 5-gram span, keeping
+    // each gram's globally-first occurrence
+    "d12_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     "d3_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("id")),
@@ -160,6 +180,49 @@ object DedupQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
         |FROM keys a JOIN keys b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // same signature/band replay as d2, but the pair join is
+    // restricted to new (doc_id % 10 = 0) × old — keys are per-doc,
+    // so filtering keys ≡ splitting the corpus before signing
+    "d11_incremental_lsh" -> (shingleCtes + minhashSigSql +
+      """, bh AS (
+        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band, * FROM sig
+        |), keys AS (
+        |  SELECT doc_id, band, CASE band
+        |    WHEN 0 THEN md5(m0 || '|' || m1 || '|' || m2)
+        |    WHEN 1 THEN md5(m3 || '|' || m4 || '|' || m5)
+        |    WHEN 2 THEN md5(m6 || '|' || m7 || '|' || m8)
+        |    ELSE md5(m9 || '|' || m10 || '|' || m11) END AS h FROM bh
+        |)
+        |SELECT n.doc_id AS id_new, o.doc_id AS id_old, count(*) AS n_bands
+        |FROM keys n JOIN keys o ON n.band = o.band AND n.h = o.h
+        |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "d12_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), occ AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, len(t)-5)) AS pos FROM toks WHERE len(t) >= 5
+        |), g AS (
+        |  SELECT doc_id, pos, array_to_string(list_slice(t, pos+1, pos+5), ' ') AS gram FROM occ
+        |), rk AS (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS cnt FROM g
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos+4)) AS p
+        |  FROM rk WHERE cnt >= 2 AND rn >= 2
+        |), tp AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, len(t)-1)) AS pos FROM toks
+        |), tok AS (
+        |  SELECT doc_id, pos, t[pos+1] AS tok FROM tp
+        |), kept AS (
+        |  SELECT k.doc_id, count(*) AS n_kept, string_agg(k.tok, ' ' ORDER BY k.pos) AS kept_text
+        |  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.p
+        |  WHERE c.doc_id IS NULL GROUP BY 1
+        |)
+        |SELECT t.doc_id, len(t.t)::BIGINT AS n_tok,
+        |  (len(t.t) - coalesce(kept.n_kept, 0))::BIGINT AS n_removed,
+        |  coalesce(kept.kept_text, '') AS kept_text
+        |FROM toks t LEFT JOIN kept USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "d4_ngram_jaccard" -> (shingleCtes +
       """
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
