@@ -136,6 +136,103 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): each vector is cut
+    * into `m` orthogonal subspaces, each quantized against its own
+    * `ksub`-entry codebook (deterministic per-subspace k-means:
+    * seeded from the `ksub` lowest-id vectors' subvectors, Lloyd-
+    * refined — no RNG, cluster-size invariant). Corpus vectors become
+    * m small codes; queries score candidates via asymmetric distance
+    * computation (ADC): a per-(query, subspace, code) lookup table of
+    * partial dot products summed across each vector's codes —
+    * approximate cosine follows because subspace norms compose
+    * (|x̂|² = Σ_sub |ĉ_sub|²). The ADC top k·`rerankFactor`
+    * candidates per query are re-ranked under the exact cosine
+    * kernel, so emitted scores are exact and recall is the only
+    * approximation.
+    *
+    * Scale shape: the encoded corpus is m one-byte codes per vector
+    * vs 4·dim float bytes (32× smaller at the defaults — the
+    * difference between an in-memory and a spilling index at 100 TB);
+    * the ADC pass replaces dim-wide multiplies with LUT adds; every
+    * corpus-wide shuffle keys on ids with map-side combine (the
+    * min_by/topk aggregates, same as ivfKnn); the exact rerank joins
+    * only k·rerankFactor candidate rows per query back to raw
+    * vectors, never the corpus.
+    */
+  def pqKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, lloydIters: Int = 1, rerankFactor: Int = 4): DataFrame = {
+    import graft.functions.dot
+    val subLen = dim / m
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // (sub, n_id, sv): per-subspace training/encoding relation —
+    // materialized once, reused by every Lloyd round and the encode
+    val subv = data
+      .select(col("n_id"), col("n_vec"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), col("n_id"),
+        slice(col("n_vec"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
+      .localCheckpoint(eager = false)
+    // nearest codebook entry per (sub, vector) — L2, min_by combines
+    // map-side; tie-break lowest c_id (deterministic)
+    def assign(cents: DataFrame): DataFrame =
+      subv.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2",
+          dot(col("sv"), col("sv")) + dot(col("c_vec"), col("c_vec"))
+            - lit(2.0) * dot(col("sv"), col("c_vec")))
+        .groupBy("sub", "n_id")
+        .agg(min_by(struct(col("c_id"), col("sv")),
+          struct(col("d2"), col("c_id"))).as("e"))
+        .select(col("sub"), col("n_id"),
+          col("e.c_id").as("c_id"), col("e.sv").as("sv"))
+    // every subspace seeds from the same ksub lowest-id vectors
+    // (present in all subspaces by construction)
+    val seedIds = data.orderBy("n_id").limit(ksub).select(col("n_id").as("c_id"))
+    var cents = subv.join(broadcast(seedIds), col("n_id") === col("c_id"))
+      .select(col("sub"), col("c_id"), col("sv").as("c_vec"))
+      .localCheckpoint(eager = false)
+    (0 until math.max(0, lloydIters)).foreach { _ =>
+      cents = assign(cents)
+        .select(col("sub"), col("c_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "c_id", "pos").agg(avg(col("x")).as("mu"))
+        .groupBy("sub", "c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .select(col("sub"), col("c_id"),
+          transform(col("pm"), e => e("mu").cast("float")).as("c_vec"))
+        .localCheckpoint(eager = false)
+    }
+    // the PQ "index": m codes per corpus vector
+    val codes = assign(cents).select("sub", "n_id", "c_id")
+    // ADC lookup table: partial dot + codebook-entry norm per
+    // (query, subspace, code); Q·m·ksub rows — broadcast-class
+    val qsub = queries
+      .select(col("q_id"), col("q_vec"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("q_id"), col("sub"),
+        slice(col("q_vec"), col("sub") * subLen + 1, lit(subLen)).as("qv"),
+        dot(col("q_vec"), col("q_vec")).as("qn2"))
+    val lut = qsub.join(cents, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("c_id"),
+        dot(col("qv"), col("c_vec")).as("pdot"),
+        dot(col("c_vec"), col("c_vec")).as("cn2"),
+        col("qn2"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "c_id"))
+      .where(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("pdot")).as("sdot"), sum(col("cn2")).as("sc2"),
+        first(col("qn2")).as("qn2"))
+      .withColumn("cos_adc", col("sdot") / (sqrt(col("qn2")) * sqrt(col("sc2"))))
+    val shortlist = adc.groupBy("q_id")
+      .agg(topk(col("cos_adc"), col("n_id"), k * rerankFactor).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    val scored = shortlist
+      .join(data, Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
+    topKOut(scored, k)
+  }
+
   def ivfKnn(
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,

@@ -39,6 +39,16 @@ object SimilarityQueries {
         table(s, dir, "embeddings"), "embedding", "vec_id",
         querySet(s, dir), k = 10)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
+    // product-quantization ANN with exact rerank (no oracle: the
+    // codebooks come from distributed fp averaging, same as s3 —
+    // recall + determinism spec'd in SimilaritySpec)
+    "s4_knn_pq" -> ((s, dir) =>
+      Similarity.pqKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")))
 
   /** The 4 seeded hyperplanes of lshKnn's default config, inlined as

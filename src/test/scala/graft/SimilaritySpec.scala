@@ -42,6 +42,37 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size === 50)
   }
 
+  test("s4: PQ ANN achieves reasonable recall, exact scores on survivors") {
+    val exactDf = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
+    val exact = exactDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqDf = Similarity.pqKnn(emb, "embedding", "vec_id", queries, 10)
+    val pq = pqDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"pq recall@10 = $recall")
+    assert(pq.size === 50)
+    // rerank emits the EXACT cosine: every (q, n) pair PQ shares with
+    // brute force must carry an identical score
+    val exactScores = exactDf
+      .select("q_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val pqScores = pqDf
+      .select("q_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    (exact & pq).foreach { key =>
+      assert(pqScores(key) === exactScores(key), s"score mismatch at $key")
+    }
+  }
+
+  test("s4: PQ is deterministic across runs") {
+    val a = Similarity.pqKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val b = Similarity.pqKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a === b)
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
