@@ -487,6 +487,101 @@ object ParquetLake {
     stats
   }
 
+  /** MERGE INTO for the manifested lake: applies a change batch to
+    * the current snapshot by `keyCols` — matched target rows are
+    * replaced by their source row (update), unmatched source rows are
+    * inserted, and source rows flagged true in `deleteCol` (when
+    * given) are tombstones: the matched target row is removed and
+    * nothing inserted. This is the CDC-apply operation a continuously
+    * ingested 100 TB lake needs (q18_latest_compact is its query-side
+    * twin).
+    *
+    * Copy-on-write at the PARTITION grain: only partitions that hold
+    * a matched key or receive an insert are rewritten (target-side
+    * anti-join on the keys + union of the source rows); every other
+    * partition's files carry over into the new manifest version
+    * byte-untouched — at TPC-H-ish daily partitioning a merge of one
+    * day's changes rewrites one partition, not the lake. A key whose
+    * source row carries a different partition value moves partitions
+    * correctly (the old partition is matched via the key join, the
+    * new one via the source's partition values).
+    *
+    * Visibility and crash-safety inherit the manifest contract:
+    * rewritten files land beside the old ones and ONE manifest commit
+    * flips the snapshot; replaced files stay referenced by retained
+    * older versions ([[vacuum]] is the only deletion point); a crash
+    * before the commit leaves unreferenced garbage, never duplicates.
+    * Same SINGLE-WRITER contract as compaction. Returns the committed
+    * manifest version (the current one when the merge is a no-op).
+    *
+    * `source` must carry the target's data columns plus `partCol`;
+    * reference semantics parallel: the Kinesis reader's at-least-once
+    * re-delivery (kinesis_logs_reader.py:80-97) becomes idempotent
+    * exactly here — replaying a batch re-matches the same keys and
+    * rewrites to the same rows.
+    */
+  def mergeManifested(
+      spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], partCol: String = "p_date",
+      deleteCol: Option[String] = None): Int = {
+    import org.apache.hadoop.fs.Path
+    require(keyCols.nonEmpty, "mergeManifested needs at least one key column")
+    val (fs, root) = fsFor(spark, path)
+    val current = readManifest(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val currentVersion = manifestVersions(fs, root).last._1
+    // the change batch is read several times (matched-partition probe,
+    // anti-join, insert union) — materialize once
+    val src = source.localCheckpoint(eager = false)
+    val isDelete = deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
+    val upserts = deleteCol.foldLeft(src.where(!isDelete))((d, c) => d.drop(c))
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val tgt = readManifested(spark, path)
+    // partitions to rewrite: those holding a matched key, plus those
+    // receiving inserts. Both are partition-count-bounded collects.
+    val matchedParts = tgt.join(srcKeys, keyCols)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val insertParts = upserts
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val affectedDirs = (matchedParts ++ insertParts).distinct.map(v => s"$partCol=$v").toSet
+    if (affectedDirs.isEmpty) return currentVersion
+    val carried = current.filterNot(f => affectedDirs.contains(f.split('/').head))
+    val rewriteInputs = current.filter(f => affectedDirs.contains(f.split('/').head))
+    val survivors =
+      if (rewriteInputs.isEmpty) None
+      else Some(
+        spark.read.option("basePath", path)
+          .parquet(rewriteInputs.map(f => s"$path/$f"): _*)
+          .join(srcKeys, keyCols, "left_anti"))
+    val upsertsAligned = survivors match {
+      case Some(t) => upserts.select(t.columns.map(col): _*)
+      case None => upserts
+    }
+    val newData = survivors.map(_.unionByName(upsertsAligned)).getOrElse(upsertsAligned)
+    // write-aside, then rename into the live partition dirs; the files
+    // are invisible until the manifest commit below
+    val aside = new Path(root, s".merge_${java.util.UUID.randomUUID().toString.take(12)}")
+    newData.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(aside.toString)
+    val moved = fs.listStatus(aside)
+      .filter(isPartitionDir)
+      .flatMap { d =>
+        val dst = new Path(root, d.getPath.getName)
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map { f =>
+            renameOrThrow(fs, f.getPath, new Path(dst, f.getPath.getName))
+            s"${d.getPath.getName}/${f.getPath.getName}"
+          }
+      }.toSeq
+    fs.delete(aside, true)
+    commitManifest(spark, path, carried ++ moved)
+  }
+
   /** The only deletion point of the manifested lake. Drops manifest
     * versions older than the latest `keepVersions`, then deletes data
     * files referenced by NONE of the remaining manifests (replaced

@@ -381,6 +381,72 @@ class ParquetLakeSpec extends SparkSpec {
     assert(marker.delete())
   }
 
+  test("lk15: mergeManifested applies update/insert/delete atomically, rewriting only affected partitions") {
+    val dir = Files.createTempDirectory("graft_merge").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("user_id"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val tgt = ParquetLake.readManifested(spark, dir).localCheckpoint()
+    val before = tgt
+      .select(col("event_id"), col("event_type"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val pdType = tgt.schema("p_date").dataType
+
+    // change batch: 2 updates, 1 tombstone, 1 insert into a brand-new partition
+    val some = tgt.orderBy("event_id").limit(3).localCheckpoint()
+    val ids = some.select("event_id").collect().map(_.getLong(0)).sorted
+    val updates = some.where(col("event_id").isin(ids(0), ids(1)))
+      .withColumn("event_type", lit("MERGED")).withColumn("_del", lit(false))
+    val dels = some.where(col("event_id") === ids(2)).withColumn("_del", lit(true))
+    val maxId = tgt.agg(max("event_id")).head().getLong(0)
+    val inserts = some.where(col("event_id") === ids(0))
+      .withColumn("event_id", lit(maxId + 1))
+      .withColumn("event_type", lit("INSERTED"))
+      .withColumn("p_date", lit("2030-01-01").cast(pdType))
+      .withColumn("_del", lit(false))
+    val changes = updates.unionByName(dels).unionByName(inserts)
+
+    val v2 = ParquetLake.mergeManifested(
+      spark, dir, changes, keyCols = Seq("event_id"), deleteCol = Some("_del"))
+    assert(v2 > v1)
+
+    // the new snapshot reflects exactly the merge semantics
+    val after = ParquetLake.readManifested(spark, dir)
+      .select(col("event_id"), col("event_type"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val touched = before.filter(r => r._1 == ids(0) || r._1 == ids(1) || r._1 == ids(2))
+    val expected = (before -- touched) ++
+      touched.filter(r => r._1 != ids(2)).map(r => (r._1, "MERGED", r._3)) +
+      ((maxId + 1, "INSERTED", "2030-01-01"))
+    assert(after === expected)
+
+    // time travel: the pre-merge snapshot is untouched
+    val v1Rows = ParquetLake.readManifested(spark, dir, Some(v1))
+      .select(col("event_id"), col("event_type"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(v1Rows === before)
+
+    // copy-on-write: partitions without a matched key or insert carry
+    // over file-identical
+    val affectedDirs = (some.select(col("p_date").cast("string")).collect().map(_.getString(0))
+      :+ "2030-01-01").map(v => s"p_date=$v").toSet
+    val m1 = ParquetLake.readManifest(spark, dir, Some(v1)).get.toSet
+    val m2 = ParquetLake.readManifest(spark, dir, Some(v2)).get.toSet
+    assert(m1.filterNot(f => affectedDirs(f.split('/').head)) ===
+      m2.filterNot(f => affectedDirs(f.split('/').head)))
+    assert(m2 !== m1)
+
+    // idempotence: replaying the same change batch converges (the
+    // at-least-once delivery contract)
+    ParquetLake.mergeManifested(
+      spark, dir, changes, keyCols = Seq("event_id"), deleteCol = Some("_del"))
+    val again = ParquetLake.readManifested(spark, dir)
+      .select(col("event_id"), col("event_type"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(again === expected)
+  }
+
   test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
     val dir = fragmentedLake()
     val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
