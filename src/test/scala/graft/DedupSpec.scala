@@ -38,6 +38,56 @@ class DedupSpec extends SparkSpec {
     assert(cands.where(col("n_bands") === 4).count() === 20)
   }
 
+  test("d11: incremental probe equals the full run restricted to cross pairs") {
+    val corpus = withDups.where(col("doc_id") < 100000L)
+    val inc = withDups.where(col("doc_id") >= 100000L)
+    val incr = Dedup.minhashCandidatesIncremental(corpus, inc, "text", "doc_id")
+      .select("id_new", "id_old", "n_bands")
+      .as[(Long, Long, Long)].collect().toSet
+    // every planted copy collides with its original in all 4 bands
+    assert(incr.count { case (n, o, b) => n == o + 100000L && b == 4 } === 20)
+    // ≡ the full-corpus run restricted to pairs that cross the split
+    // (id_a < id_b and new ids are all larger, so id_b is the new side)
+    val full = Dedup.minhashCandidates(withDups, "text", "doc_id")
+      .where(col("id_b") >= 100000L && col("id_a") < 100000L)
+      .select(col("id_b"), col("id_a"), col("n_bands"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(incr === full)
+  }
+
+  test("d12: span dedup removes repeated 5-gram spans, keeps first occurrences") {
+    val tiny = Seq(
+      (1L, "a b c d e x y"),       // holds the first occurrence — untouched
+      (2L, "z a b c d e w"),       // repeated gram at pos 1 → tokens 1-5 drop
+      (3L, "a b c d e"),           // the whole doc is a repeated gram → empty
+      (4L, "p q r s"),             // shorter than n → untouched
+      (5L, "m n o p q m n o p q")  // intra-doc repeat at pos 5 → tail drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(tiny, "text", "doc_id")
+      .select("doc_id", "n_tok", "n_removed", "kept_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 7L, 0L, "a b c d e x y"),
+      (2L, 7L, 5L, "z w"),
+      (3L, 5L, 5L, ""),
+      (4L, 4L, 0L, "p q r s"),
+      (5L, 10L, 5L, "m n o p q")))
+  }
+
+  test("d12: span dedup is conservative on the real corpus") {
+    val out = Dedup.spanDedup(docs, "text", "doc_id")
+    // one row per doc, token accounting exact
+    assert(out.count() === docs.count())
+    assert(out.where(col("n_removed") < 0 || col("n_removed") > col("n_tok")).count() === 0)
+    // the small-vocab corpus genuinely shares 5-grams
+    assert(out.agg(sum("n_removed")).as[Long].head() > 0)
+    // untouched docs keep their exact normalized text
+    val norm = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+    val joined = out.where(col("n_removed") === 0).join(norm, "doc_id")
+    assert(joined.where(col("kept_text") =!= col("norm")).count() === 0)
+  }
+
   test("d3: simhash of planted dup pairs has hamming 0; distinct docs differ") {
     val fp = Dedup.simhashFingerprints(withDups, "text", "doc_id")
     val a = fp.toDF("id_a", "sh_a")
