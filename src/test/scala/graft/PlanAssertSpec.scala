@@ -59,6 +59,31 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("max_by") || p.contains("MaxBy"), p)
   }
 
+  test("d12: gram pass materializes once — no tokenization in the join plan") {
+    val p = plan("d12_span_dedup")
+    // both sides of the repeated-gram join must read the checkpointed
+    // occurrence relation; the tokenize/slice pipeline (regexp_replace)
+    // must not be re-inlined anywhere in the visible plan
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.toLowerCase.contains("regexp_replace"), p)
+  }
+
+  test("q31: per-part min is one pre-agg + one window; dims broadcast") {
+    val p = plan("q31_min_cost_supplier")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // decorrelated: exactly one Window pass over the pre-aggregate
+    assert(p.linesIterator.count(_.contains("+- Window")) === 1, p)
+    // pre-agg combines map-side before its shuffle
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("s4: PQ scoring aggregates with bounded heaps — no Window, map-side topk") {
+    val p = plan("s4_knn_pq")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_graft_topk"), p)
+  }
+
   test("r1: the payload is decoded at exactly one site") {
     val p = plan("r1_cwl_parse")
     // the Opaque fence pins gunzip+from_json to a single Project; a
