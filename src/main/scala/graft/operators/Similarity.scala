@@ -29,6 +29,25 @@ object Similarity {
     topKOut(scored, k)
   }
 
+  /** All corpus neighbors within a cosine radius of each query —
+    * similarity range search, the retrieval twin of Dedup's
+    * threshold pairs. Queries broadcast; scoring is the codegen'd
+    * cosine kernel applied map-side over the corpus scan; there is
+    * no top-k state and no shuffle — output size is the true
+    * neighbor count, not Q·N. The radius test runs on the
+    * 4-dp-rounded score, so the cut is bit-identical across engines
+    * and partitionings (no fp boundary row can flip).
+    */
+  def rangeSearch(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, minCos: Double): DataFrame =
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(broadcast(queries))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+
   /** Per-query top-k via the graft_topk bounded-heap aggregate:
     * partial aggregation keeps ≤ k rows per (partition, query) before
     * the shuffle — the scored set never moves, unlike a window sort.

@@ -681,9 +681,184 @@ object AnalyticsQueries {
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    }),
+
+    // TPC-H Q4 shape: priority counts of orders with at least one
+    // late-shipped line (EXISTS). Decorrelated: lineitem
+    // pre-aggregates to per-order max(l_shipdate) FIRST — the shuffle
+    // carries (orderkey, max), never line rows — then one equi join
+    // applies the non-equi EXISTS predicate and the final groupBy
+    // runs over the 5-value priority domain. A correlated plan would
+    // re-probe lineitem per order.
+    "q34_order_priority" -> ((s, dir) => {
+      val lastShip = table(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
+      table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .where(col("last_ship") > col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q7 shape: directional shipping volume between two nations
+    // per year. Both nation lookups are broadcast dims FILTERED to the
+    // two nations of interest before the join — lineitem shrinks ~25×
+    // at its first (broadcast) join, before the one fact-fact shuffle
+    // against orders; the OR pair predicate then only removes the
+    // same-nation combinations.
+    "q35_volume_shipping" -> ((s, dir) => {
+      val nats = Seq("NATION_1", "NATION_2")
+      val supNat = broadcast(table(s, dir, "supplier")
+        .join(table(s, dir, "nation").where(col("n_name").isin(nats: _*)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val custNat = broadcast(table(s, dir, "customer")
+        .join(table(s, dir, "nation").where(col("n_name").isin(nats: _*)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      table(s, dir, "lineitem")
+        .join(supNat, col("l_suppkey") === col("s_suppkey"))
+        .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custNat, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // TPC-H Q10 shape: top returned-item revenue customers in a
+    // quarter. The fact aggregates to customer grain BEFORE touching
+    // the customer dim (the join input is the ~|customers| aggregate,
+    // not lineitems); ties broken on the exact-decimal revenue then
+    // key, so the top-20 cut is engine-stable.
+    "q36_returned_items" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      table(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(table(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum(rev).as("rev"), count(lit(1)).as("n_lines"))
+        .orderBy(col("rev").desc, col("o_custkey"))
+        .limit(20)
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("rev"), 2).cast("double").as("revenue"), col("n_lines"))
+        .orderBy("c_custkey")
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — HAVING on a per-order
+    // aggregate, then joins. The quantity rollup + threshold runs
+    // first (survivors are a sliver of orders), so the orders and
+    // customer joins see only qualifying keys; at scale AQE turns the
+    // orders join into a broadcast of the survivors.
+    "q37_large_orders" -> ((s, dir) => {
+      val bigQty = table(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      bigQty
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          round(dec(col("o_totalprice")), 2).cast("double").as("totalprice"),
+          round(col("sum_qty"), 2).cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // TPC-H Q14 shape: promo revenue share per ship month. Part is a
+    // broadcast dim carrying only (key, type); numerator and
+    // denominator are one conditional decimal sum over a single fact
+    // shuffle on the month key — the same one-pass share pattern as
+    // q27, at a different grain.
+    "q38_promo_share" -> ((s, dir) => {
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+          sum(rev).as("tot"),
+          count(lit(1)).as("n_lines"))
+        .select(col("mon"),
+          round(col("promo").cast("double") * 100.0 / col("tot").cast("double"), 4).as("promo_share"),
+          round(col("tot"), 2).cast("double").as("revenue"),
+          col("n_lines"))
+        .orderBy("mon")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q34_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |year(l_shipdate)::BIGINT AS yr,
+        |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q36_returned_items" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))) AS rev,
+        |    count(*) AS n_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |  GROUP BY 1
+        |), top AS (
+        |  SELECT * FROM pc ORDER BY rev DESC, o_custkey LIMIT 20
+        |)
+        |SELECT c_custkey, c_name, n_name, round(rev, 2)::DOUBLE AS revenue, n_lines
+        |FROM top
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q37_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,4)) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity::DECIMAL(18,4)) > 250
+        |)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |round(o_totalprice::DECIMAL(18,4), 2)::DOUBLE AS totalprice,
+        |round(sum_qty, 2)::DOUBLE AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q38_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+        |round(sum(CASE WHEN p_type = 'PROMO'
+        |  THEN l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))
+        |  ELSE 0 END)::DOUBLE * 100.0
+        |  / sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)))::DOUBLE, 4) AS promo_share,
+        |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact regime: the sketch tracks far more items than the 31-token
     // vocabulary, so counts are exact and the deterministic rank cut
     // matches DuckDB's exact top-10

@@ -41,6 +41,14 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // similarity range search: every neighbor within cos ≥ 0.25 of
+    // each query — no top-k, pure map-side scan filter.
+    "s5_range_search" -> ((s, dir) =>
+      Similarity.rangeSearch(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), minCos = 0.25)
+        .orderBy("q_id", "n_id")),
+
     // product-quantization ANN with exact rerank (no oracle: the
     // codebooks come from distributed fp averaging, same as s3 —
     // recall + determinism spec'd in SimilaritySpec)
@@ -89,6 +97,19 @@ object SimilarityQueries {
          |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
+    "s5_range_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT q_id, a.vec_id AS n_id,
+        |  round(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))), 4) AS cos_sim
+        |  FROM e a, q WHERE a.vec_id <> q_id
+        |)
+        |SELECT q_id, n_id, cos_sim FROM sc WHERE cos_sim >= 0.25
+        |ORDER BY q_id, n_id""".stripMargin,
     "s1_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

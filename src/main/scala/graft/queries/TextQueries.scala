@@ -307,6 +307,72 @@ object TextQueries {
         .orderBy("shard")
     }),
 
+    // Gopher-style quality rule suite (Rae et al. 2021,
+    // arXiv:2112.11446 — public): four deterministic document rules
+    // in exact integer arithmetic (no fp thresholds): ≥ 40 tokens,
+    // mean word length in [3,10] (as 3n ≤ Σlen ≤ 10n), ≥ 2
+    // stopwords, and no single token above 20% of the doc
+    // (5·max_cnt ≤ n). One narrow explode + two hash aggregates on
+    // doc_id — no joins, nothing wide beyond the per-doc rollup.
+    "t17_gopher_rules" -> ((s, dir) => {
+      val tc = table(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      tc.groupBy("doc_id")
+        .agg(
+          sum("cnt").as("n_tok"),
+          sum(col("cnt") * length(col("t"))).as("sum_len"),
+          sum(when(col("t").isin("the", "a"), col("cnt")).otherwise(lit(0L))).as("n_stop"),
+          max("cnt").as("max_cnt"))
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          when(col("n_tok") >= 40, 1L).otherwise(0L).as("r_len"),
+          when(col("sum_len") >= col("n_tok") * 3 &&
+            col("sum_len") <= col("n_tok") * 10, 1L).otherwise(0L).as("r_wlen"),
+          when(col("n_stop") >= 2, 1L).otherwise(0L).as("r_stop"),
+          when(col("max_cnt") * 5 <= col("n_tok"), 1L).otherwise(0L).as("r_rep"))
+        .withColumn("pass", col("r_len") * col("r_wlen") * col("r_stop") * col("r_rep"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance weighting (Xie et al. 2023,
+    // arXiv:2302.03169 — public): hashed-unigram bag features; a
+    // doc's weight is the mean log-likelihood ratio of its feature
+    // buckets under the target distribution (here: the lang='en'
+    // slice) vs the raw corpus, add-one smoothed. All counts are
+    // exact integers from two hash aggregates; the only fp is the
+    // per-bucket ln and its rounded mean (t13's contract). The λ
+    // table is B=128 rows regardless of corpus size — it broadcasts,
+    // so scoring is map-side; at 100 TB the whole operator is two
+    // bounded aggregates plus one narrow pass.
+    "t18_dsir_sample" -> ((s, dir) => {
+      val B = 128
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(T.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("t")), 1, 7), 16, 10).cast("long") % B).as("b"))
+      val raw = toks.groupBy("b").agg(count(lit(1)).as("r"))
+      val tgt = toks.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("tc"))
+      val dict = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), col("r"), coalesce(col("tc"), lit(0L)).as("tc"))
+        .localCheckpoint(eager = false) // feeds totals and the λ table
+      val totals = dict.agg(sum("r").as("rt"), sum("tc").as("tt"))
+      val lam = dict.crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((col("tc") + 1).cast("double") / (col("tt") + B).cast("double")) -
+            log((col("r") + 1).cast("double") / (col("rt") + B).cast("double"))).as("lam"))
+      toks.join(broadcast(lam), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("lam").as("s"))
+        .select(col("doc_id"), col("n_tok"),
+          // + 0.0 folds IEEE -0.0 to +0.0 (a doc whose λs cancel
+          // exactly would otherwise hash-differ across engines)
+          (round(col("s") / col("n_tok"), 4) + lit(0.0)).as("dsir_score"),
+          when(round(col("s") / col("n_tok"), 4) > 0, 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -316,6 +382,51 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t17_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, t, count(*) AS cnt FROM toks GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id, sum(cnt) AS n_tok, sum(cnt * len(t)) AS sum_len,
+        |    sum(CASE WHEN t IN ('the', 'a') THEN cnt ELSE 0 END) AS n_stop,
+        |    max(cnt) AS max_cnt
+        |  FROM tc GROUP BY 1
+        |), flags AS (
+        |  SELECT doc_id, n_tok::BIGINT AS n_tok,
+        |    (CASE WHEN n_tok >= 40 THEN 1 ELSE 0 END)::BIGINT AS r_len,
+        |    (CASE WHEN sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok THEN 1 ELSE 0 END)::BIGINT AS r_wlen,
+        |    (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS r_stop,
+        |    (CASE WHEN max_cnt * 5 <= n_tok THEN 1 ELSE 0 END)::BIGINT AS r_rep
+        |  FROM per
+        |)
+        |SELECT doc_id, n_tok, r_len, r_wlen, r_stop, r_rep,
+        |r_len * r_wlen * r_stop * r_rep AS pass
+        |FROM flags ORDER BY doc_id""".stripMargin,
+    "t18_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents
+        |), hb AS (
+        |  SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 7))::BIGINT % 128 AS b FROM toks
+        |), raw AS (
+        |  SELECT b, count(*) AS r FROM hb GROUP BY 1
+        |), tgt AS (
+        |  SELECT b, count(*) AS tc FROM hb WHERE lang = 'en' GROUP BY 1
+        |), dict AS (
+        |  SELECT raw.b AS b, r, coalesce(tc, 0) AS tc FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+        |), tot AS (
+        |  SELECT sum(r) AS rt, sum(tc) AS tt FROM dict
+        |), lam AS (
+        |  SELECT b, ln((tc + 1)::DOUBLE / (tt + 128)) - ln((r + 1)::DOUBLE / (rt + 128)) AS lam
+        |  FROM dict CROSS JOIN tot
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_tok, sum(lam) AS s FROM hb JOIN lam USING (b) GROUP BY 1
+        |)
+        |SELECT doc_id, n_tok, round(s / n_tok, 4) + 0.0 AS dsir_score,
+        |(CASE WHEN round(s / n_tok, 4) > 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM per ORDER BY doc_id""".stripMargin,
     "t16_export_shards" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -116,6 +116,51 @@ class PlanAssertSpec extends SparkSpec {
       tree.mkString("\n"))
   }
 
+  test("q34: EXISTS decorrelates to a pre-agg + one join; date filter reaches the orders scan") {
+    val p = plan("q34_order_priority")
+    // lineitem rolls up to per-order max BEFORE any join, combining map-side
+    assert(p.contains("partial_max"), p.take(3000))
+    // the quarter filter is pushed into the orders parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    // no correlated re-probe: lineitem is scanned exactly once
+    assert("lineitem\\.parquet".r.findAllIn(p).length === 1, p.take(3000))
+  }
+
+  test("q36: the top-20 cut runs before the customer/nation dim joins") {
+    val p = plan("q36_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // tree text prints parents first: the dim joins must appear ABOVE
+    // (= earlier than) the TakeOrdered node they consume
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).toSeq
+    val iJoin = tree.indexWhere(_.contains("BroadcastHashJoin"))
+    val iTop = tree.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(iJoin >= 0 && iTop > iJoin, tree.mkString("\n"))
+  }
+
+  test("t17: the rule suite is pure per-doc aggregation — no joins anywhere") {
+    val p = plan("t17_gopher_rules")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("t18: the λ table broadcasts into the scoring pass; dict reads a checkpointed leaf") {
+    val p = plan("t18_dsir_sample")
+    // corpus tokens join the 128-row λ relation via broadcast, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the bucket dictionary materializes once (feeds totals + λ)
+    assert(p.contains("ExistingRDD"), p.take(3000))
+  }
+
+  test("s5: range search is one map-side broadcast pass — no cartesian, one exchange") {
+    val p = plan("s5_range_search")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the only Exchange is the final (tiny) result sort
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("- Exchange")) === 1, tree.mkString("\n"))
+  }
+
   test("q26: the cohort scan reads only (ts, user_id); no wide columns") {
     val p = plan("q26_retention_cohorts")
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p.take(3000))
