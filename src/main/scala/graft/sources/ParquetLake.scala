@@ -438,6 +438,39 @@ object ParquetLake {
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  /** Incremental (change-data-feed-style) read: the rows of every
+    * data file present in manifest `toVersion` (latest by default)
+    * but absent from manifest `fromVersion` — the delta a downstream
+    * incremental job consumes instead of re-scanning the lake. At
+    * 100 TB this is the difference between processing a day's ingest
+    * and re-reading everything: the diff is computed on the manifest
+    * LISTINGS (two small text files), and only the added files are
+    * scanned.
+    *
+    * File-grain contract: for append-only commits (streaming ingest,
+    * merges that only insert into fresh partitions) the delta is
+    * exactly the new rows. A copy-on-write rewrite (compaction, a
+    * merge updating an existing partition) re-emits the whole
+    * rewritten partition — consumers needing row-level changes
+    * should diff on a key over that slice (q18's latest-compact
+    * shape) or consume between append commits. `fromVersion = 0`
+    * means "from the empty lake": the full `toVersion` snapshot.
+    */
+  def readIncremental(
+      spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    val baseline: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else readManifest(spark, path, Some(fromVersion)).map(_.toSet).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $path"))
+    val target = readManifest(spark, path, toVersion).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val added = target.filterNot(baseline)
+    if (added.isEmpty) readManifested(spark, path, toVersion).where(lit(false))
+    else spark.read.option("basePath", path)
+      .parquet(added.map(f => s"$path/$f"): _*)
+  }
+
   /** [[compact]] with atomic visibility: EXACTLY the manifest's files
     * are rewritten (orphans from a crashed prior run, or files
     * appended after the manifest commit, are never folded in), the

@@ -231,6 +231,34 @@ object LogStream {
       .outputMode("append")
       .start()
 
+  /** Continuous CDC apply: each micro-batch of keyed change rows
+    * (updates, inserts, and `deleteCol`-flagged tombstones) MERGEs
+    * into the manifested lake — the row-level-upsert counterpart of
+    * the append-only st7/st12 sinks. Copy-on-write at the partition
+    * grain and single-manifest-commit visibility come from
+    * [[graft.sources.ParquetLake.mergeManifested]]; at-least-once
+    * replay is CONTENT-idempotent: re-merging a batch re-matches the
+    * same keys and writes the same rows (a fresh manifest version,
+    * identical snapshot content). Single-writer, like all lake
+    * maintenance.
+    */
+  def startMergeSink(
+      changes: DataFrame, lakeDir: String, checkpoint: String,
+      keyCols: Seq[String], partCol: String = "p_date",
+      deleteCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.ParquetLake.mergeManifested(
+            batch.sparkSession, lakeDir, batch, keyCols, partCol, deleteCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)

@@ -447,6 +447,50 @@ class ParquetLakeSpec extends SparkSpec {
     assert(again === expected)
   }
 
+  test("lk16: incremental read returns exactly the delta between manifest versions") {
+    val dir = Files.createTempDirectory("graft_incr").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("user_id"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val tgt = ParquetLake.readManifested(spark, dir).localCheckpoint()
+    val pdType = tgt.schema("p_date").dataType
+    val maxId = tgt.agg(max("event_id")).head().getLong(0)
+
+    // append-only commit: inserts land in a brand-new partition
+    val inserts = tgt.orderBy("event_id").limit(3)
+      .withColumn("event_id", col("event_id") + lit(maxId + 1))
+      .withColumn("event_type", lit("NEW"))
+      .withColumn("p_date", lit("2030-01-01").cast(pdType))
+      .localCheckpoint()
+    val v2 = ParquetLake.mergeManifested(spark, dir, inserts, keyCols = Seq("event_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("event_type"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(ParquetLake.readIncremental(spark, dir, v1)) === rows(inserts))
+
+    // same-version diff: empty, schema preserved
+    val none = ParquetLake.readIncremental(spark, dir, v2, Some(v2))
+    assert(none.count() === 0)
+    assert(none.columns.contains("p_date"))
+
+    // fromVersion = 0 is the full snapshot
+    assert(ParquetLake.readIncremental(spark, dir, 0, Some(v2)).count() ===
+      ParquetLake.readManifested(spark, dir, Some(v2)).count())
+
+    // copy-on-write rewrite: an update re-emits exactly its rewritten
+    // partition (the documented file-grain contract)
+    val upd = tgt.orderBy("event_id").limit(1)
+      .withColumn("event_type", lit("UPD")).localCheckpoint()
+    val updPart = upd.select(col("p_date").cast("string")).head().getString(0)
+    val v3 = ParquetLake.mergeManifested(spark, dir, upd, keyCols = Seq("event_id"))
+    val d3 = ParquetLake.readIncremental(spark, dir, v2, Some(v3))
+    assert(d3.select(col("p_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet === Set(updPart))
+    assert(rows(d3) === rows(ParquetLake.readManifested(spark, dir, Some(v3))
+      .where(col("p_date").cast("string") === updPart)))
+  }
+
   test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
     val dir = fragmentedLake()
     val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq

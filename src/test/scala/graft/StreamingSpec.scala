@@ -328,6 +328,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() === expected)
   }
 
+  test("st15: streaming CDC merge applies per-batch upserts and tombstones to the manifested lake") {
+    import graft.sources.ParquetLake
+    val lakeDir = Files.createTempDirectory("graft_stream_merge").toString
+    val ckpt = Files.createTempDirectory("graft_stream_merge_ckpt").toString
+    val chgDir = Files.createTempDirectory("graft_stream_merge_chg").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      lakeDir, "ts_ms", sortCols = Seq("user_id"))
+    ParquetLake.snapshotManifest(spark, lakeDir)
+    val tgt = ParquetLake.readManifested(spark, lakeDir).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("event_type"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val before = rows(tgt)
+    val ids = tgt.orderBy("event_id").limit(2)
+      .select("event_id").collect().map(_.getLong(0))
+    // two change files + maxFilesPerTrigger=1 → two micro-batches:
+    // an update of ids(0), then a tombstone of ids(1)
+    val base = tgt.where(col("event_id").isin(ids.map(x => x: Any): _*)).localCheckpoint()
+    val upd = base.where(col("event_id") === ids(0))
+      .withColumn("event_type", lit("STREAM_MERGED")).withColumn("_del", lit(false))
+    val del = base.where(col("event_id") === ids(1)).withColumn("_del", lit(true))
+    upd.coalesce(1).write.mode("append").parquet(chgDir)
+    del.coalesce(1).write.mode("append").parquet(chgDir)
+    val stream = spark.readStream
+      .schema(upd.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chgDir)
+    val q = LogStream.startMergeSink(
+      stream, lakeDir, ckpt, keyCols = Seq("event_id"), deleteCol = Some("_del"))
+    try q.processAllAvailable() finally q.stop()
+
+    val expected = before.map {
+      case (id, _, pd) if id == ids(0) => (id, "STREAM_MERGED", pd)
+      case r => r
+    }.filterNot(_._1 == ids(1))
+    assert(rows(ParquetLake.readManifested(spark, lakeDir)) === expected)
+    // at-least-once replay is content-idempotent: re-merging the
+    // tombstone batch leaves the snapshot unchanged
+    ParquetLake.mergeManifested(
+      spark, lakeDir, del, keyCols = Seq("event_id"), deleteCol = Some("_del"))
+    assert(rows(ParquetLake.readManifested(spark, lakeDir)) === expected)
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
