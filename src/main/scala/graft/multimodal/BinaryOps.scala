@@ -62,6 +62,49 @@ object BinaryOps {
       .select(col("id"),
         lpad(hex(graft.functions.simhash64(col("toks"))), 16, "0").as("simhash"))
 
+  /** One stub "embedding" row per input payload: the 8 ints are the
+    * md5 hex digest split into 4-hex-digit chunks (the deterministic
+    * stand-in for model logits); norm is computed from them in fixed
+    * array order so it is bit-identical across engines.
+    */
+  case class StubEmbedding(id: Long, nDims: Int, intSum: Long, eMd5: String, norm: Double)
+
+  /** Batched model inference over an opaque payload column — the
+    * mapPartitions shape a real encoder runs in at 100 TB: ONE model
+    * handle per partition (initialized where the comment marks it,
+    * amortized over the partition), inputs buffered into fixed-size
+    * batches (`grouped(batchSize)` — a GPU encoder wants dense
+    * batches, not row-at-a-time calls), one output row per input.
+    * The model itself is STUBBED deterministically (md5 chunks as
+    * logits — no model runtime in this container); the plumbing
+    * (partitioning, batch shape, output schema) is the real thing
+    * and the output is exactly replayable by the DuckDB oracle.
+    * Output is independent of partitioning and batch size (spec m5).
+    */
+  def embedBatched(
+      payloads: Dataset[(Long, Array[Byte])], batchSize: Int = 16): Dataset[StubEmbedding] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      // real binding would load the model/codec handle once per partition here
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        // real binding would run ONE forward pass over the whole batch
+        batch.map { case (id, bytes) =>
+          digest.reset()
+          val hx = digest.digest(bytes).map(b => f"$b%02x").mkString
+          val ks = Array.tabulate(8)(j => java.lang.Long.parseLong(hx.substring(j * 4, j * 4 + 4), 16))
+          val dims = ks.map(k => k / 65535.0 * 2 - 1)
+          var ss = 0.0
+          dims.foreach(d => ss += d * d)
+          digest.reset()
+          val eMd5 = digest.digest(ks.mkString(",").getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          StubEmbedding(id, 8, ks.sum, eMd5, math.sqrt(ss))
+        }
+      }
+    }
+  }
+
   /** Per-partition batch "decoder" — the mapPartitions shape a real
     * codec binding would use (one codec instance per partition, rows
     * streamed through it). Decode itself is the deterministic stub.

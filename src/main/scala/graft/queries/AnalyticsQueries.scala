@@ -684,20 +684,24 @@ object AnalyticsQueries {
     }),
 
     // TPC-H Q4 shape: priority counts of orders with at least one
-    // late-shipped line (EXISTS). Decorrelated: lineitem
-    // pre-aggregates to per-order max(l_shipdate) FIRST — the shuffle
-    // carries (orderkey, max), never line rows — then one equi join
-    // applies the non-equi EXISTS predicate and the final groupBy
-    // runs over the 5-value priority domain. A correlated plan would
-    // re-probe lineitem per order.
+    // late-shipped line (EXISTS). The date window cuts orders ~25×
+    // BEFORE lineitem is touched: the filtered slice broadcasts into
+    // the fact scan, the EXISTS predicate (l_shipdate > o_orderdate)
+    // applies map-side, and only qualifying (order, priority) pairs —
+    // deduplicated by a partial-combining aggregate, EXISTS needs one
+    // hit per order — reach the shuffle. The first draft aggregated
+    // ALL of lineitem to per-order max first; windowing-first is
+    // strictly less work at any scale (the 1.5s → fact-scan-bound
+    // fix, r8). A correlated plan would re-probe lineitem per order.
     "q34_order_priority" -> ((s, dir) => {
-      val lastShip = table(s, dir, "lineitem")
-        .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
-      table(s, dir, "orders")
+      val win = table(s, dir, "orders")
         .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
-        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
-        .where(col("last_ship") > col("o_orderdate"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      table(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .join(broadcast(win), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate"))
+        .select("o_orderkey", "o_orderpriority").distinct()
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
@@ -785,10 +789,15 @@ object AnalyticsQueries {
       table(s, dir, "lineitem")
         .join(broadcast(table(s, dir, "part").select("p_partkey", "p_type")),
           col("l_partkey") === col("p_partkey"))
+        // project the revenue expression ONCE: aggregate expressions
+        // are not subexpression-eliminated across agg functions, so
+        // inlining `rev` in both sums would compute the decimal
+        // multiply twice per row
+        .select(col("p_type"), col("l_shipdate"), rev.as("rev"))
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
         .agg(
-          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
-          sum(rev).as("tot"),
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0).cast("decimal(18,4)"))).as("promo"),
+          sum(col("rev")).as("tot"),
           count(lit(1)).as("n_lines"))
         .select(col("mon"),
           round(col("promo").cast("double") * 100.0 / col("tot").cast("double"), 4).as("promo_share"),

@@ -34,6 +34,28 @@ object MultimodalQueries {
         "payload", "doc_id")
         .orderBy("id")),
 
+    // batched "model inference" plumbing: one row per payload from
+    // the per-partition fixed-batch mapPartitions encoder (model
+    // stubbed deterministically — md5 chunks as logits — so the whole
+    // batch path is oracle-replayable; norm is computed in fixed
+    // array order, bit-identical across engines)
+    "m5_embed_batched" -> ((s, dir) => {
+      import s.implicits._
+      val src = table(s, dir, "documents")
+        // one parquet file arrives as ONE partition; spread the
+        // compute-heavy per-row encode across cores (input splits do
+        // this on a real cluster)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+      BinaryOps.embedBatched(src)
+        .toDF()
+        .select(col("id").as("doc_id"), col("nDims").cast("long").as("n_dims"),
+          col("intSum").as("int_sum"), col("eMd5").as("e_md5"),
+          round(col("norm"), 4).as("norm"))
+        .orderBy("doc_id")
+    }),
+
     // int8 range quantization of embedding vectors (the storage
     // compression step of a vector pipeline): per-vector min/max
     // scale, floor-quantize to 0..255. floor (not round) keeps the
@@ -69,6 +91,18 @@ object MultimodalQueries {
         |  FROM hx
         |), """.stripMargin + graft.queries.simhashReplaySql +
         "\nSELECT id, simhash FROM fp ORDER BY id"),
+    "m5_embed_batched" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(text) AS hx FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |  list_transform(generate_series(0, 7), j -> ('0x' || substr(hx, j * 4 + 1, 4))::BIGINT) AS ks
+        |  FROM h
+        |)
+        |SELECT doc_id, 8::BIGINT AS n_dims, list_sum(ks)::BIGINT AS int_sum,
+        |md5(array_to_string(list_transform(ks, x -> x::VARCHAR), ',')) AS e_md5,
+        |round(sqrt(list_sum(list_transform(ks, k -> (k / 65535.0 * 2 - 1) * (k / 65535.0 * 2 - 1)))), 4) AS norm
+        |FROM c ORDER BY doc_id""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |CASE WHEN substring(text, 1, 3) = 'the' THEN 'type_the'

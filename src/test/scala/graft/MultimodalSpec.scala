@@ -55,6 +55,19 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(3L)) > 12, s"distinct hamming ${hamming(fp(1L), fp(3L))}")
   }
 
+  test("m5: batched embedding is invariant to batch size and partitioning") {
+    val src = docs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    val a = BinaryOps.embedBatched(src.repartition(1), batchSize = 3)
+      .collect().sortBy(_.id).toSeq
+    val b = BinaryOps.embedBatched(src.repartition(8), batchSize = 16)
+      .collect().sortBy(_.id).toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+    // one output row per input, 8 stub dims each
+    assert(a.length === docs.count())
+    assert(a.forall(_.nDims === 8))
+  }
+
   test("mapPartitions decoder stub: deterministic energies, schema intact") {
     val input = docs.limit(50)
       .select(col("doc_id"), lit(0).as("idx"), col("payload"))

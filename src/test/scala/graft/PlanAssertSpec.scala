@@ -116,14 +116,18 @@ class PlanAssertSpec extends SparkSpec {
       tree.mkString("\n"))
   }
 
-  test("q34: EXISTS decorrelates to a pre-agg + one join; date filter reaches the orders scan") {
+  test("q34: EXISTS = broadcast of the date-filtered orders slice; map-side predicate") {
     val p = plan("q34_order_priority")
-    // lineitem rolls up to per-order max BEFORE any join, combining map-side
-    assert(p.contains("partial_max"), p.take(3000))
+    // the windowed orders slice broadcasts into the fact scan — no
+    // fact-side shuffle before the EXISTS dedup
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
     // the quarter filter is pushed into the orders parquet scan
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
-    // no correlated re-probe: lineitem is scanned exactly once
+    // no correlated re-probe: lineitem is scanned exactly once, and
+    // only its two needed columns
     assert("lineitem\\.parquet".r.findAllIn(p).length === 1, p.take(3000))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>"), p.take(3000))
   }
 
   test("q36: the top-20 cut runs before the customer/nation dim joins") {
