@@ -12,10 +12,13 @@ class ConcurrencySpec extends SparkSpec {
     "t2_quality", "m3_quantize", "s1_knn_brute",
     // d9 exercises concurrent function registration + the per-call
     // uniquified bench view behind its bloom scalar subquery; d10
-    // runs eager CC jobs inside query construction; q26 a multi-agg
-    "d9_decontaminate_bloom", "q26_retention_cohorts", "d10_semdedup")
+    // runs eager CC jobs inside query construction; q26 a multi-agg;
+    // t18 a localCheckpoint dict + broadcast λ; m5 a mapPartitions
+    // encoder with per-partition digest state
+    "d9_decontaminate_bloom", "q26_retention_cohorts", "d10_semdedup",
+    "t18_dsir_sample", "m5_embed_batched")
 
-  test("nine queries running concurrently match their serial results") {
+  test("eleven queries running concurrently match their serial results") {
     import java.util.concurrent.{Callable, Executors, TimeUnit}
     val serial = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq).toMap

@@ -65,6 +65,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.ivfKnn(corpus, "embedding", "vec_id", noQueries, 5).count() === 0)
   }
 
+  test("range search and batched embedding handle empty/degenerate input") {
+    val queries = Seq((0L, Array.fill(64)(1.0f))).toDF("q_id", "q_vec")
+    val noQueries = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_vec")
+    assert(Similarity.rangeSearch(noVecs, "embedding", "vec_id", queries, 0.5).count() === 0)
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(Similarity.rangeSearch(corpus, "embedding", "vec_id", noQueries, 0.5).count() === 0)
+    // radius above any attainable cosine: empty, not an error
+    assert(Similarity.rangeSearch(corpus, "embedding", "vec_id", queries, 1.1).count() === 0)
+
+    import graft.multimodal.BinaryOps
+    val noPayloads = Seq.empty[(Long, Array[Byte])].toDS()
+    assert(BinaryOps.embedBatched(noPayloads).count() === 0)
+    // batch larger than the data still yields one row per input
+    val two = Seq((1L, "abc".getBytes), (2L, Array.empty[Byte])).toDS()
+    val out = BinaryOps.embedBatched(two, batchSize = 100).collect().sortBy(_.id)
+    assert(out.length === 2)
+    assert(out.forall(_.nDims === 8))
+  }
+
+  test("incremental read rejects unknown versions; empty delta keeps schema") {
+    import graft.sources.ParquetLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_edge").toString
+    graft.queries.events(spark, sf).limit(10)
+      .select("event_id", "user_id", "event_type", "ts_ms")
+      .createOrReplaceTempView("incr_edge_src")
+    ParquetLake.writePartitioned(
+      spark.table("incr_edge_src"), dir, "ts_ms", sortCols = Seq("user_id"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    intercept[IllegalArgumentException] {
+      ParquetLake.readIncremental(spark, dir, fromVersion = 99).count()
+    }
+    val empty = ParquetLake.readIncremental(spark, dir, v1, Some(v1))
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("event_id"))
+  }
+
   test("connected components of an empty edge set is empty (both paths)") {
     val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(ConnectedComponents.run(noEdges).count() === 0)
