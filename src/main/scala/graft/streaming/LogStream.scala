@@ -77,6 +77,29 @@ object LogStream {
         col("w_start"), (col("pos") + 1).cast("long").as("rank"),
         col("e.item").as("item"), col("e.count").as("n"))
 
+  /** Streaming windowed quantiles: a per-tumbling-window
+    * approx_percentile sketch over a numeric column. Like st14's
+    * top-k, the aggregation buffer is ONE mergeable quantile summary
+    * per window (size bounded by `accuracy`), not the window's
+    * values — streaming state is O(live windows × summary size),
+    * independent of row count or value cardinality. Below the
+    * summary's compression threshold every sample is retained, so
+    * the emitted quantiles equal the batch percentile_approx of the
+    * same data exactly (spec st16); beyond it the documented
+    * rank-error bound (1/accuracy) applies.
+    */
+  def windowedQuantiles(
+      flat: DataFrame, value: Column, windowDur: String, watermarkDelay: String,
+      percentiles: Seq[Double], accuracy: Int = 10000): DataFrame =
+    flat
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withColumn("v", value.cast("double"))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(percentile_approx(
+        col("v"), array(percentiles.map(lit(_)): _*), lit(accuracy)).as("qs"))
+      .select(col("window.start").as("w_start"), col("qs"))
+
   /** Streaming exactly-once on re-delivered records: drop duplicate
     * log ids within the watermark horizon. Kinesis get_records is
     * at-least-once (the reference re-polls shard iterators and can

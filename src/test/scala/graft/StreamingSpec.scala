@@ -93,6 +93,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("st16: streaming windowed quantiles match batch percentile_approx exactly") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val q = LogStream.windowedQuantiles(
+        LogStream.parse(stream), col("fields")("user_id"),
+        "1 hour", "10 minutes", Seq(0.5, 0.9, 0.99))
+      .writeStream.format("memory").queryName("st16_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("st16_out")
+      .select(unix_millis(col("w_start")).as("w"), col("qs"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // same sketch below its compression threshold retains every
+    // sample → streaming ≡ batch, element for element
+    val batch = events(spark, sf)
+      .groupBy((expr("ts_ms div 3600000") * 3600000L).as("w"))
+      .agg(percentile_approx(col("user_id").cast("double"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("st4: dropDuplicatesWithinWatermark restores exactly-once on re-delivery") {
     // simulate Kinesis at-least-once: the same payload files delivered twice
     val dir = Files.createTempDirectory("graft_stream_redeliver").toString
