@@ -779,6 +779,39 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // TPC-H Q9 shape: product-line profit by nation and order year —
+    // the widest join tree in the suite (lineitem ⋈ part ⋈ supplier ⋈
+    // nation ⋈ orders). Every dim broadcasts (part pre-filtered by the
+    // name predicate, carrying only key + cost); orders is the one
+    // fact-fact shuffle. No partsupp/supplycost exists in this schema,
+    // so the list price stands in as unit cost (a fractional factor
+    // like TPC-H's would push the decimal product past 38 digits and
+    // both engines round differently there) — same plan shape as the
+    // real Q9, every intermediate an exact decimal.
+    "q39_product_profit" -> ((s, dir) => {
+      val gearParts = broadcast(table(s, dir, "part")
+        .where(col("p_name").like("%gear%"))
+        .select(col("p_partkey"), dec(col("p_retailprice")).as("unit_cost")))
+      val amount =
+        dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))) -
+          col("unit_cost") * dec(col("l_quantity"))
+      table(s, dir, "lineitem")
+        .join(gearParts, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        // roll up to (order, nation) grain BEFORE the one fact-fact
+        // join: the partial combines map-side, and the orders-side
+        // sort-merge sees ~lines/fan-in rows instead of lines
+        .groupBy(col("l_orderkey"), col("n_name").as("nation"))
+        .agg(sum(amount).as("amount"), count(lit(1)).as("n"))
+        .join(table(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(round(sum(col("amount")), 2).cast("double").as("profit"),
+          sum(col("n")).as("n_lines"))
+        .orderBy("nation", "yr")
+    }),
+
     // TPC-H Q14 shape: promo revenue share per ship month. Part is a
     // broadcast dim carrying only (key, type); numerator and
     // denominator are one conditional decimal sum over a single fact
@@ -858,6 +891,18 @@ object AnalyticsQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q39_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS yr,
+        |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))
+        |  - p_retailprice::DECIMAL(18,4) * l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS profit,
+        |count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q38_promo_share" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS mon,
         |round(sum(CASE WHEN p_type = 'PROMO'

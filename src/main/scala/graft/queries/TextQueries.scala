@@ -373,6 +373,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic training-order shuffle: a reproducible global
+    // permutation + fixed-size chunk assignment — ORDER BY a salted
+    // md5 of the id, no RNG, identical on any cluster size. The
+    // global rank is assigned SCALABLY: bucket on the hash's first
+    // byte (a prefix of the sort key, so bucket-major order IS the
+    // global order), rank within each bucket's partition, then add
+    // the 256-row broadcast table of cumulative bucket offsets —
+    // never a single-partition window over the data. At 100 TB this
+    // replaces the one full sort a training-export pipeline pays.
+    "t19_global_shuffle" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val b = table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":epoch0"))).as("h"))
+        .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+      val offs = b.groupBy("bkt").agg(count(lit(1)).as("n"))
+        .withColumn("off",
+          coalesce(sum("n").over(
+            W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      b.join(broadcast(offs), Seq("bkt"))
+        .withColumn("r_in_b", row_number().over(
+          W.partitionBy("bkt").orderBy("h", "doc_id")).cast("long"))
+        .select(col("doc_id"),
+          (col("off") + col("r_in_b")).as("shuffle_rank"))
+        .withColumn("chunk", ((col("shuffle_rank") - 1) / 64).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -382,6 +411,14 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t19_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR || ':epoch0') AS h FROM documents
+        |), r AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS shuffle_rank FROM h
+        |)
+        |SELECT doc_id, shuffle_rank, (shuffle_rank - 1) // 64 AS chunk
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t17_gopher_rules" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t

@@ -165,6 +165,23 @@ class PlanAssertSpec extends SparkSpec {
     assert(tree.count(_.contains("- Exchange")) === 1, tree.mkString("\n"))
   }
 
+  test("q39: the five-way join tree is all broadcasts off one fact scan") {
+    val p = plan("q39_product_profit")
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("BroadcastHashJoin")) === 4, tree.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("lineitem\\.parquet".r.findAllIn(p).length === 1, p.take(3000))
+  }
+
+  test("t19: the global rank is bucket-partitioned — no single-partition window over the data") {
+    val p = plan("t19_global_shuffle")
+    // the per-row row_number window must carry the bkt partition spec;
+    // only the 256-row offsets window is allowed to be global
+    assert(p.contains("row_number() windowspecdefinition(bkt"), p.take(4000))
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("Window")) === 2, tree.mkString("\n"))
+  }
+
   test("q26: the cohort scan reads only (ts, user_id); no wide columns") {
     val p = plan("q26_retention_cohorts")
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p.take(3000))
