@@ -429,6 +429,26 @@ object Dedup {
       .select(col("id"), col("c_id"), col("keep"))
   }
 
+  /** One-call corpus-level fuzzy dedup — the composition a training
+    * pipeline actually runs: MinHash-LSH candidates → exact n-gram
+    * Jaccard verification → connected components over the verified
+    * pairs → keep the min-id representative of each dup group.
+    * Returns one row per input doc: (id, keep). The text twin of
+    * [[semDedup]]; every stage keeps the documented scale shape of
+    * its standalone row (d2 candidates, d4 verify, d7 clustering),
+    * so the one-call form adds no new wide operation.
+    */
+  def dedupCorpus(
+      df: DataFrame, textCol: String, idCol: String, minJaccard: Double): DataFrame = {
+    val pairs = jaccardVerified(df, textCol, idCol, minJaccard)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.run(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("keep", col("component").isNull || col("component") === col("id"))
+      .select(col("id"), col("keep"))
+  }
+
   /** Benchmark decontamination with a bloom prefilter — the scale
     * path of d6 for when the held-out set's shingle dictionary is too
     * large to broadcast as strings. Same contract and EXACT same

@@ -106,6 +106,70 @@ object Similarity {
     topKOut(scored, k)
   }
 
+  /** All-corpus kNN join: every item's approximate top-k neighbors —
+    * the workhorse behind near-dup mining, diversity sampling, and
+    * similarity-graph building over a whole embedding table. Same
+    * hyperplane-LSH candidate scheme as [[lshKnn]], but the probe
+    * side IS the corpus, so candidates pair up via a SHUFFLE
+    * equi-join on the bucket key — never a broadcast of the corpus;
+    * each side carries only (id, vec, bucket), and the bucket
+    * signatures are computed once (checkpointed) and read by both
+    * sides. A (query, neighbor) pair meets in exactly one
+    * (probe, bucket) task (the neighbor's bucket matches at most one
+    * of the query's probe values), so no distinct is needed; top-k
+    * per item via the bounded-heap aggregate, ≤ k rows per partition
+    * per item crossing the final shuffle.
+    *
+    * Three scale hazards, each handled where it bites (all three
+    * were MEASURED failures on the sf1 clustered corpus, not
+    * hypotheticals):
+    *   - partitioning: a single parquet file arrives as ONE
+    *     partition and the checkpoint freezes that; with the (tiny)
+    *     data side broadcast, the whole compare pass would run
+    *     narrow in one task (184s single-threaded → spread to cores
+    *     first);
+    *   - bucket count: buckets must scale with the corpus or
+    *     in-bucket pair work grows quadratically — `numPlanes <= 0`
+    *     (the default) sizes planes as log2(N/256), i.e. ~256-vector
+    *     buckets at any N (13.3s at 4 planes → 4.7s at the auto 6,
+    *     sf1); pass an explicit count to pin reproducible buckets
+    *     (the oracle replays plane literals);
+    *   - skew: bucket skew is COMPUTE skew, not byte skew — a fat
+    *     bucket's join INPUT is a few MB (AQE's size-based skew
+    *     splitting never fires) while its join OUTPUT is quadratic
+    *     in the bucket; the data side salts deterministically
+    *     (`n_id mod salts`) and probes replicate across salts, so
+    *     the identical pair set spreads over `salts` tasks.
+    */
+  def knnJoin(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, numPlanes: Int = 0, dim: Int = 64, salts: Int = 16): DataFrame = {
+    val e = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = false)
+    val nP =
+      if (numPlanes > 0) numPlanes
+      else math.max(2, math.ceil(math.log(e.count() / 256.0) / math.log(2)).toInt)
+    val planes = hyperplanes(nP, dim)
+    // bucketOf is nP cosine kernels per row — cheap enough to compute
+    // on each side of the checkpointed base rather than checkpoint a
+    // second relation
+    val data = e.withColumn("bucket", bucketOf(col("n_vec"), planes))
+      .withColumn("d_salt", pmod(col("n_id"), lit(salts)))
+    val probes = e
+      .withColumn("bucket", bucketOf(col("n_vec"), planes))
+      .select(
+        col("n_id").as("q_id"), col("n_vec").as("q_vec"),
+        explode(array(col("bucket") +: (0 until nP).map(b =>
+          col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("probe"))
+      .withColumn("p_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val scored = data.join(probes,
+        col("bucket") === col("probe") && col("d_salt") === col("p_salt"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
+    topKOut(scored, k)
+  }
+
   /** IVF-style ANN: the corpus is partitioned into `nlist` inverted
     * lists by nearest coarse centroid; each query scores only its
     * `nprobe` closest lists (~nprobe/nlist of the corpus). Centroids

@@ -93,6 +93,16 @@ object DedupQueries {
       Dedup.semDedup(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
         .orderBy("id")),
 
+    // one-call corpus dedup: LSH candidates → exact Jaccard verify →
+    // connected components → keep min-id representative per group
+    // (the composition of d2/d4/d7 as a single operator; oracle
+    // extends d7's recursive-CTE replay with the keep projection)
+    "d13_dedup_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Dedup.dedupCorpus(table(s, dir, "documents"), "text", "doc_id", 0.5)
+        .orderBy("id")
+    }),
+
     // near-dup clustering: verified pairs → connected components →
     // (id, component, cluster_size); the keep-one-per-cluster step of
     // a dedup pipeline (see operators.ConnectedComponents)
@@ -230,6 +240,25 @@ object DedupQueries {
         |  len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jac >= 0.5 ORDER BY 1, 2""".stripMargin),
+    "d13_dedup_corpus" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
+      """, pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |), ed AS (
+        |  SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM ed
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id AS id, coalesce(c.component = d.doc_id, TRUE) AS keep
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY 1""".stripMargin),
     "d7_dup_clusters" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
       """, pr AS (
         |  SELECT id_a, id_b FROM (

@@ -41,6 +41,16 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // all-corpus kNN join: every item's approximate top-5 neighbors —
+    // shuffle equi-join on the LSH bucket key, corpus never broadcast
+    // (deterministic planes → full DuckDB replay, like s2).
+    "s6_knn_join" -> ((s, dir) =>
+      Similarity.knnJoin(
+        table(s, dir, "embeddings"), "embedding", "vec_id", k = 5,
+        numPlanes = 4) // pinned: the oracle replays these 4 plane literals
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
     // similarity range search: every neighbor within cos ≥ 0.25 of
     // each query — no top-k, pure map-side scan filter.
     "s5_range_search" -> ((s, dir) =>
@@ -96,6 +106,32 @@ object SimilarityQueries {
          |)
          |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+    "s6_knn_join" -> {
+      def bit(p: Int): String =
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), w AS (
+         |  SELECT $lshPlanesSql AS pl
+         |), b AS (
+         |  SELECT vec_id, v,
+         |  ${(0 until 4).map(bit).mkString(" + ")} AS bucket
+         |  FROM e, w
+         |), probes AS (
+         |  SELECT vec_id AS q_id, v AS qv,
+         |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+         |  FROM b
+         |), sc AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+         |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS c
+         |  FROM b a JOIN probes ON a.bucket = probe WHERE a.vec_id <> q_id
+         |), r AS (
+         |  SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM sc
+         |)
+         |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
     "s5_range_search" ->
       """WITH e AS (

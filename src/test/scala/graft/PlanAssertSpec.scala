@@ -182,6 +182,28 @@ class PlanAssertSpec extends SparkSpec {
     assert(tree.count(_.contains("Window")) === 2, tree.mkString("\n"))
   }
 
+  test("s6: kNN join reads one checkpointed bucket relation; bounded-heap top-k; no cartesian") {
+    val p = plan("s6_knn_join")
+    // bucket signatures are computed once — both join sides read the
+    // same materialized leaf
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    assert(p.contains("partial_graft_topk"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("d13: one-call dedup tail joins only labels — no text machinery in the visible plan") {
+    // the candidate/verify/CC stages run behind materialization
+    // boundaries (d2's checkpoint, CC's per-round checkpoints; at
+    // test SF the labels collapse to CC's bounded driver fast path →
+    // LocalTableScan, at scale an ExistingRDD leaf like d7): the
+    // returned plan must be just docs ⋈ labels, with no shingling
+    // expression anywhere
+    val p = plan("d13_dedup_corpus")
+    assert(!p.toLowerCase.contains("regexp_replace"), p.take(3000))
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin LeftOuter") || p.contains("SortMergeJoin LeftOuter"), p.take(3000))
+  }
+
   test("q26: the cohort scan reads only (ts, user_id); no wide columns") {
     val p = plan("q26_retention_cohorts")
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p.take(3000))

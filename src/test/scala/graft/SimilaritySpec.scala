@@ -73,6 +73,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("s6: corpus kNN join matches the equivalent per-query LSH run and keeps recall") {
+    // the salted shuffle self-join must produce exactly the pairs the
+    // broadcast lshKnn produces when every item is a query
+    val allAsQueries = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val viaLsh = Similarity.lshKnn(emb, "embedding", "vec_id", allAsQueries, 5)
+      .select("q_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val viaJoin = Similarity.knnJoin(emb, "embedding", "vec_id", 5, numPlanes = 4)
+      .select("q_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(viaJoin === viaLsh)
+    // auto plane sizing returns one row set per item too
+    val auto = Similarity.knnJoin(emb, "embedding", "vec_id", 5)
+    assert(auto.select("q_id").distinct().count() === emb.count())
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
