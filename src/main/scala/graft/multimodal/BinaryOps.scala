@@ -62,6 +62,23 @@ object BinaryOps {
       .select(col("id"),
         lpad(hex(graft.functions.simhash64(col("toks"))), 16, "0").as("simhash"))
 
+  /** Modality routing: write a mixed binary corpus partitioned by the
+    * sniffed format tag, so each modality's downstream pipeline
+    * (image decode, audio resample, text tokenize) scans ONLY its own
+    * `format=...` directories — directory-level pruning does the
+    * routing at read time, no per-row filtering of the other
+    * modalities' bytes. The sniff is [[withMeta]]'s magic-prefix
+    * heuristic; `repartition(format)` keeps one writer task per
+    * modality partition (no tiny-file fanout at 100 TB — compaction
+    * handles the rest, see ParquetLake.compact).
+    */
+  def routeByModality(df: DataFrame, binCol: String, idCol: String, outPath: String): Unit =
+    withMeta(df, binCol)
+      .select(col(idCol).as("id"), col(binCol).as("payload"),
+        col("n_bytes").cast("long").as("n_bytes"), col("format"))
+      .repartition(col("format"))
+      .write.mode("overwrite").partitionBy("format").parquet(outPath)
+
   /** One stub "embedding" row per input payload: the 8 ints are the
     * md5 hex digest split into 4-hex-digit chunks (the deterministic
     * stand-in for model logits); norm is computed from them in fixed

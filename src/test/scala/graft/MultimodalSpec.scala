@@ -68,6 +68,26 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(_.nDims === 8))
   }
 
+  test("m6: modality routing writes format= partitions and per-modality reads prune") {
+    val out = java.nio.file.Files.createTempDirectory("graft_route").toString
+    BinaryOps.routeByModality(docs, "payload", "doc_id", out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("format=")), dirs.mkString(","))
+    // routed counts match the sniff, nothing lost or duplicated
+    val expected = BinaryOps.withMeta(docs, "payload")
+      .groupBy("format").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val routed = spark.read.parquet(out)
+      .groupBy("format").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(routed === expected)
+    // a single-modality read prunes at the directory level
+    val one = spark.read.parquet(out).where(col("format") === "type_raw")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("format"), plan.take(2000))
+    assert(one.count() === expected("type_raw"))
+  }
+
   test("mapPartitions decoder stub: deterministic energies, schema intact") {
     val input = docs.limit(50)
       .select(col("doc_id"), lit(0).as("idx"), col("payload"))
