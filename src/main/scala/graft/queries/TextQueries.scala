@@ -402,6 +402,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // contamination-aware train split: t5's deterministic hash split
+    // composed with d6's decontamination — corpus docs sharing any
+    // word-3-gram shingle with the held-out benchmark slice land in
+    // a "quarantine" split instead of train/dev/test. The bench
+    // shingle set broadcasts (d6's shape); the split assignment stays
+    // pure hash arithmetic; one aggregate over (split, lang).
+    "t20_decon_split" -> ((s, dir) => {
+      val isBench = col("doc_id") % 97 === 0
+      // shingle ONCE into a checkpointed relation (d6's shape); the
+      // bench and corpus sides partition it disjointly. The final
+      // metadata join reads the column-pruned parquet scan directly —
+      // no text there.
+      val sh = table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), T.wordShingles(T.tokens(col("text"))).as("ss"))
+        .localCheckpoint(eager = false)
+      val benchShingles = sh.where(isBench)
+        .select(explode(col("ss")).as("sng")).distinct()
+      val contaminated = sh.where(!isBench)
+        .select(col("doc_id"), explode(col("ss")).as("sng"))
+        .join(broadcast(benchShingles), "sng")
+        .select("doc_id").distinct()
+        .withColumn("contam", lit(1))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .where(!isBench)
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("split",
+          when(col("contam").isNotNull, "quarantine")
+            .when(bucket < 80, "train")
+            .when(bucket < 90, "dev")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("split", "lang")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -411,6 +450,31 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t20_decon_split" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT unnest(s) AS sng FROM sh WHERE doc_id % 97 = 0
+        |), contam AS (
+        |  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS sng FROM sh WHERE doc_id % 97 <> 0) x
+        |  JOIN bench USING (sng)
+        |), lbl AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN c.doc_id IS NOT NULL THEN 'quarantine'
+        |       WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 90 THEN 'dev'
+        |       ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN contam c USING (doc_id)
+        |  WHERE d.doc_id % 97 <> 0
+        |)
+        |SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |FROM lbl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t19_global_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5(doc_id::VARCHAR || ':epoch0') AS h FROM documents
