@@ -812,6 +812,30 @@ object AnalyticsQueries {
         .orderBy("nation", "yr")
     }),
 
+    // TPC-H Q16 shape: supplier variety per part attribute with a
+    // NOT-IN supplier exclusion. lineitem serves as the part-supplier
+    // relation (no partsupp in this schema). The NOT IN decorrelates
+    // to a broadcast left_anti; the (partkey, suppkey) distinct runs
+    // FIRST (combining map-side) so everything downstream handles
+    // deduped pairs; the final count is a plain count over a second
+    // distinct at the output grain — never a count(distinct) Expand
+    // over fact rows.
+    "q40_supplier_variety" -> ((s, dir) => {
+      val excluded = table(s, dir, "supplier")
+        .where(col("s_name").like("%7")).select("s_suppkey")
+      table(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(table(s, dir, "part")
+          .where(col("p_size") <= 10).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("p_size").cast("long").as("p_size"), col("l_suppkey"))
+        .distinct()
+        .groupBy("p_brand", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy("p_brand", "p_size")
+    }),
+
     // TPC-H Q14 shape: promo revenue share per ship month. Part is a
     // broadcast dim carrying only (key, type); numerator and
     // denominator are one conditional decimal sum over a single fact
@@ -891,6 +915,14 @@ object AnalyticsQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q40_supplier_variety" ->
+      """SELECT p_brand, p_size::BIGINT AS p_size,
+        |count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q39_product_profit" ->
       """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS yr,
         |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))
