@@ -453,6 +453,31 @@ object AnalyticsQueries {
     // estimate without rescanning — the mergeable-summary pattern that
     // makes 100 TB distinct-counting a map-side pass + tiny reduce.
     // Engine-specific bytes → rows-only + spec a2.
+    // sketch-reuse rolling distinct: per-day HLL sketches are built
+    // ONCE from the fact; every trailing-7-day distinct-user estimate
+    // then merges 7 tiny sketches — at 100 TB the rolling series
+    // never rescans or reshuffles events, only sketch bytes move, and
+    // the day-grain relation is bounded by the calendar regardless of
+    // corpus size (so its range self-join is broadcast-class). The
+    // recount alternative shuffles user_ids once per window offset.
+    // HLL estimates are engine-specific → rows-only + AnalyticsSpec
+    // tolerance check vs the exact rolling distinct.
+    "a7_rolling_distinct" -> ((s, dir) => {
+      val perDay = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+        .localCheckpoint(eager = false) // feeds both sides of the window join
+      perDay.select(col("d").as("d0"))
+        .join(perDay, datediff(col("d0"), col("d")).between(0, 6))
+        .groupBy("d0")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users_7d"),
+          sum("n_events").as("n_events_7d"))
+        .select(date_format(col("d0"), "yyyy-MM-dd").as("d"),
+          col("approx_users_7d"), col("n_events_7d"))
+        .orderBy("d")
+    }),
+
     "a2_sketch_merge" -> ((s, dir) => {
       val sk = events(s, dir)
         .groupBy("event_type")

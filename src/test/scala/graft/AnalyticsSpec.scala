@@ -82,6 +82,24 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("approx_users") > 0))
   }
 
+  test("a7: rolling 7-day HLL estimates track the exact rolling distinct within 5%") {
+    import org.apache.spark.sql.functions._
+    val approx = AnalyticsQueries.queries("a7_rolling_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("d") -> r.getAs[Long]("approx_users_7d")).toMap
+    val ev = graft.queries.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val exact = ev.select(col("d").as("d0")).distinct()
+      .join(ev, datediff(col("d0"), col("d")).between(0, 6))
+      .groupBy("d0").agg(countDistinct("user_id").as("exact_users"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("d0").toString -> r.getAs[Long]("exact_users")).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (d, a) =>
+      val e = exact(d)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"day $d approx=$a exact=$e")
+    }
+  }
+
   test("a3: approx quantiles land within rank tolerance of the exact answer") {
     import org.apache.spark.sql.functions._
     val approx = AnalyticsQueries.queries("a3_approx_quantiles")(spark, sf).collect()
