@@ -16,9 +16,11 @@ class ConcurrencySpec extends SparkSpec {
     // t18 a localCheckpoint dict + broadcast λ; m5 a mapPartitions
     // encoder with per-partition digest state
     "d9_decontaminate_bloom", "q26_retention_cohorts", "d10_semdedup",
-    "t18_dsir_sample", "m5_embed_batched")
+    // t18 a localCheckpoint dict + broadcast λ; m5 a mapPartitions
+    // encoder; s6 a salted checkpointed self-join
+    "t18_dsir_sample", "m5_embed_batched", "s6_knn_join")
 
-  test("eleven queries running concurrently match their serial results") {
+  test("twelve queries running concurrently match their serial results") {
     import java.util.concurrent.{Callable, Executors, TimeUnit}
     val serial = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq).toMap
