@@ -14,10 +14,9 @@ class ConcurrencySpec extends SparkSpec {
     // uniquified bench view behind its bloom scalar subquery; d10
     // runs eager CC jobs inside query construction; q26 a multi-agg;
     // t18 a localCheckpoint dict + broadcast λ; m5 a mapPartitions
-    // encoder with per-partition digest state
+    // encoder with per-partition digest state; s6 a salted
+    // checkpointed self-join
     "d9_decontaminate_bloom", "q26_retention_cohorts", "d10_semdedup",
-    // t18 a localCheckpoint dict + broadcast λ; m5 a mapPartitions
-    // encoder; s6 a salted checkpointed self-join
     "t18_dsir_sample", "m5_embed_batched", "s6_knn_join")
 
   test("twelve queries running concurrently match their serial results") {
