@@ -429,12 +429,21 @@ object ParquetLake {
     * exactly the snapshot's files, whatever concurrent maintenance is
     * doing to the directories. `basePath` keeps the
     * `p_date=`/`shard=` partition columns.
+    *
+    * `mergeSchema = true` enables additive schema evolution: a
+    * snapshot whose newer files carry extra columns reads as the
+    * union schema, with nulls for rows from older files — the
+    * standard way a long-lived lake gains a column without rewriting
+    * history (the footer-merge cost is per-FILE and paid at planning
+    * time, so keep it off for fixed-schema reads).
     */
   def readManifested(
-      spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+      spark: SparkSession, path: String, version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = readManifest(spark, path, version).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
     spark.read.option("basePath", path)
+      .option("mergeSchema", mergeSchema)
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 

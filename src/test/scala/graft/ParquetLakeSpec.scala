@@ -491,6 +491,40 @@ class ParquetLakeSpec extends SparkSpec {
       .where(col("p_date").cast("string") === updPart)))
   }
 
+  test("lk17: additive schema evolution — new-column files join the snapshot, old rows read null") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("user_id"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val before = ParquetLake.readManifested(spark, dir)
+    val nBefore = before.count()
+
+    // a new ingest batch carries an extra column and lands in a fresh
+    // partition; the next manifest version lists old + new files
+    val maxId = before.agg(max("event_id")).head().getLong(0)
+    val pdir = new java.io.File(dir, "p_date=2031-01-01")
+    before.orderBy("event_id").limit(5)
+      .withColumn("event_id", col("event_id") + lit(maxId + 1))
+      .withColumn("schema_rev", lit(2L))
+      .drop("p_date")
+      .coalesce(1).write.parquet(pdir.toString)
+    val newFiles = pdir.listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => s"p_date=2031-01-01/${f.getName}").toSeq
+    val v2 = ParquetLake.commitManifest(
+      spark, dir, ParquetLake.readManifest(spark, dir, Some(v1)).get ++ newFiles)
+
+    // evolved read: union schema, nulls for pre-evolution rows
+    val evolved = ParquetLake.readManifested(spark, dir, Some(v2), mergeSchema = true)
+    assert(evolved.columns.contains("schema_rev"))
+    assert(evolved.count() === nBefore + 5)
+    assert(evolved.where(col("schema_rev").isNull).count() === nBefore)
+    assert(evolved.where(col("schema_rev") === 2L).count() === 5)
+    // time travel to v1 never sees the new column
+    assert(!ParquetLake.readManifested(spark, dir, Some(v1), mergeSchema = true)
+      .columns.contains("schema_rev"))
+  }
+
   test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
     val dir = fragmentedLake()
     val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
