@@ -441,6 +441,39 @@ object TextQueries {
         .orderBy("split", "lang")
     }),
 
+    // per-source corpus report: the pipeline dashboard row — doc and
+    // token accounting, duplicate share (bag-of-words fingerprints
+    // appearing more than once corpus-wide), and mean quality score
+    // (t2's formula), one aggregate per source. The dup-fingerprint
+    // set is corpus-output-sized but only (fp) strings broadcast; all
+    // ratios computed in exact integers until the final division.
+    "t21_corpus_report" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("stop_cnt", markerCount(col("toks"), Seq("the", "a")))
+        .withColumn("sum_len",
+          aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+        .withColumn("score",
+          least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.5 +
+            col("stop_cnt").cast("double") / col("n_tok") * 0.3 +
+            when(col("sum_len").cast("double") / col("n_tok") >= 3.0 &&
+              col("sum_len").cast("double") / col("n_tok") <= 8.0, 0.2).otherwise(0.0))
+        .withColumn("fp", T.bowFingerprint(col("text")))
+        .localCheckpoint(eager = false) // feeds the dup-fp set and the report agg
+      val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).select(col("fp"), lit(1L).as("isdup"))
+      docs.join(broadcast(dupFps), Seq("fp"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum(coalesce(col("isdup"), lit(0L))).as("dup_docs"),
+          round(sum(coalesce(col("isdup"), lit(0L))).cast("double") / count(lit(1)), 4).as("dup_frac"),
+          round(avg("score"), 4).as("mean_score"))
+        .orderBy("source")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -450,6 +483,31 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t21_corpus_report" ->
+      """WITH x AS (
+        |  SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,
+        |  md5(array_to_string(list_sort(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS fp
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, fp, len(t) AS n_tok,
+        |  len(list_filter(t, w -> w IN ('the', 'a'))) AS stop_cnt,
+        |  list_sum(list_transform(t, s -> length(s)))::BIGINT AS sum_len
+        |  FROM x
+        |), dup AS (
+        |  SELECT fp, 1 AS isdup FROM m GROUP BY fp HAVING count(*) > 1
+        |), sc AS (
+        |  SELECT source, n_tok,
+        |  coalesce(isdup, 0) AS isdup,
+        |  least(n_tok, 100)::DOUBLE / 100.0 * 0.5 + stop_cnt::DOUBLE / n_tok * 0.3 +
+        |    (CASE WHEN sum_len::DOUBLE / n_tok >= 3.0 AND sum_len::DOUBLE / n_tok <= 8.0
+        |     THEN 0.2 ELSE 0.0 END) AS score
+        |  FROM m LEFT JOIN dup USING (fp)
+        |)
+        |SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |sum(isdup)::BIGINT AS dup_docs,
+        |round(sum(isdup)::DOUBLE / count(*), 4) AS dup_frac,
+        |round(avg(score), 4) AS mean_score
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "t20_decon_split" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, n_chars, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
