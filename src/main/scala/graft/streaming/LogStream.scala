@@ -169,6 +169,33 @@ object LogStream {
       .drop(r(key))
   }
 
+  /** Left-outer variant of [[joinWithin]]: unmatched left rows emit
+    * null-padded once the watermark passes their last possible match
+    * time — the streaming twin of a batch left join. State stays
+    * bounded exactly as in the inner form; the time bounds on BOTH
+    * event-time columns are what make outer emission (equivalently,
+    * state eviction with a verdict) decidable. Rows younger than the
+    * final watermark remain in state, matching the unbounded-stream
+    * contract.
+    */
+  def joinWithinOuter(
+      left: DataFrame, right: DataFrame, key: String,
+      lookbackMs: Long, watermarkDelay: String): DataFrame = {
+    val l = left
+      .withColumn("l_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("l_time", watermarkDelay)
+    val r = right
+      .select(col(key), col("timestamp_ms").as("r_ts_ms"))
+      .withColumn("r_time", timestamp_millis(col("r_ts_ms")))
+      .withWatermark("r_time", watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $lookbackMs MILLISECONDS") &&
+        col("r_time") <= col("l_time"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** One-shot drain: run the streaming pipeline with
     * Trigger.AvailableNow — process everything the source has at
     * start, then terminate on its own. The Spark twin of the

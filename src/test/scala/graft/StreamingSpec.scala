@@ -203,6 +203,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("st6_out").count() === expected)
   }
 
+  test("st17: left-outer interval join emits null-padded rows exactly for watermark-expired non-matches") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    def side(et: String) = LogStream.parse(stream)
+      .withColumn("event_type", col("fields")("event_type"))
+      .withColumn("user_id", col("fields")("user_id").cast("long"))
+      .where(col("event_type") === et)
+      .select("log_id", "user_id", "timestamp_ms")
+    val q = LogStream.joinWithinOuter(side("error"), side("click"), "user_id",
+      lookbackMs = 3600000L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("st17_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val ev = events(spark, sf)
+    val be = ev.where(col("event_type") === "error")
+      .select(col("event_id").cast("string").as("b_id"), col("user_id"), col("ts_ms"))
+    val bc = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("ts_ms").as("c_ms"))
+    // matched rows are identical to the inner join
+    val out = spark.table("st17_out")
+    val innerExpected = be.join(bc,
+      col("user_id") === col("u2") &&
+        col("c_ms") >= col("ts_ms") - 3600000L && col("c_ms") <= col("ts_ms")).count()
+    assert(out.where(col("r_ts_ms").isNotNull).count() === innerExpected)
+    // null-padded rows: a subset of the batch non-matches, and
+    // complete for everything safely below the final watermark
+    val unmatched = be.join(bc,
+      col("user_id") === col("u2") &&
+        col("c_ms") >= col("ts_ms") - 3600000L && col("c_ms") <= col("ts_ms"), "left_anti")
+    val streamedNulls = out.where(col("r_ts_ms").isNull)
+      .select(col("log_id")).collect().map(_.getString(0)).toSet
+    val unmatchedAll = unmatched.select("b_id").collect().map(_.getString(0)).toSet
+    assert(streamedNulls.subsetOf(unmatchedAll),
+      s"${(streamedNulls -- unmatchedAll).take(5)} not in batch non-matches")
+    // the final watermark is min over the two sides' max event times
+    // (each side watermarks AFTER its type filter), minus the delay;
+    // an unmatched row strictly below it must have been emitted —
+    // and the side's own max row can never be (the watermark cannot
+    // pass it), which is the correct unbounded-stream contract
+    val maxErr = be.agg(max("ts_ms")).head().getLong(0)
+    val maxClk = bc.agg(max("c_ms")).head().getLong(0)
+    val wm = math.min(maxErr, maxClk) - 600000L
+    val mustEmit = unmatched.where(col("ts_ms") < wm - 60000L)
+      .select("b_id").collect().map(_.getString(0)).toSet
+    assert(mustEmit.subsetOf(streamedNulls),
+      s"missing ${(mustEmit -- streamedNulls).take(5)}")
+    assert(streamedNulls.nonEmpty)
+  }
+
   test("st7: stream writes land in the partitioned lake and read back pruned") {
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
