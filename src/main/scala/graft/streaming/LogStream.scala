@@ -77,6 +77,32 @@ object LogStream {
         col("w_start"), (col("pos") + 1).cast("long").as("rank"),
         col("e.item").as("item"), col("e.count").as("n"))
 
+  /** Declarative gap sessions via the built-in `session_window`
+    * aggregate — the Catalyst-native twin of the
+    * flatMapGroupsWithState sessionizer ([[sessionize]]): the state
+    * store merges overlapping session windows per key, sessions
+    * close (and emit, in append mode) when the watermark passes
+    * their end. Window end = last event + gap by definition of
+    * session_window, so `end - gap` recovers the last event time.
+    * Prefer this form when per-session logic is pure aggregation —
+    * it stays inside whole-stage codegen and needs no user state
+    * class; drop to flatMapGroupsWithState only for custom
+    * state/timeout semantics (st3/st8).
+    */
+  def sessionWindowCounts(
+      flat: DataFrame, key: Column, gapDur: String, watermarkDelay: String): DataFrame =
+    flat
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withColumn("k", key)
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("k"), session_window(col("event_time"), gapDur))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("k"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"))
+
   /** Streaming windowed quantiles: a per-tumbling-window
     * approx_percentile sketch over a numeric column. Like st14's
     * top-k, the aggregation buffer is ONE mergeable quantile summary

@@ -444,6 +444,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows(ParquetLake.readManifested(spark, lakeDir)) === expected)
   }
 
+  test("st18: built-in session_window sessions match batch gap sessions, closed-only") {
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("data", BinaryType))))
+      .parquet(payloadDir)
+    val q = LogStream.sessionWindowCounts(
+        LogStream.parse(stream), col("fields")("user_id").cast("long"),
+        "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("st18_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // session_window end = last event + gap; compare on
+    // (user, start, last-event, n) against the batch sessionizer
+    val streamed = spark.table("st18_out")
+      .select(col("k"), col("start_ms"), (col("end_ms") - 1800000L).as("last_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q8_sessionize")(spark, sf)
+      .select(col("user_id"), col("s_start_ms"), col("s_end_ms"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // append mode emits exactly the watermark-closed sessions: a
+    // session closes when the watermark passes its window end
+    // (last event + gap) — including a user's FINAL session if the
+    // user has been idle long enough (richer than st3's sessionizer,
+    // which parks final sessions in state forever)
+    val maxTs = events(spark, sf).agg(max("ts_ms")).head().getLong(0)
+    val wm = maxTs - 600000L
+    val expectedClosed = batch.filter(t => t._3 + 1800000L < wm)
+    assert(streamed === expectedClosed)
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
