@@ -624,6 +624,37 @@ object ParquetLake {
     commitManifest(spark, path, carried ++ moved)
   }
 
+  case class FsckReport(orphans: Seq[String], missing: Seq[String])
+
+  /** Lake fsck — the read-only integrity report an operator runs
+    * before trusting or cleaning a lake:
+    *   - `orphans`: data files on disk that NO retained manifest
+    *     references — crashed compaction/merge leftovers, i.e.
+    *     exactly [[vacuum]]'s deletion candidates;
+    *   - `missing`: manifest entries whose file is gone from disk —
+    *     external deletion; time travel to a version listing them
+    *     would fail, so this is the data-loss alarm.
+    * Costs two listings (manifests + partition dirs) and no data
+    * reads; the repair actions stay where they are (vacuum deletes
+    * orphans, recoverInterrupted finishes swaps) — fsck never
+    * mutates.
+    */
+  def fsck(spark: SparkSession, path: String): FsckReport = {
+    val (fs, root) = fsFor(spark, path)
+    val referenced: Set[String] = manifestVersions(fs, root).flatMap { case (v, _) =>
+      readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
+    }.toSet
+    val onDisk: Set[String] = fs.listStatus(root)
+      .filter(isPartitionDir)
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(f => s"${f.getPath.getParent.getName}/${f.getPath.getName}")
+      .toSet
+    FsckReport(
+      orphans = (onDisk -- referenced).toSeq.sorted,
+      missing = (referenced -- onDisk).toSeq.sorted)
+  }
+
   /** The only deletion point of the manifested lake. Drops manifest
     * versions older than the latest `keepVersions`, then deletes data
     * files referenced by NONE of the remaining manifests (replaced

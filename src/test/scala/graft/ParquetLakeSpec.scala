@@ -525,6 +525,32 @@ class ParquetLakeSpec extends SparkSpec {
       .columns.contains("schema_rev"))
   }
 
+  test("lk18: fsck reports orphans and missing files, and a healthy lake reports neither") {
+    val dir = Files.createTempDirectory("graft_fsck").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("user_id"))
+    ParquetLake.snapshotManifest(spark, dir)
+    val clean = ParquetLake.fsck(spark, dir)
+    assert(clean.orphans.isEmpty && clean.missing.isEmpty, clean.toString)
+
+    // a crashed maintenance run leaves an unreferenced file behind
+    val part = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date=")).head
+    val src = part.listFiles().filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(part, "part-orphan-leftover.parquet")
+    Files.copy(src.toPath, orphan.toPath)
+    // an externally deleted referenced file
+    val victimPart = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date=")).last
+    val victim = victimPart.listFiles().filter(_.getName.startsWith("part-")).head
+    assert(victim.delete())
+
+    val r = ParquetLake.fsck(spark, dir)
+    assert(r.orphans === Seq(s"${part.getName}/${orphan.getName}"), r.orphans.toString)
+    assert(r.missing === Seq(s"${victimPart.getName}/${victim.getName}"), r.missing.toString)
+  }
+
   test("lk6: plain compact re-run after a stale .compact_ leftover cannot duplicate") {
     val dir = fragmentedLake()
     val expected = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
