@@ -83,6 +83,9 @@ object Bench {
       // 100-entry LRU, forcing Janino recompiles every pass; a
       // many-query session wants them all resident
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // bounded object-agg buffers (topk heaps, sketches) must hash-
+      // aggregate, not sort-fall-back at 128 keys (see GraftSession)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: unpersisting localCheckpointed RDDs between

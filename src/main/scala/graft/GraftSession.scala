@@ -62,5 +62,15 @@ object GraftSession {
       // than the default 100-entry class cache holds; evictions mean
       // multi-second Janino recompiles of the biggest pipelines
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // ObjectHashAggregate (every TypedImperativeAggregate: graft_topk,
+      // approx sketches) falls back to SORT-based aggregation once a
+      // partition sees this many distinct keys — default 128, which
+      // made the kNN join's partial top-k SORT its 130M scored rows
+      // (8 GB spill per pass, measured at sf1) instead of folding
+      // them into 20k bounded heaps. graft's object agg buffers are
+      // all size-bounded (k-entry heaps, fixed-size sketches), so a
+      // large hash map of them is safe; raise the fallback far above
+      // any realistic per-partition group count.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.ui.enabled", "false")
 }
