@@ -47,8 +47,33 @@ object GraftSession {
 
   /** Local-mode builder with scale-appropriate defaults (AQE on,
     * shuffle partitions sized to cores, UTC).
+    *
+    * `rocksdbStateStore = true` swaps streaming state onto Spark's
+    * RocksDB provider: the default HDFSBackedStateStoreProvider holds
+    * every key's state in executor heap, so the stateful operators
+    * (sessionization st3/st8/st18, stream-stream joins st6/st17,
+    * dedup-with-history st13) are memory-bounded by ACTIVE KEYSPACE —
+    * at 100 TB / hundreds of millions of live keys that's an OOM, not
+    * a tuning problem. RocksDB keeps state off-heap on local disk
+    * with incremental checkpointing; flag-gated because local tests
+    * and small keyspaces don't want the native-lib + disk overhead.
     */
-  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+  def builder(
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      rocksdbStateStore: Boolean = false): SparkSession.Builder = {
+    val b = baseBuilder(cores)
+    if (rocksdbStateStore)
+      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else b
+  }
+
+  /** FQCN of Spark's RocksDB state store provider (public API,
+    * spelled out for runtime `spark.conf.set` scoping too).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def baseBuilder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -63,14 +88,44 @@ object GraftSession {
       // multi-second Janino recompiles of the biggest pipelines
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       // ObjectHashAggregate (every TypedImperativeAggregate: graft_topk,
-      // approx sketches) falls back to SORT-based aggregation once a
-      // partition sees this many distinct keys — default 128, which
-      // made the kNN join's partial top-k SORT its 130M scored rows
-      // (8 GB spill per pass, measured at sf1) instead of folding
-      // them into 20k bounded heaps. graft's object agg buffers are
-      // all size-bounded (k-entry heaps, fixed-size sketches), so a
-      // large hash map of them is safe; raise the fallback far above
-      // any realistic per-partition group count.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // approx sketches, collect_list) falls back to SORT-based
+      // aggregation once a partition sees this many distinct keys —
+      // default 128, which made the kNN join's partial top-k SORT its
+      // 130M scored rows (8 GB spill per pass, measured at sf1)
+      // instead of folding them into 20k bounded heaps. The session
+      // default is a MODERATE raise, not unlimited: collect_list /
+      // collect_set buffers grow without bound, and for them the sort
+      // fallback is the spill safety net — 64k growing list buffers
+      // per partition is the most this default will hold in memory.
+      // Queries whose object-agg buffers are ALL size-bounded (k-entry
+      // heaps, fixed-width sketches) should run under
+      // [[withBoundedObjectAgg]], which lifts the fallback entirely.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
+
+  private val FallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Runs `body` (which should contain the query's ACTION — the conf
+    * is read at execution, not DataFrame construction) with the
+    * ObjectHashAggregate sort fallback effectively disabled.
+    *
+    * Safe only when every object-agg buffer the query builds is
+    * size-bounded — graft_topk's k-entry heaps, theta/HLL/KLL/
+    * frequent-items sketches — so a hash map of millions of them is
+    * memory-bounded by construction. Do NOT wrap queries with
+    * unbounded collect_list/collect_set buffers over high-cardinality
+    * groups: for those the sort fallback is the spill safety net.
+    * See [[SparkEntry.boundedObjectAggQueries]] for the query names
+    * the bench runs under this scope.
+    */
+  def withBoundedObjectAgg[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption(FallbackKey)
+    spark.conf.set(FallbackKey, "10000000")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(FallbackKey, v)
+      case None    => spark.conf.unset(FallbackKey)
+    }
+  }
 }

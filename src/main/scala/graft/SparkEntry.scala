@@ -21,6 +21,20 @@ object SparkEntry {
       SimilarityQueries.queries ++
       MultimodalQueries.queries
 
+  /** Queries whose ObjectHashAggregate buffers are ALL size-bounded
+    * (graft_topk k-entry heaps; theta/HLL/KLL/frequent-items
+    * sketches) and so run under
+    * [[GraftSession.withBoundedObjectAgg]] in the bench — the sort
+    * fallback only hurts them (it sorts the full scored input that
+    * the heaps would fold map-side). Queries with unbounded
+    * collect_list buffers are deliberately NOT here: for them the
+    * fallback is the spill safety net.
+    */
+  val boundedObjectAggQueries: Set[String] = Set(
+    "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq", "s6_knn_join",
+    "a2_sketch_merge", "a3_approx_quantiles", "a4_theta_intersect",
+    "a5_approx_top_k", "a7_rolling_distinct")
+
   /** DuckDB-runnable oracle SQL for each hash-verifiable query. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++

@@ -106,4 +106,13 @@ package object functions {
       TopKByScore(ColumnShim.expression(score), ColumnShim.expression(id), k)
         .toAggregateExpression())
 
+  /** Aggregate: element-wise sum of an array<float|double> column
+    * plus the row count, as struct<sum: array<double>, n: bigint> —
+    * one fixed-size buffer per group crosses the shuffle (the
+    * Lloyd-round recentering primitive).
+    */
+  def vecsum(vec: Column): Column =
+    ColumnShim.column(
+      VectorSumAgg(ColumnShim.expression(vec)).toAggregateExpression())
+
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine, topk}
+import graft.functions.{cosine, topk, vecsum}
 
 /** Similarity search over embedding columns (SURVEY §2.4).
   *
@@ -137,13 +137,21 @@ object Similarity {
     *   - skew: bucket skew is COMPUTE skew, not byte skew — a fat
     *     bucket's join INPUT is a few MB (AQE's size-based skew
     *     splitting never fires) while its join OUTPUT is quadratic
-    *     in the bucket; the data side salts deterministically
-    *     (`n_id mod salts`) and probes replicate across salts, so
-    *     the identical pair set spreads over `salts` tasks.
+    *     in the bucket; buckets holding more than `saltThreshold`
+    *     vectors salt deterministically (`n_id mod salts`) and
+    *     probes of those buckets replicate across salts, so the
+    *     identical pair set spreads over `salts` tasks. Salting is
+    *     SIZE-HINTED (one extra bucket-count aggregate over the
+    *     checkpointed base, broadcast of the fat-bucket set — at
+    *     most N/saltThreshold entries by construction): replicating
+    *     every probe unconditionally would multiply the probe-side
+    *     shuffle volume by `salts` (16× at the default) to spread
+    *     work that normal-sized buckets don't have.
     */
   def knnJoin(
       corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, numPlanes: Int = 0, dim: Int = 64, salts: Int = 16): DataFrame = {
+      k: Int, numPlanes: Int = 0, dim: Int = 64, salts: Int = 16,
+      saltThreshold: Int = 1024): DataFrame = {
     val e = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(eager = false)
@@ -154,15 +162,28 @@ object Similarity {
     // bucketOf is nP cosine kernels per row — cheap enough to compute
     // on each side of the checkpointed base rather than checkpoint a
     // second relation
-    val data = e.withColumn("bucket", bucketOf(col("n_vec"), planes))
-      .withColumn("d_salt", pmod(col("n_id"), lit(salts)))
-    val probes = e
-      .withColumn("bucket", bucketOf(col("n_vec"), planes))
+    val bucketed = e.withColumn("bucket", bucketOf(col("n_vec"), planes))
+    // fat-bucket set: ≤ N/saltThreshold rows by construction, and in
+    // practice the few clustered hot spots — broadcast-class
+    val fat = bucketed.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .where(col("bn") > saltThreshold)
+      .select(col("bucket").as("f_bucket"))
+    val data = bucketed
+      .join(broadcast(fat), col("bucket") === col("f_bucket"), "left")
+      .withColumn("d_salt",
+        when(col("f_bucket").isNotNull, pmod(col("n_id"), lit(salts)))
+          .otherwise(lit(0)))
+      .drop("f_bucket")
+    val probes = bucketed
       .select(
         col("n_id").as("q_id"), col("n_vec").as("q_vec"),
         explode(array(col("bucket") +: (0 until nP).map(b =>
           col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("probe"))
-      .withColumn("p_salt", explode(array((0 until salts).map(lit(_)): _*)))
+      .join(broadcast(fat), col("probe") === col("f_bucket"), "left")
+      .withColumn("p_salt", explode(
+        when(col("f_bucket").isNotNull, sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("f_bucket")
     val scored = data.join(probes,
         col("bucket") === col("probe") && col("d_salt") === col("p_salt"))
       .where(col("n_id") =!= col("q_id"))
@@ -194,26 +215,31 @@ object Similarity {
       .select(col("m.c_id").as("c_id"), col("n_id"), col("m.n_vec").as("n_vec"))
 
   /** Deterministic k-means over `data` (n_id, n_vec): seed with the
-    * `nlist` lowest-id vectors, then `iters` Lloyd rounds re-center
-    * each cell at its members' element-wise mean (two narrow aggs per
-    * round — the standard k-means refinement, kept fully in
-    * DataFrames so it scales like any other aggregation). Each round
-    * re-materializes the tiny centroid relation (lazy localCheckpoint)
-    * so centroid lineage doesn't compound across iterations. No RNG
-    * anywhere → results are cluster-size invariant.
+    * `nlist` first vectors in md5(id) order — a deterministic
+    * hash-spread sample, so the seeds stay scattered even when low
+    * ids are correlated (a corpus sorted by crawl shard would hand
+    * lowest-id seeding `nlist` near-duplicate seeds and degenerate
+    * cells) — then `iters` Lloyd rounds re-center each cell at its
+    * members' element-wise mean. Recentering is ONE aggregate using
+    * the [[graft.functions.vecsum]] fixed-buffer array-sum: a single
+    * partial buffer per (partition, cell) crosses the shuffle, where
+    * the relational posexplode → groupBy(c_id, pos) form shuffled
+    * N×dim rows per round. Each round re-materializes the tiny
+    * centroid relation (lazy localCheckpoint) so centroid lineage
+    * doesn't compound across iterations. No RNG anywhere → results
+    * are cluster-size invariant.
     */
   private[graft] def kmeansCentroids(data: DataFrame, nlist: Int, iters: Int): DataFrame = {
-    var cents = data.orderBy(col("n_id")).limit(nlist)
+    var cents = data
+      .orderBy(md5(col("n_id").cast("string")), col("n_id")).limit(nlist)
       .select(col("n_id").as("c_id"), col("n_vec").as("c_vec"))
       .localCheckpoint(eager = false)
     (0 until math.max(0, iters)).foreach { _ =>
       cents = assignNearest(data, cents)
-        .select(col("c_id"), posexplode(col("n_vec")).as(Seq("pos", "x")))
-        .groupBy("c_id", "pos").agg(avg(col("x")).as("m"))
         .groupBy("c_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(vecsum(col("n_vec")).as("s"))
         .select(col("c_id"),
-          transform(col("pm"), e => e("m").cast("float")).as("c_vec"))
+          transform(col("s.sum"), x => (x / col("s.n")).cast("float")).as("c_vec"))
         .localCheckpoint(eager = false)
     }
     cents
@@ -269,20 +295,21 @@ object Similarity {
           struct(col("d2"), col("c_id"))).as("e"))
         .select(col("sub"), col("n_id"),
           col("e.c_id").as("c_id"), col("e.sv").as("sv"))
-    // every subspace seeds from the same ksub lowest-id vectors
-    // (present in all subspaces by construction)
-    val seedIds = data.orderBy("n_id").limit(ksub).select(col("n_id").as("c_id"))
+    // every subspace seeds from the same ksub md5-spread vector ids
+    // (present in all subspaces by construction; hash order keeps the
+    // seeds scattered on id-correlated corpora — see kmeansCentroids)
+    val seedIds = data
+      .orderBy(md5(col("n_id").cast("string")), col("n_id")).limit(ksub)
+      .select(col("n_id").as("c_id"))
     var cents = subv.join(broadcast(seedIds), col("n_id") === col("c_id"))
       .select(col("sub"), col("c_id"), col("sv").as("c_vec"))
       .localCheckpoint(eager = false)
     (0 until math.max(0, lloydIters)).foreach { _ =>
       cents = assign(cents)
-        .select(col("sub"), col("c_id"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "c_id", "pos").agg(avg(col("x")).as("mu"))
         .groupBy("sub", "c_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+        .agg(vecsum(col("sv")).as("s"))
         .select(col("sub"), col("c_id"),
-          transform(col("pm"), e => e("mu").cast("float")).as("c_vec"))
+          transform(col("s.sum"), x => (x / col("s.n")).cast("float")).as("c_vec"))
         .localCheckpoint(eager = false)
     }
     // the PQ "index": m codes per corpus vector

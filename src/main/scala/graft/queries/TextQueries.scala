@@ -352,10 +352,15 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), explode(T.tokens(col("text"))).as("t"))
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(col("t")), 1, 7), 16, 10).cast("long") % B).as("b"))
-      val raw = toks.groupBy("b").agg(count(lit(1)).as("r"))
-      val tgt = toks.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("tc"))
-      val dict = raw.join(tgt, Seq("b"), "left")
-        .select(col("b"), col("r"), coalesce(col("tc"), lit(0L)).as("tc"))
+      // raw and target bucket counts in ONE aggregate pass (count +
+      // conditional sum) — not two separate groupBys that would each
+      // re-derive the token relation. The scoring join below is the
+      // only other consumer of toks; its re-derivation is deliberate:
+      // tokenizing map-side twice beats materializing a token-grain
+      // (corpus-sized) checkpoint at 100 TB.
+      val dict = toks.groupBy("b").agg(
+          count(lit(1)).as("r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
         .localCheckpoint(eager = false) // feeds totals and the λ table
       val totals = dict.agg(sum("r").as("rt"), sum("tc").as("tt"))
       val lam = dict.crossJoin(broadcast(totals))
@@ -531,7 +536,7 @@ object TextQueries {
         |  FROM documents d LEFT JOIN contam c USING (doc_id)
         |  WHERE d.doc_id % 97 <> 0
         |)
-        |SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
         |FROM lbl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t19_global_shuffle" ->
       """WITH h AS (

@@ -464,10 +464,17 @@ object ParquetLake {
     * should diff on a key over that slice (q18's latest-compact
     * shape) or consume between append commits. `fromVersion = 0`
     * means "from the empty lake": the full `toVersion` snapshot.
+    *
+    * `mergeSchema = true` (mirroring [[readManifested]]) makes a
+    * delta that spans an additive-schema-evolution commit read as the
+    * union schema of its files; without it parquet samples one file's
+    * footer, so whether the evolved column appears would depend on
+    * which file Spark sampled.
     */
   def readIncremental(
       spark: SparkSession, path: String,
-      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+      fromVersion: Int, toVersion: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val baseline: Set[String] =
       if (fromVersion == 0) Set.empty
       else readManifest(spark, path, Some(fromVersion)).map(_.toSet).getOrElse(
@@ -475,8 +482,10 @@ object ParquetLake {
     val target = readManifest(spark, path, toVersion).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
     val added = target.filterNot(baseline)
-    if (added.isEmpty) readManifested(spark, path, toVersion).where(lit(false))
+    if (added.isEmpty)
+      readManifested(spark, path, toVersion, mergeSchema).where(lit(false))
     else spark.read.option("basePath", path)
+      .option("mergeSchema", mergeSchema)
       .parquet(added.map(f => s"$path/$f"): _*)
   }
 
@@ -556,8 +565,10 @@ object ParquetLake {
     * Same SINGLE-WRITER contract as compaction. Returns the committed
     * manifest version (the current one when the merge is a no-op).
     *
-    * `source` must carry the target's data columns plus `partCol`;
-    * reference semantics parallel: the Kinesis reader's at-least-once
+    * `source` must carry `keyCols` plus `partCol`; other columns
+    * align by NAME, null-filling in either direction (so merges work
+    * across additive schema evolution — see the cross-evolution spec).
+    * Reference semantics parallel: the Kinesis reader's at-least-once
     * re-delivery (kinesis_logs_reader.py:80-97) becomes idempotent
     * exactly here — replaying a batch re-matches the same keys and
     * rewrites to the same rows.
@@ -596,13 +607,21 @@ object ParquetLake {
       if (rewriteInputs.isEmpty) None
       else Some(
         spark.read.option("basePath", path)
+          // an affected partition may span an additive-schema-
+          // evolution commit (lk17): without footer-merge the rewrite
+          // would adopt ONE sampled file's schema and silently drop
+          // the evolved column from the whole rewritten partition
+          .option("mergeSchema", true)
           .parquet(rewriteInputs.map(f => s"$path/$f"): _*)
           .join(srcKeys, keyCols, "left_anti"))
-    val upsertsAligned = survivors match {
-      case Some(t) => upserts.select(t.columns.map(col): _*)
-      case None => upserts
-    }
-    val newData = survivors.map(_.unionByName(upsertsAligned)).getOrElse(upsertsAligned)
+    // union by NAME with null-fill in both directions: a source from
+    // a pre-evolution producer null-fills the evolved column; a WIDER
+    // source evolves the rewritten partitions additively (the other
+    // partitions evolve at their own next rewrite — readManifested
+    // with mergeSchema reads the union either way)
+    val newData = survivors
+      .map(_.unionByName(upserts, allowMissingColumns = true))
+      .getOrElse(upserts)
     // write-aside, then rename into the live partition dirs; the files
     // are invisible until the manifest commit below
     val aside = new Path(root, s".merge_${java.util.UUID.randomUUID().toString.take(12)}")

@@ -525,6 +525,80 @@ class ParquetLakeSpec extends SparkSpec {
       .columns.contains("schema_rev"))
   }
 
+  test("lk17 x lk15: a MERGE touching pre-evolution partitions keeps the union schema correct") {
+    val dir = Files.createTempDirectory("graft_evolve_merge").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("user_id"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir).localCheckpoint()
+    val nBase = base.count()
+    val maxId = base.agg(max("event_id")).head().getLong(0)
+
+    // evolution commit: a fresh partition whose files carry schema_rev
+    val pdir = new java.io.File(dir, "p_date=2031-01-01")
+    base.orderBy("event_id").limit(5)
+      .withColumn("event_id", col("event_id") + lit(maxId + 1))
+      .withColumn("schema_rev", lit(2L))
+      .drop("p_date")
+      .coalesce(1).write.parquet(pdir.toString)
+    val newFiles = pdir.listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => s"p_date=2031-01-01/${f.getName}").toSeq
+    ParquetLake.commitManifest(
+      spark, dir, ParquetLake.readManifest(spark, dir, Some(v1)).get ++ newFiles)
+
+    // post-evolution MERGE whose source carries schema_rev and whose
+    // keys live in PRE-evolution partitions: the copy-on-write rewrite
+    // re-emits old-schema files with new-schema rows mixed in
+    val touch = base.orderBy("event_id").limit(2).localCheckpoint()
+    val touchedIds = touch.select("event_id").collect().map(_.getLong(0)).toSet
+    val touchedParts = touch.select(col("p_date").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val changes = touch
+      .withColumn("event_type", lit("EVOLVED"))
+      .withColumn("schema_rev", lit(3L))
+    ParquetLake.mergeManifested(spark, dir, changes, keyCols = Seq("event_id"))
+
+    val after = ParquetLake.readManifested(spark, dir, mergeSchema = true)
+      .localCheckpoint()
+    // union schema everywhere; counts unchanged (pure update merge)
+    assert(after.columns.contains("schema_rev"))
+    assert(after.count() === nBase + 5)
+    // the merged rows carry their new-column value...
+    val merged = after.where(col("event_id").isin(touchedIds.toSeq.map(Long.box): _*))
+    assert(merged.count() === 2)
+    assert(merged.where(col("event_type") === "EVOLVED" && col("schema_rev") === 3L)
+      .count() === 2)
+    // ...their rewritten partitions keep every untouched row, reading
+    // null for the evolved column (the rewrite must not drop or
+    // default it), and lose no rows
+    val rewritten = after.where(
+      col("p_date").cast("string").isin(touchedParts.toSeq: _*) &&
+        !col("event_id").isin(touchedIds.toSeq.map(Long.box): _*))
+    assert(rewritten.count() ===
+      base.where(col("p_date").cast("string").isin(touchedParts.toSeq: _*)).count() - 2)
+    assert(rewritten.where(col("schema_rev").isNotNull).count() === 0)
+    // the evolution partition is untouched by the merge
+    assert(after.where(col("schema_rev") === 2L).count() === 5)
+
+    // reverse direction: a PRE-evolution producer (no schema_rev)
+    // merging into the evolved partition null-fills the new column
+    // for its rows without narrowing the partition's schema
+    val old = after.where(col("schema_rev") === 2L).orderBy("event_id").limit(1)
+      .select(base.columns.map(col): _*).localCheckpoint()
+    val oldId = old.select("event_id").head().getLong(0)
+    ParquetLake.mergeManifested(
+      spark, dir, old.withColumn("event_type", lit("BACKFILL")),
+      keyCols = Seq("event_id"))
+    val finalRead = ParquetLake.readManifested(spark, dir, mergeSchema = true)
+    assert(finalRead.count() === nBase + 5)
+    val backfilled = finalRead.where(col("event_id") === oldId)
+    assert(backfilled.where(col("event_type") === "BACKFILL").count() === 1)
+    assert(backfilled.where(col("schema_rev").isNull).count() === 1)
+    // the rest of the evolved partition still carries its values
+    assert(finalRead.where(col("schema_rev") === 2L).count() === 4)
+  }
+
   test("lk18: fsck reports orphans and missing files, and a healthy lake reports neither") {
     val dir = Files.createTempDirectory("graft_fsck").toString
     ParquetLake.writePartitioned(

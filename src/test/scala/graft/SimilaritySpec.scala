@@ -87,6 +87,39 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.select("q_id").distinct().count() === emb.count())
   }
 
+  test("kmeans seeding survives an id-sorted-by-cluster corpus") {
+    // ids arrive sorted by cluster (the crawl-shard pathology): ids
+    // 0..99 are cluster 0, 100..199 cluster 1, ... Lowest-id seeding
+    // would draw ALL seeds from cluster 0; the md5-spread seed order
+    // must scatter them across clusters, and IVF recall must hold.
+    val dim = 64
+    val nPerCluster = 100
+    val rows = (0L until 400L).map { id =>
+      val c = (id / nPerCluster).toInt
+      // deterministic "noise": small per-id offsets around an axis-
+      // aligned cluster center (unit direction c*16)
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d == c * 16) 1.0f else 0.0f
+        base + 0.05f * (((id * 31 + d * 17) % 7).toFloat - 3.0f) / 3.0f
+      }
+      (id, v)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val data = clustered.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val seeds = Similarity.kmeansCentroids(data, 8, 0)
+      .select("c_id").as[Long].collect()
+    val seedClusters = seeds.map(_ / nPerCluster).toSet
+    assert(seedClusters.size >= 2, s"seeds all from clusters $seedClusters")
+    val qs = clustered.where(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteKnn(clustered, "embedding", "vec_id", qs, 10)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(clustered, "embedding", "vec_id", qs, 10, nlist = 8)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"clustered-corpus ivf recall@10 = $recall")
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)

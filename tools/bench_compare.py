@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Bench sanity gate: compare a fresh BENCH_DETAIL.json to the previous
+round's committed one and flag unexplained per-query regressions.
+
+Usage: python3 tools/bench_compare.py [new_detail] [old_detail] [--ratio 1.5]
+
+A query is flagged when its min-of-2-passes time exceeds `ratio` x the
+previous round's. Flagged queries should be re-run in isolation
+(SPARK_GRAFT_BENCH_ONLY=<name> sbt "runMain graft.Bench") on a quiet
+machine before the artifact ships -- round 8's d2/d4 "regression" was
+machine contention during the driver's run, not a plan change, and this
+gate is how that gets caught before it lands in a VERDICT.
+
+Exit 0 = no flags; exit 1 = regressions listed on stdout.
+"""
+import json
+import sys
+from pathlib import Path
+
+
+def load(p):
+    d = json.loads(Path(p).read_text())
+    return {name: q["sec"] for name, q in d["queries"].items() if q.get("ok", True)}
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    new_p = args[0] if len(args) > 0 else "BENCH_DETAIL.json"
+    old_p = args[1] if len(args) > 1 else "BENCH_DETAIL_prev.json"
+    ratio = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--ratio"):
+            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    new, old = load(new_p), load(old_p)
+    flags = []
+    for name in sorted(set(new) & set(old)):
+        # sub-100ms queries are scheduler noise, not signal
+        if old[name] >= 0.1 and new[name] > ratio * old[name]:
+            flags.append((name, old[name], new[name]))
+    for name, o, n in flags:
+        print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
+    tn, to = sum(new.values()), sum(o for k, o in old.items() if k in new)
+    print(f"== common-query total: {to:.1f}s -> {tn:.1f}s ({tn / to:.2f}x); "
+          f"{len(flags)} flagged of {len(set(new) & set(old))} common ==")
+    sys.exit(1 if flags else 0)
+
+
+if __name__ == "__main__":
+    main()
