@@ -449,6 +449,40 @@ object Dedup {
       .select(col("id"), col("keep"))
   }
 
+  /** Quality-aware corpus dedup: [[dedupCorpus]]'s pipeline (LSH
+    * candidates → exact Jaccard verify → connected components), but
+    * each dup cluster keeps its HIGHEST-`quality` member (ties break
+    * to the lowest id — fully deterministic) instead of the arbitrary
+    * min-id representative. A training pipeline wants the best copy
+    * of a near-dup group — the longest or highest-scoring crawl — not
+    * whichever one crawled first. Returns one row per input doc:
+    * (id, keep, kept_id) where kept_id is the doc's cluster
+    * representative (itself for singletons), so downstream joins can
+    * remap references onto the surviving copy.
+    *
+    * Scale shape: identical to dedupCorpus plus one (component)-keyed
+    * `max_by` aggregate — per-cluster argmax combines map-side, one
+    * row per cluster crosses the shuffle.
+    */
+  def dedupCorpusByQuality(
+      df: DataFrame, textCol: String, idCol: String, minJaccard: Double,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    val pairs = jaccardVerified(df, textCol, idCol, minJaccard)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.run(pairs)
+    val best = comp
+      .join(df.select(col(idCol).as("id"), quality.as("q")), Seq("id"))
+      .groupBy("component")
+      // lexicographic struct max: highest quality, then lowest id
+      .agg(max_by(col("id"), struct(col("q"), -col("id"))).as("kept_id"))
+    df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .join(best, Seq("component"), "left")
+      .withColumn("kept_id", coalesce(col("kept_id"), col("id")))
+      .withColumn("keep", col("kept_id") === col("id"))
+      .select(col("id"), col("keep"), col("kept_id"))
+  }
+
   /** Benchmark decontamination with a bloom prefilter — the scale
     * path of d6 for when the held-out set's shingle dictionary is too
     * large to broadcast as strings. Same contract and EXACT same

@@ -269,35 +269,40 @@ object Similarity {
     * only k·rerankFactor candidate rows per query back to raw
     * vectors, never the corpus.
     */
-  def pqKnn(
-      corpus: DataFrame, vecCol: String, idCol: String,
-      queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
-      dim: Int = 64, lloydIters: Int = 1, rerankFactor: Int = 4): DataFrame = {
-    import graft.functions.dot
-    val subLen = dim / m
-    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    // (sub, n_id, sv): per-subspace training/encoding relation —
-    // materialized once, reused by every Lloyd round and the encode
-    val subv = data
+  /** (sub, n_id, sv): per-subspace training/encoding relation —
+    * materialized once, reused by every Lloyd round and the encode.
+    */
+  private def pqSubvectors(data: DataFrame, m: Int, subLen: Int): DataFrame =
+    data
       .select(col("n_id"), col("n_vec"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("sub"), col("n_id"),
         slice(col("n_vec"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
       .localCheckpoint(eager = false)
-    // nearest codebook entry per (sub, vector) — L2, min_by combines
-    // map-side; tie-break lowest c_id (deterministic)
-    def assign(cents: DataFrame): DataFrame =
-      subv.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2",
-          dot(col("sv"), col("sv")) + dot(col("c_vec"), col("c_vec"))
-            - lit(2.0) * dot(col("sv"), col("c_vec")))
-        .groupBy("sub", "n_id")
-        .agg(min_by(struct(col("c_id"), col("sv")),
-          struct(col("d2"), col("c_id"))).as("e"))
-        .select(col("sub"), col("n_id"),
-          col("e.c_id").as("c_id"), col("e.sv").as("sv"))
-    // every subspace seeds from the same ksub md5-spread vector ids
-    // (present in all subspaces by construction; hash order keeps the
-    // seeds scattered on id-correlated corpora — see kmeansCentroids)
+
+  /** Nearest codebook entry per (sub, vector) — L2, min_by combines
+    * map-side; tie-break lowest c_id (deterministic).
+    */
+  private def pqAssign(subv: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.dot
+    subv.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2",
+        dot(col("sv"), col("sv")) + dot(col("c_vec"), col("c_vec"))
+          - lit(2.0) * dot(col("sv"), col("c_vec")))
+      .groupBy("sub", "n_id")
+      .agg(min_by(struct(col("c_id"), col("sv")),
+        struct(col("d2"), col("c_id"))).as("e"))
+      .select(col("sub"), col("n_id"),
+        col("e.c_id").as("c_id"), col("e.sv").as("sv"))
+  }
+
+  /** Per-subspace `ksub`-entry codebooks: every subspace seeds from
+    * the same ksub md5-spread vector ids (present in all subspaces by
+    * construction; hash order keeps the seeds scattered on
+    * id-correlated corpora — see [[kmeansCentroids]]), refined by
+    * `lloydIters` rounds of the vecsum fixed-buffer recentering.
+    */
+  private def pqCodebooks(
+      data: DataFrame, subv: DataFrame, ksub: Int, lloydIters: Int): DataFrame = {
     val seedIds = data
       .orderBy(md5(col("n_id").cast("string")), col("n_id")).limit(ksub)
       .select(col("n_id").as("c_id"))
@@ -305,15 +310,27 @@ object Similarity {
       .select(col("sub"), col("c_id"), col("sv").as("c_vec"))
       .localCheckpoint(eager = false)
     (0 until math.max(0, lloydIters)).foreach { _ =>
-      cents = assign(cents)
+      cents = pqAssign(subv, cents)
         .groupBy("sub", "c_id")
         .agg(vecsum(col("sv")).as("s"))
         .select(col("sub"), col("c_id"),
           transform(col("s.sum"), x => (x / col("s.n")).cast("float")).as("c_vec"))
         .localCheckpoint(eager = false)
     }
+    cents
+  }
+
+  def pqKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, lloydIters: Int = 1, rerankFactor: Int = 4): DataFrame = {
+    import graft.functions.dot
+    val subLen = dim / m
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val subv = pqSubvectors(data, m, subLen)
+    val cents = pqCodebooks(data, subv, ksub, lloydIters)
     // the PQ "index": m codes per corpus vector
-    val codes = assign(cents).select("sub", "n_id", "c_id")
+    val codes = pqAssign(subv, cents).select("sub", "n_id", "c_id")
     // ADC lookup table: partial dot + codebook-entry norm per
     // (query, subspace, code); Q·m·ksub rows — broadcast-class
     val qsub = queries
@@ -362,6 +379,80 @@ object Similarity {
       .select(col("e.id").as("c_id"), col("q_id"), col("q_vec"))
     val scored = assigned.join(broadcast(probes), Seq("c_id"))
       .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
+    topKOut(scored, k)
+  }
+
+  /** IVF+PQ composite ANN — the FAISS-style index shape an actual
+    * 100 TB deployment runs: an IVF coarse quantizer prunes the
+    * corpus to each query's `nprobe` nearest cells (~nprobe/nlist of
+    * the vectors), and within the surviving cells candidates are
+    * scored by PQ asymmetric-distance lookups (m one-byte codes per
+    * vector) instead of full-width dot products. The ADC top
+    * k·`rerankFactor` per query re-rank under the exact cosine
+    * kernel, so emitted scores are exact and recall is the only
+    * approximation — same contract as [[ivfKnn]] and [[pqKnn]].
+    *
+    * Scale shape vs its parents: pqKnn's ADC pass touches all N·m
+    * code rows per query batch; here the candidate join cuts that to
+    * (N·nprobe/nlist)·m. The code relation shuffles on n_id once;
+    * the LUT (Q·m·ksub rows) and probe lists broadcast; the
+    * per-(q,n) ADC sum and both top-k reductions partial-combine
+    * map-side via the bounded-heap aggregate.
+    */
+  def ivfPqKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, lloydIters: Int = 1,
+      rerankFactor: Int = 4): DataFrame = {
+    import graft.functions.dot
+    val subLen = dim / m
+    // reused by the coarse assign, PQ train/encode, and exact rerank
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .localCheckpoint(eager = false)
+    // IVF layer: cells + per-query probe lists (ivfKnn's shapes)
+    val coarse = kmeansCentroids(data, nlist, lloydIters)
+    val cells = assignNearest(data, coarse).select("c_id", "n_id")
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))
+      .groupBy("q_id")
+      .agg(topk(col("qc_sim"), col("c_id"), nprobe).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("e.id").as("c_id"), col("q_id"))
+    // candidate set: corpus vectors in probed cells only
+    val cand = cells.join(broadcast(probes), Seq("c_id"))
+      .where(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+    // PQ layer: global per-subspace codebooks, m codes per vector
+    // (code id column renamed to avoid colliding with the coarse c_id)
+    val subv = pqSubvectors(data, m, subLen)
+    val cents = pqCodebooks(data, subv, ksub, lloydIters)
+    val codes = pqAssign(subv, cents)
+      .select(col("sub"), col("n_id"), col("c_id").as("code"))
+    val qsub = queries
+      .select(col("q_id"), col("q_vec"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("q_id"), col("sub"),
+        slice(col("q_vec"), col("sub") * subLen + 1, lit(subLen)).as("qv"),
+        dot(col("q_vec"), col("q_vec")).as("qn2"))
+    val lut = qsub.join(cents, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("c_id").as("code"),
+        dot(col("qv"), col("c_vec")).as("pdot"),
+        dot(col("c_vec"), col("c_vec")).as("cn2"),
+        col("qn2"))
+    // ADC restricted to the IVF candidates: cand×m rows, LUT broadcast
+    val adc = cand.join(codes, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("pdot")).as("sdot"), sum(col("cn2")).as("sc2"),
+        first(col("qn2")).as("qn2"))
+      .withColumn("cos_adc", col("sdot") / (sqrt(col("qn2")) * sqrt(col("sc2"))))
+    val shortlist = adc.groupBy("q_id")
+      .agg(topk(col("cos_adc"), col("n_id"), k * rerankFactor).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    val scored = shortlist
+      .join(data, Seq("n_id"))
+      .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
     topKOut(scored, k)
   }

@@ -103,6 +103,17 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // quality-aware retention: d13's pipeline but each dup cluster
+    // keeps its longest member (tie → lowest id) and every doc learns
+    // its cluster's surviving representative — the "keep the best
+    // copy, remap the rest" step of a real training pipeline
+    "d14_cluster_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Dedup.dedupCorpusByQuality(
+          table(s, dir, "documents"), "text", "doc_id", 0.5, col("n_chars"))
+        .orderBy("id")
+    }),
+
     // near-dup clustering: verified pairs → connected components →
     // (id, component, cluster_size); the keep-one-per-cluster step of
     // a dedup pipeline (see operators.ConnectedComponents)
@@ -258,6 +269,38 @@ object DedupQueries {
         |)
         |SELECT d.doc_id AS id, coalesce(c.component = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY 1""".stripMargin),
+    // d14 replays d13's clustering, then picks each cluster's
+    // representative by (n_chars DESC, id ASC) — the same
+    // deterministic argmax the Spark max_by(struct) computes
+    "d14_cluster_retention" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
+      """, pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |), ed AS (
+        |  SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM ed
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.id, c.component,
+        |  row_number() OVER (PARTITION BY c.component
+        |                     ORDER BY dd.n_chars DESC, c.id ASC) AS rn
+        |  FROM comp c JOIN documents dd ON dd.doc_id = c.id
+        |), best AS (
+        |  SELECT component, id AS kept_id FROM ranked WHERE rn = 1
+        |)
+        |SELECT d.doc_id AS id,
+        |coalesce(b.kept_id, d.doc_id) = d.doc_id AS keep,
+        |coalesce(b.kept_id, d.doc_id) AS kept_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |LEFT JOIN best b ON b.component = c.component
         |ORDER BY 1""".stripMargin),
     "d7_dup_clusters" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
       """, pr AS (

@@ -67,6 +67,17 @@ object SimilarityQueries {
         table(s, dir, "embeddings"), "embedding", "vec_id",
         querySet(s, dir), k = 10)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
+    // IVF+PQ composite index — the FAISS-style 100 TB shape: coarse
+    // cells prune the corpus, PQ codes score the survivors, exact
+    // rerank on the shortlist (no oracle, same fp-averaging reason as
+    // s3/s4 — recall spec'd in SimilaritySpec)
+    "s7_knn_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")))
 
   /** The 4 seeded hyperplanes of lshKnn's default config, inlined as

@@ -63,6 +63,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s7: IVF+PQ achieves reasonable recall, exact scores, determinism") {
+    val exactDf = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
+    val exact = exactDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpqDf = Similarity.ivfPqKnn(emb, "embedding", "vec_id", queries, 10)
+    val ivfpq = ivfpqDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // two pruning layers stack, so the floor sits below s3/s4's
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ivfpq recall@10 = $recall")
+    assert(ivfpq.size === 50)
+    // the rerank emits the EXACT cosine on shared pairs
+    val exactScores = exactDf
+      .select("q_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivfpqScores = ivfpqDf
+      .select("q_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    (exact & ivfpq).foreach { key =>
+      assert(ivfpqScores(key) === exactScores(key), s"score mismatch at $key")
+    }
+    // deterministic across runs (no RNG anywhere in either layer)
+    val again = Similarity.ivfPqKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val first = ivfpqDf
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again === first)
+  }
+
   test("s4: PQ is deterministic across runs") {
     val a = Similarity.pqKnn(emb, "embedding", "vec_id", queries, 10)
       .select("q_id", "rank", "neighbor_id", "cos_sim")
