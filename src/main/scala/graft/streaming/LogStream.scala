@@ -171,6 +171,45 @@ object LogStream {
       .dropDuplicatesWithinWatermark(fpCol)
   }
 
+  /** Streaming benchmark decontamination (st19): flag stream docs
+    * sharing any word-3-gram shingle with a static held-out set — the
+    * streaming face of d9's bloom path for continuous ingest. The
+    * bench set is folded ONCE, at stream definition, into a bloom
+    * sketch (Spark's BloomFilterAggregate over xxhash64 of each
+    * distinct shingle, ~1.2 bytes/item); each micro-batch then runs a
+    * pure map-side `exists(shingles, might_contain)` — no join, no
+    * state, no shuffle, so throughput is scan-bound however large the
+    * bench set grows.
+    *
+    * Unlike batch d9 there is no exact verify join (that would need
+    * the bench strings shuffled against every batch), so `contaminated`
+    * is CONSERVATIVE: false positives at the sketch's fpp (vanishing
+    * when `estimatedShingles` overshoots the true count), never false
+    * negatives. Route flagged docs to a quarantine sink and re-check
+    * them in batch with d6/d9 — the pipeline shape this is for.
+    */
+  def decontaminate(
+      stream: DataFrame, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      estimatedShingles: Long = 1L << 20): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    graft.GraftSession.ensureRegistered(stream.sparkSession)
+    // one driver-side fold at definition time: streaming queries
+    // cannot re-plan a scalar subquery per batch, and the sketch is
+    // the distilled STATIC side — small (bits), immutable, broadcast
+    // with the task closure like any literal
+    val sketch: Array[Byte] = bench
+      .select(explode(T.wordShingles(T.tokens(col(benchTextCol)))).as("s"))
+      .distinct()
+      .agg(expr(s"graft_bloom_agg(xxhash64(s), ${estimatedShingles}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (sketch == null) // empty bench: nothing can be contaminated
+      stream.withColumn("contaminated", lit(false))
+    else stream.withColumn("contaminated",
+      exists(T.wordShingles(T.tokens(col(textCol))),
+        s => call_function("graft_might_contain", lit(sketch), xxhash64(s))))
+  }
+
   /** Watermarked stream-stream interval join: left rows meet right
     * rows with the same `key` whose event time falls in
     * [left - lookback, left]. Both sides carry watermarks, so join

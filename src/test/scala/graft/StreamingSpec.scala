@@ -352,6 +352,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st19: streaming bloom decontamination flags exactly the batch-contaminated docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    // exact ground truth: the batch bloom+exact-verify path (d9,
+    // bit-identical to the d6 broadcast join)
+    val exact = graft.operators.Dedup.decontaminateBloom(
+        spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id",
+        isBench = col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("contaminated")).as[(Long, Boolean)]
+      .collect().toMap
+    val dir = Files.createTempDirectory("graft_stream_decon").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val in = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(dir)
+    val q = LogStream.decontaminate(in, "text", bench, "text")
+      .select("doc_id", "contaminated")
+      .writeStream.format("memory").queryName("st19_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("st19_out")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.size === exact.size)
+    // no false negatives: everything truly contaminated is flagged
+    exact.foreach { case (id, c) =>
+      if (c) assert(got(id), s"doc $id truly contaminated but not flagged")
+    }
+    // false positives bounded: the sketch is sized for 2^20 items vs
+    // a few thousand real shingles, so fp should be (near) zero
+    val fps = got.count { case (id, c) => c && !exact(id) }
+    val clean = exact.count(!_._2)
+    assert(fps <= math.max(1, clean / 100), s"$fps false positives of $clean clean docs")
+  }
+
   test("st9: AvailableNow drain emits every seeded record then stops on its own") {
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
