@@ -198,21 +198,28 @@ object Similarity {
     * are refined by `lloydIters` k-means rounds — no RNG anywhere, so
     * results are cluster-size invariant.
     */
-  /** Nearest-centroid assignment as a max_by aggregate — partial
-    * combine runs map-side, so only one (vector, centroid) row per
-    * vector survives per partition; a row_number Window here would
-    * instead sort/shuffle all N×nlist scored rows. Tie-break: highest
-    * sim, then lowest centroid id. `data`: (n_id, n_vec); returns
-    * (c_id, n_id, n_vec).
+  /** Nearest-centroid assignment as a MAP-ONLY expression: the
+    * broadcast-class centroid set packs into ONE sorted array row
+    * (array_sort(collect_list) — nlist entries), each data row scores
+    * it with a codegen'd transform + array_max, and the argmax falls
+    * out of lexicographic struct comparison on (sim, -c_id) — highest
+    * sim, then lowest centroid id, the same tie order as the previous
+    * max_by form. Zero shuffle, zero sort: the earlier
+    * crossJoin → groupBy(n_id) max_by planned as SortAggregate
+    * (struct agg buffers are hash-ineligible), which per-partition
+    * sorted all N rows and exchanged one row per vector every Lloyd
+    * round; this shape is scan → broadcast join → project.
+    * `data`: (n_id, n_vec); returns (c_id, n_id, n_vec).
     */
-  private[graft] def assignNearest(data: DataFrame, cents: DataFrame): DataFrame =
-    data.crossJoin(broadcast(cents))
-      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-      .groupBy("n_id") // vector travels in the agg VALUE, not the 256-byte group key
-      .agg(max_by(
-        struct(col("c_id"), col("n_vec")),
-        struct(col("c_sim"), (-col("c_id")).as("t"))).as("m"))
-      .select(col("m.c_id").as("c_id"), col("n_id"), col("m.n_vec").as("n_vec"))
+  private[graft] def assignNearest(data: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(
+      array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cs"))
+    data.crossJoin(broadcast(packed))
+      .withColumn("best", array_max(transform(col("cs"), c =>
+        struct(cosine(col("n_vec"), c("c_vec")).as("sim"),
+          (-c("c_id")).as("nid")))))
+      .select((-col("best.nid")).as("c_id"), col("n_id"), col("n_vec"))
+  }
 
   /** Deterministic k-means over `data` (n_id, n_vec): seed with the
     * `nlist` first vectors in md5(id) order — a deterministic
@@ -279,20 +286,28 @@ object Similarity {
         slice(col("n_vec"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
       .localCheckpoint(eager = false)
 
-  /** Nearest codebook entry per (sub, vector) — L2, min_by combines
-    * map-side; tie-break lowest c_id (deterministic).
+  /** Nearest codebook entry per (sub, vector) — L2, tie-break lowest
+    * c_id. MAP-ONLY like [[assignNearest]]: the m·ksub codebook packs
+    * into m broadcast rows of sorted entry arrays; each (sub, vector)
+    * row scores its subspace's array with a codegen'd transform +
+    * array_min on (d2, c_id). The earlier join → groupBy(sub, n_id)
+    * min_by form planned as SortAggregate and exchanged ALL N·m
+    * encode rows per Lloyd round; this is a broadcast hash join +
+    * projection — nothing crosses the wire.
     */
   private def pqAssign(subv: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.dot
-    subv.join(broadcast(cents), Seq("sub"))
-      .withColumn("d2",
-        dot(col("sv"), col("sv")) + dot(col("c_vec"), col("c_vec"))
-          - lit(2.0) * dot(col("sv"), col("c_vec")))
-      .groupBy("sub", "n_id")
-      .agg(min_by(struct(col("c_id"), col("sv")),
-        struct(col("d2"), col("c_id"))).as("e"))
-      .select(col("sub"), col("n_id"),
-        col("e.c_id").as("c_id"), col("e.sv").as("sv"))
+    val packed = cents.groupBy("sub").agg(
+      array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cs"))
+    subv.join(broadcast(packed), Seq("sub"))
+      // |sv|² is constant across the array → dropped from the argmin
+      // (|sv-c|² and |c|²-2·sv·c rank identically)
+      .withColumn("best", array_min(transform(col("cs"), c =>
+        struct(
+          (dot(c("c_vec"), c("c_vec"))
+            - lit(2.0) * dot(col("sv"), c("c_vec"))).as("d2"),
+          c("c_id").as("c_id")))))
+      .select(col("sub"), col("n_id"), col("best.c_id").as("c_id"), col("sv"))
   }
 
   /** Per-subspace `ksub`-entry codebooks: every subspace seeds from
