@@ -160,12 +160,32 @@ object Dedup {
         i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
       .toDF("doc_id", "pos", "gram")
       .localCheckpoint(eager = false)
+    // lexicographic first-occurrence per gram. min(struct) buffers are
+    // hash-INELIGIBLE (SortAggregate — see Similarity.assignNearest's
+    // scaladoc), which would per-partition-sort every gram occurrence
+    // in the corpus-wide aggregate below; when (doc_id, pos) fit
+    // 31/32 bits they pack into one long whose plain min IS
+    // hash-eligible and identically ordered. The bounds probe is one
+    // narrow scan of the already-checkpointed occ relation (bounded
+    // driver action, same class as the manifest reads).
+    val bounds = occ.agg(
+      max(col("doc_id").cast("long")).as("md"),
+      max(col("pos").cast("long")).as("mp")).head()
+    val packable = !bounds.isNullAt(0) &&
+      bounds.getLong(0) >= 0L && bounds.getLong(0) < (1L << 31) &&
+      bounds.getLong(1) < (1L << 32)
+    val (firstExpr, occKey) =
+      if (packable)
+        (min(shiftleft(col("doc_id"), 32) + col("pos")),
+          shiftleft(col("doc_id"), 32) + col("pos"))
+      else
+        (min(struct(col("doc_id"), col("pos"))),
+          struct(col("doc_id"), col("pos")))
     val repeated = occ.groupBy("gram")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
-        count(lit(1)).as("cnt"))
+      .agg(firstExpr.as("first"), count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2)
     val covered = occ.join(repeated, "gram")
-      .where(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .where(occKey =!= col("first"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
@@ -462,7 +482,11 @@ object Dedup {
     *
     * Scale shape: identical to dedupCorpus plus one (component)-keyed
     * `max_by` aggregate — per-cluster argmax combines map-side, one
-    * row per cluster crosses the shuffle.
+    * row per cluster crosses the shuffle. (The struct tie-break makes
+    * it a SortAggregate — see Similarity.assignNearest's scaladoc —
+    * but unlike the Lloyd loops its input is only the CLUSTERED docs,
+    * a small fraction of the corpus, so the per-partition sort is
+    * bounded by dup volume, not corpus size.)
     */
   def dedupCorpusByQuality(
       df: DataFrame, textCol: String, idCol: String, minJaccard: Double,

@@ -74,6 +74,24 @@ class DedupSpec extends SparkSpec {
       (5L, 10L, 5L, "m n o p q")))
   }
 
+  test("d12: packed and struct first-occurrence paths agree") {
+    // ids past 2^31 force the min(struct) fallback; shifting every id
+    // by a constant preserves id order, so the first-occurrence policy
+    // must produce identical per-doc output under either aggregate
+    val tiny = Seq(
+      (1L, "a b c d e x y"),
+      (2L, "z a b c d e w"),
+      (5L, "m n o p q m n o p q")).toDF("doc_id", "text")
+    val packed = Dedup.spanDedup(tiny, "text", "doc_id")
+      .select("n_tok", "n_removed", "kept_text")
+      .as[(Long, Long, String)].collect().sortBy(_._3).toSeq
+    val unpackable = Dedup.spanDedup(
+        tiny.withColumn("doc_id", col("doc_id") + lit(1L << 40)), "text", "doc_id")
+      .select("n_tok", "n_removed", "kept_text")
+      .as[(Long, Long, String)].collect().sortBy(_._3).toSeq
+    assert(packed === unpackable)
+  }
+
   test("d12: span dedup is conservative on the real corpus") {
     val out = Dedup.spanDedup(docs, "text", "doc_id")
     // one row per doc, token accounting exact
