@@ -287,7 +287,12 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // Gather both sides' shingles with ONE shingling pass: unpivot the
     // pair to (pair, side, id), join the shingle relation once, fold
-    // back. Only candidate docs' shingle sets ever shuffle.
+    // back. Only candidate docs' shingle sets ever shuffle. The fold
+    // is a SortAggregate (array-typed first() buffers are
+    // hash-ineligible) but its input is 2·|candidates| rows — the
+    // deliberate trade: folding sorts the candidate sliver, while the
+    // two-join alternative would shuffle the CORPUS-sized shingle
+    // relation twice.
     val long = cands.select(
       concat_ws("_", col("id_a"), col("id_b")).as("pk"),
       explode(array(

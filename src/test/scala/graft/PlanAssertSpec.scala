@@ -53,10 +53,32 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("s3: IVF assignment and probing aggregate — no Window over scored rows") {
+  test("s3: IVF assignment is map-only — no Window, no SortAggregate on the corpus path") {
     val p = plan("s3_knn_ivf")
     assert(!p.contains("Window"), p)
-    assert(p.contains("max_by") || p.contains("MaxBy"), p)
+    // nearest-centroid assignment is a codegen'd array_max over the
+    // packed broadcast centroid array: struct-ordered max_by/min_by
+    // plan as SortAggregate (hash-ineligible buffers) and would
+    // per-partition-sort the corpus every Lloyd round
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("array_max"), p)
+  }
+
+  test("s7: IVF+PQ keeps the map-only assignment and bounded-heap cuts") {
+    val p = plan("s7_knn_ivfpq")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_topk"), p)
+  }
+
+  test("d12: the gram first-occurrence aggregate hash-aggregates (packed key)") {
+    val p = plan("d12_span_dedup")
+    // min(struct(doc_id, pos)) would silently plan the corpus-wide
+    // gram aggregate as SortAggregate; the packed-long key keeps it
+    // in HashAggregate (the struct path survives only for ids past
+    // 2^31, spec-pinned to identical output)
+    assert(!p.contains("SortAggregate"), p)
   }
 
   test("d12: gram pass materializes once — no tokenization in the join plan") {
