@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** lower-case, collapse whitespace runs, trim. */
-  def normalize(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  /** lower-case, collapse whitespace runs, trim. Derived from the
+    * token array (identity: normalize = join(tokens, " ") — tokens
+    * never contain separators, and both yield "" on empty input), so
+    * the fast tokenizer serves both forms with one scan.
+    */
+  def normalize(c: Column): Column =
+    when(c.isNotNull, concat_ws(" ", tokens(c))) // null in, null out (concat_ws would yield "")
 
-  /** whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normalize(c), " ")
+  /** whitespace tokens of the normalized text — the codegen'd
+    * single-pass [[TokenizeOps]] scan; exact parity with the
+    * relational split(trim(regexp_replace(lower(c), "\s+", " ")), " ")
+    * form the DuckDB oracles replay (parity spec in TextSpec).
+    */
+  def tokens(c: Column): Column = graft.functions.tokenizeWs(c)
 
   /** Content fingerprint: md5 of the normalized text (exact dedup key). */
   def contentFingerprint(c: Column): Column = md5(normalize(c))

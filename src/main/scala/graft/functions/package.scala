@@ -56,6 +56,12 @@ package object functions {
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 
+  /** Single-pass whitespace tokenizer (array<string>): exact-parity
+    * fast path for split(trim(regexp_replace(lower(s), "\\s+", " ")),
+    * " ") — see [[TokenizeOps]].
+    */
+  def tokenizeWs(c: Column): Column = col1(TokenizeWs.apply)(c)
+
   /** Morton (Z-order) interleave of two pre-quantized long columns —
     * each in [0, 2^bits): bit i of `a` lands at position 2i+1, bit i
     * of `b` at 2i. Rows sorted by the result cluster in BOTH

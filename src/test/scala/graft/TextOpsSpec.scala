@@ -10,6 +10,42 @@ import graft.queries.TextQueries
   */
 class TextOpsSpec extends SparkSpec {
 
+  test("tokenizeWs: exact parity with the relational split/trim/regexp form") {
+    import spark.implicits._
+    import graft.functions.tokenizeWs
+    // the relational form every DuckDB oracle replays — the fast
+    // tokenizer must agree byte-for-byte on the whole corpus
+    def relational(c: org.apache.spark.sql.Column) =
+      split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = docs.select(
+        col("doc_id"),
+        tokenizeWs(col("text")).as("fast"),
+        relational(col("text")).as("slow"))
+      .where(not(col("fast") <=> col("slow")))
+      .count()
+    assert(mismatches === 0)
+    // edge cases the corpus may not carry: empty, all-whitespace, every
+    // \s separator byte, runs, unicode content, unicode uppercase, null
+    val edge = Seq(
+      "", " ", "\t\n\f\r ", "a", " a ", "a  b", "a\tb\nc",
+      "\ta b\r", "Größe STRASSE Ärger", "日本語 テスト", "a b")
+      .toDF("text")
+      .select(tokenizeWs(col("text")).as("fast"),
+        relational(col("text")).as("slow"))
+    assert(edge.where(not(col("fast") <=> col("slow"))).count() === 0)
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(tokenizeWs(col("text")).as("fast"), relational(col("text")).as("slow"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // normalize identity: join(tokens, " ") == trim/regexp normalize
+    val normMismatch = docs.select(
+        graft.functions.TextFunctions.normalize(col("text")).as("fast"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("slow"))
+      .where(not(col("fast") <=> col("slow"))).count()
+    assert(normMismatch === 0)
+  }
+
   test("t8: every doc has injected PII found, and scrub is idempotent-clean") {
     val rows = TextQueries.queries("t8_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
