@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-n-gram shingles in one native pass — the fast path
+  * for the relational form every shingle-family oracle replays:
+  *
+  *   array_distinct(transform(sequence(0, size(t)-n),
+  *     i -> concat_ws(" ", t[i+1], ..., t[i+n])))
+  *   // and [concat_ws(" ", t)] when size(t) < n
+  *
+  * Exact-parity contract: same joined strings (concat_ws skips null
+  * elements), same FIRST-OCCURRENCE order as array_distinct, same
+  * single whole-text shingle for short docs (including [""] for
+  * empty token lists). The relational form runs interpreted — Spark's
+  * higher-order array functions are CodegenFallback — and allocates a
+  * lambda frame plus an array_distinct rescan per doc; this is one
+  * scan with a LinkedHashSet. Shingling feeds ~10 of the dedup/decon
+  * queries, so like the tokenizer this constant factor is corpus-
+  * sized at 100 TB.
+  */
+object ShingleOps {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val arr = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      arr(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    if (len < n)
+      return new GenericArrayData(Array[Any](UTF8String.concatWs(Space, arr: _*)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    val window = new Array[UTF8String](n)
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { window(j) = arr(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+}
+
+/** Native Catalyst expression: graft_shingles(array<string>, n) → array<string>. */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.shingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}

@@ -38,14 +38,13 @@ object TextFunctions {
     md5(concat_ws(" ", array_sort(tokens(c))))
 
   /** Distinct n-word shingles; a single joined shingle for texts
-    * shorter than n tokens.
+    * shorter than n tokens. Native one-pass expression ([[ShingleOps]]);
+    * exact parity with the relational
+    * array_distinct(transform(sequence, concat_ws)) form the oracles
+    * replay is pinned in TextOpsSpec.
     */
-  def wordShingles(toks: Column, n: Int = 3): Column = {
-    val shingle = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))
-    array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(shingle))
-  }
+  def wordShingles(toks: Column, n: Int = 3): Column =
+    graft.functions.shinglesWs(toks, n)
 
   /** Exact word-n-gram Jaccard similarity between two shingle arrays
     * (integer set sizes → exact rational → engine-stable).

@@ -62,6 +62,12 @@ package object functions {
     */
   def tokenizeWs(c: Column): Column = col1(TokenizeWs.apply)(c)
 
+  /** Distinct word-n-gram shingles in one native pass — see
+    * [[ShingleOps]] for the exact-parity contract.
+    */
+  def shinglesWs(toks: Column, n: Int): Column =
+    ColumnShim.column(WordShinglesExpr(ColumnShim.expression(toks), n))
+
   /** Morton (Z-order) interleave of two pre-quantized long columns —
     * each in [0, 2^bits): bit i of `a` lands at position 2i+1, bit i
     * of `b` at 2i. Rows sorted by the result cluster in BOTH

@@ -46,6 +46,36 @@ class TextOpsSpec extends SparkSpec {
     assert(normMismatch === 0)
   }
 
+  test("shinglesWs: exact parity with the relational transform/array_distinct form") {
+    import spark.implicits._
+    import graft.functions.{shinglesWs, tokenizeWs}
+    def relational(toks: org.apache.spark.sql.Column, n: Int) = {
+      val shingle = transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*))
+      array_distinct(when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(shingle))
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(tokenizeWs(col("text")).as("t"))
+    Seq(3, 5).foreach { n =>
+      val mism = docs.select(shinglesWs(col("t"), n).as("fast"),
+          relational(col("t"), n).as("slow"))
+        .where(not(col("fast") <=> col("slow"))).count()
+      assert(mism === 0, s"n=$n")
+    }
+    // edges: empty token list ([""]), exactly n, repeats (order of
+    // first occurrence), short docs
+    val edge = Seq(
+      Seq(""), Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "b", "c", "d"),
+      Seq("x", "y", "x", "y", "x", "y"), // repeated shingles dedupe, first-occurrence order
+      Seq("a", "a", "a", "a")).toDF("t")
+    val eMism = edge.select(shinglesWs(col("t"), 3).as("fast"),
+        relational(col("t"), 3).as("slow"))
+      .where(not(col("fast") <=> col("slow"))).count()
+    assert(eMism === 0)
+  }
+
   test("t8: every doc has injected PII found, and scrub is idempotent-clean") {
     val rows = TextQueries.queries("t8_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
