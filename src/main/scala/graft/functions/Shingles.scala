@@ -50,6 +50,51 @@ object ShingleOps {
   }
 }
 
+/** Every word-n-gram in positional order (no dedup) — the fast path
+  * for `transform(sequence(0, size(t)-n), i -> concat_ws(" ",
+  * slice(t, i+1, n)))`, the span-dedup gram builder. Callers guard
+  * `size(t) >= n`; shorter inputs yield an empty array (the
+  * relational sequence would error on a negative bound).
+  */
+object GramOps {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def grams(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      arr(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](len - n + 1)
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { window(j) = arr(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: graft_grams(array<string>, n) → array<string>. */
+case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_grams"
+  override protected def nullSafeEval(input: Any): Any =
+    GramOps.grams(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramOps.grams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression: graft_shingles(array<string>, n) → array<string>. */
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle size $n")

@@ -68,6 +68,12 @@ package object functions {
   def shinglesWs(toks: Column, n: Int): Column =
     ColumnShim.column(WordShinglesExpr(ColumnShim.expression(toks), n))
 
+  /** Every word-n-gram in positional order (no dedup) — see
+    * [[GramOps]].
+    */
+  def gramsWs(toks: Column, n: Int): Column =
+    ColumnShim.column(WordGramsExpr(ColumnShim.expression(toks), n))
+
   /** Morton (Z-order) interleave of two pre-quantized long columns —
     * each in [0, 2^bits): bit i of `a` lands at position 2i+1, bit i
     * of `b` at 2i. Rows sorted by the result cluster in BOTH

@@ -155,9 +155,8 @@ object Dedup {
     // both the per-gram aggregate and the dup-occurrence join (the
     // d2 lesson: otherwise both sides re-derive the gram pass)
     val occ = docs.where(size(col("toks")) >= n)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc_id"),
+        posexplode(graft.functions.gramsWs(col("toks"), n)))
       .toDF("doc_id", "pos", "gram")
       .localCheckpoint(eager = false)
     // lexicographic first-occurrence per gram. min(struct) buffers are

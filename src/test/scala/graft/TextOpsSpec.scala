@@ -76,6 +76,25 @@ class TextOpsSpec extends SparkSpec {
     assert(eMism === 0)
   }
 
+  test("gramsWs: exact parity with the relational transform/slice form") {
+    import spark.implicits._
+    import graft.functions.{gramsWs, tokenizeWs}
+    def relational(toks: org.apache.spark.sql.Column, n: Int) = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(tokenizeWs(col("text")).as("t"))
+      .where(size(col("t")) >= 5) // the caller's guard (negative sequence errors)
+    val mism = docs.select(gramsWs(col("t"), 5).as("fast"),
+        relational(col("t"), 5).as("slow"))
+      .where(not(col("fast") <=> col("slow"))).count()
+    assert(mism === 0)
+    // short input yields an empty gram list (callers filter it anyway)
+    val short = Seq(Seq("a", "b")).toDF("t")
+      .select(size(gramsWs(col("t"), 5)).as("n")).head().getInt(0)
+    assert(short === 0)
+  }
+
   test("t8: every doc has injected PII found, and scrub is idempotent-clean") {
     val rows = TextQueries.queries("t8_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
