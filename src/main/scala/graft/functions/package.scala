@@ -74,6 +74,13 @@ package object functions {
   def gramsWs(toks: Column, n: Int): Column =
     ColumnShim.column(WordGramsExpr(ColumnShim.expression(toks), n))
 
+  /** Nearest packed-entry id: argmax of cosine ("cosine") or argmin
+    * of |c|²−2·v·c ("l2") with lowest-id ties — see [[NearestOps]].
+    */
+  def nearestId(cs: Column, v: Column, metric: String): Column =
+    ColumnShim.column(NearestIdExpr(
+      ColumnShim.expression(cs), ColumnShim.expression(v), metric))
+
   /** Morton (Z-order) interleave of two pre-quantized long columns —
     * each in [0, 2^bits): bit i of `a` lands at position 2i+1, bit i
     * of `b` at 2i. Rows sorted by the result cluster in BOTH

@@ -212,13 +212,16 @@ object Similarity {
     * `data`: (n_id, n_vec); returns (c_id, n_id, n_vec).
     */
   private[graft] def assignNearest(data: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.nearestId
     val packed = cents.agg(
       array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cs"))
+    // nearestId is the native argmax (NearestOps) — the earlier
+    // transform + array_max form was exact but interpreted
+    // (higher-order functions are CodegenFallback): one lambda frame
+    // per centroid per row; parity is spec-pinned in SimilaritySpec
     data.crossJoin(broadcast(packed))
-      .withColumn("best", array_max(transform(col("cs"), c =>
-        struct(cosine(col("n_vec"), c("c_vec")).as("sim"),
-          (-c("c_id")).as("nid")))))
-      .select((-col("best.nid")).as("c_id"), col("n_id"), col("n_vec"))
+      .select(nearestId(col("cs"), col("n_vec"), "cosine").as("c_id"),
+        col("n_id"), col("n_vec"))
   }
 
   /** Deterministic k-means over `data` (n_id, n_vec): seed with the
@@ -296,18 +299,14 @@ object Similarity {
     * projection — nothing crosses the wire.
     */
   private def pqAssign(subv: DataFrame, cents: DataFrame): DataFrame = {
-    import graft.functions.dot
+    import graft.functions.nearestId
     val packed = cents.groupBy("sub").agg(
       array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cs"))
+    // native argmin of |c|²−2·sv·c (|sv|² is a rank-invariant offset);
+    // see assignNearest on why not transform + array_min
     subv.join(broadcast(packed), Seq("sub"))
-      // |sv|² is constant across the array → dropped from the argmin
-      // (|sv-c|² and |c|²-2·sv·c rank identically)
-      .withColumn("best", array_min(transform(col("cs"), c =>
-        struct(
-          (dot(c("c_vec"), c("c_vec"))
-            - lit(2.0) * dot(col("sv"), c("c_vec"))).as("d2"),
-          c("c_id").as("c_id")))))
-      .select(col("sub"), col("n_id"), col("best.c_id").as("c_id"), col("sv"))
+      .select(col("sub"), col("n_id"),
+        nearestId(col("cs"), col("sv"), "l2").as("c_id"), col("sv"))
   }
 
   /** Per-subspace `ksub`-entry codebooks: every subspace seeds from

@@ -56,12 +56,12 @@ class PlanAssertSpec extends SparkSpec {
   test("s3: IVF assignment is map-only — no Window, no SortAggregate on the corpus path") {
     val p = plan("s3_knn_ivf")
     assert(!p.contains("Window"), p)
-    // nearest-centroid assignment is a codegen'd array_max over the
-    // packed broadcast centroid array: struct-ordered max_by/min_by
-    // plan as SortAggregate (hash-ineligible buffers) and would
-    // per-partition-sort the corpus every Lloyd round
+    // nearest-centroid assignment is the native graft_nearest argmax
+    // over the packed broadcast centroid array: struct-ordered
+    // max_by/min_by plan as SortAggregate (hash-ineligible buffers)
+    // and would per-partition-sort the corpus every Lloyd round
     assert(!p.contains("SortAggregate"), p)
-    assert(p.contains("array_max"), p)
+    assert(p.contains("graft_nearest"), p)
   }
 
   test("s7: IVF+PQ keeps the map-only assignment and bounded-heap cuts") {

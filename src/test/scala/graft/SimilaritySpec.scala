@@ -116,6 +116,27 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.select("q_id").distinct().count() === emb.count())
   }
 
+  test("nearestId: exact parity with the relational transform/array_max form") {
+    import graft.functions.{cosine, dot, nearestId}
+    val cents = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val packed = cents.agg(
+      array_sort(collect_list(struct(col("c_id"), col("c_vec")))).as("cs"))
+    val both = emb.select(col("vec_id"), col("embedding").as("v"))
+      .crossJoin(broadcast(packed))
+      .select(
+        col("vec_id"),
+        nearestId(col("cs"), col("v"), "cosine").as("fast_cos"),
+        array_max(transform(col("cs"), c =>
+          struct(cosine(col("v"), c("c_vec")).as("sim"), (-c("c_id")).as("nid"))))("nid").as("slow_ncos"),
+        nearestId(col("cs"), col("v"), "l2").as("fast_l2"),
+        array_min(transform(col("cs"), c =>
+          struct((dot(c("c_vec"), c("c_vec")) - lit(2.0) * dot(col("v"), c("c_vec"))).as("d2"),
+            c("c_id").as("c_id"))))("c_id").as("slow_l2"))
+    assert(both.where(col("fast_cos") =!= -col("slow_ncos")).count() === 0)
+    assert(both.where(col("fast_l2") =!= col("slow_l2")).count() === 0)
+  }
+
   test("kmeans seeding survives an id-sorted-by-cluster corpus") {
     // ids arrive sorted by cluster (the crawl-shard pathology): ids
     // 0..99 are cluster 0, 100..199 cluster 1, ... Lowest-id seeding
