@@ -45,6 +45,46 @@ object TokenizeOps {
   }
 }
 
+/** Sum of per-token character counts — the fast path for
+  * `aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)`
+  * (two interpreted higher-order passes per doc). Null tokens are a
+  * null sum, matching the relational form's null propagation.
+  */
+object TokenLengthOps {
+  def sumChars(toks: ArrayData): Any = {
+    val n = toks.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      sum += toks.getUTF8String(i).numChars()
+      i += 1
+    }
+    sum
+  }
+}
+
+/** Native Catalyst expression: graft_toklen_sum(array<string>) → bigint. */
+case class TokenLengthSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_toklen_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    TokenLengthOps.sumChars(input.asInstanceOf[ArrayData])
+  // sumChars can return null (a null token) even for non-null input,
+  // so generated code must route through the boxed result
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sumRes")
+      s"""
+         |Object $tmp = graft.functions.TokenLengthOps.sumChars($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $tmp).longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): TokenLengthSum =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression: graft_tokenize(string) → array<string>. */
 case class TokenizeWs(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)

@@ -81,6 +81,11 @@ package object functions {
     ColumnShim.column(NearestIdExpr(
       ColumnShim.expression(cs), ColumnShim.expression(v), metric))
 
+  /** Sum of per-token character counts (bigint; null if any token is
+    * null) — see [[TokenLengthOps]].
+    */
+  def toklenSum(toks: Column): Column = col1(TokenLengthSum.apply)(toks)
+
   /** Morton (Z-order) interleave of two pre-quantized long columns —
     * each in [0, 2^bits): bit i of `a` lands at position 2i+1, bit i
     * of `b` at 2i. Rows sorted by the result cluster in BOTH

@@ -43,8 +43,7 @@ object TextQueries {
         .withColumn("toks", T.tokens(col("text")))
         .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("stop_cnt", markerCount(col("toks"), Seq("the", "a")))
-        .withColumn("sum_len",
-          aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+        .withColumn("sum_len", graft.functions.toklenSum(col("toks")))
         .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tok"))
         .withColumn("avg_len", col("sum_len").cast("double") / col("n_tok"))
         .withColumn("score",
@@ -149,9 +148,7 @@ object TextQueries {
     // fraction + most-common-bigram share per document. One shuffle on
     // (doc_id, bigram) with map-side partial counts — never the text.
     "t9_repetition" -> ((s, dir) => {
-      val bigrams = transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+      val bigrams = graft.functions.gramsWs(col("toks"), 2)
       table(s, dir, "documents")
         .withColumn("toks", T.tokens(col("text")))
         .where(size(col("toks")) >= 2)
@@ -457,8 +454,7 @@ object TextQueries {
         .withColumn("toks", T.tokens(col("text")))
         .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("stop_cnt", markerCount(col("toks"), Seq("the", "a")))
-        .withColumn("sum_len",
-          aggregate(transform(col("toks"), t => length(t)), lit(0), (acc, x) => acc + x))
+        .withColumn("sum_len", graft.functions.toklenSum(col("toks")))
         .withColumn("score",
           least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.5 +
             col("stop_cnt").cast("double") / col("n_tok") * 0.3 +
