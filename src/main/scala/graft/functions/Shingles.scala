@@ -95,6 +95,52 @@ case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Join `struct<pos: int, tok: string>` entries in ascending `pos`
+  * order with single spaces — the span-dedup reassembly tail. Fast
+  * path for `concat_ws(" ", transform(array_sort(entries), x ->
+  * x.tok))`: array_sort's default comparator and transform's lambda
+  * both run interpreted, per kept token of every reassembled doc.
+  * Positions are unique per doc, so sorting by pos alone reproduces
+  * the struct-lexicographic order; null toks are skipped exactly as
+  * concat_ws skips them.
+  */
+object ReassembleOps {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def joinByPos(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val pos = new Array[Long](n)
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val e = arr.getStruct(i, 2)
+      pos(i) = e.getInt(0).toLong << 32 | i // stable: pos major, arrival minor
+      toks(i) = if (e.isNullAt(1)) null else e.getUTF8String(1)
+      i += 1
+    }
+    val order = pos.clone()
+    java.util.Arrays.sort(order)
+    val sorted = new Array[UTF8String](n)
+    i = 0
+    while (i < n) { sorted(i) = toks((order(i) & 0xffffffffL).toInt); i += 1 }
+    UTF8String.concatWs(Space, sorted: _*)
+  }
+}
+
+/** Native Catalyst expression: graft_join_by_pos(array<struct<pos,tok>>) → string. */
+case class JoinByPosExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_join_by_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    ReassembleOps.joinByPos(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ReassembleOps.joinByPos($c)")
+  override protected def withNewChildInternal(newChild: Expression): JoinByPosExpr =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression: graft_shingles(array<string>, n) → array<string>. */
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle size $n")

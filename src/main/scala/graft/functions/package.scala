@@ -86,6 +86,11 @@ package object functions {
     */
   def toklenSum(toks: Column): Column = col1(TokenLengthSum.apply)(toks)
 
+  /** Join struct<pos, tok> entries in ascending pos order with single
+    * spaces — see [[ReassembleOps]].
+    */
+  def joinByPos(entries: Column): Column = col1(JoinByPosExpr.apply)(entries)
+
   /** Morton (Z-order) interleave of two pre-quantized long columns —
     * each in [0, 2^bits): bit i of `a` lands at position 2i+1, bit i
     * of `b` at 2i. Rows sorted by the result cluster in BOTH

@@ -193,10 +193,12 @@ object Dedup {
       .toDF("doc_id", "pos", "tok")
     val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
+      // joinByPos is the native reassembly (see ReassembleOps) — the
+      // relational array_sort + transform + concat_ws form ran its
+      // comparator and lambda interpreted per kept token
       .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok"))).as("kept_text"))
+        graft.functions.joinByPos(
+          collect_list(struct(col("pos"), col("tok")))).as("kept_text"))
     docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
