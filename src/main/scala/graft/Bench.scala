@@ -86,8 +86,10 @@ object Bench {
       // moderate raise over the 128 default (see GraftSession.builder
       // for the bound rationale); the all-bounded-buffer queries in
       // SparkEntry.boundedObjectAggQueries additionally run under
-      // withBoundedObjectAgg, which lifts the fallback entirely
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // withBoundedObjectAgg, which lifts the fallback entirely.
+      // SPARK_GRAFT_OBJAGG_FALLBACK overrides for A/B diagnosis.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_FALLBACK", "65536"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: unpersisting localCheckpointed RDDs between
