@@ -475,6 +475,14 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // BPE merge learning (tokenizer fitting): one corpus pass builds
+    // word frequencies, then 16 deterministic pair-merge rounds over
+    // the vocab-sized relation. No SQL oracle (iterative) → rows-only
+    // + hand-computed spec in TextOpsSpec.
+    "t22_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.learnMerges(table(s, dir, "documents"), "text", 16)
+        .orderBy("merge_rank")),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")

@@ -95,6 +95,42 @@ class TextOpsSpec extends SparkSpec {
     assert(short === 0)
   }
 
+  test("t22: BPE merges match the hand-computed reference example") {
+    import spark.implicits._
+    // Sennrich-style fixture: word frequencies {low:5, lowest:2,
+    // newer:6, wider:3}. Round-1 pair totals: lo 7, ow 7, we 8,
+    // ne 6, ew 6, er 9 (newer 6 + wider 3), wi 3, id 3, de 3,
+    // es 2, st 2 → merge 1 = (e, r) at 9.
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++
+        Seq.fill(6)("newer") ++ Seq.fill(3)("wider"))
+      .map(w => w).toDF("text")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    // round 1: er=9. round 2 (er merged): newer = n,e,w,er; wider = w,i,d,er;
+    //   pairs: ne 6, ew 6, w-er 6, wi 3, id 3, d-er 3, lo 7, ow 7, we 2, es 2, st 2
+    //   → max 7 on BOTH lo and ow; tie-break lex: (l,o) < (o,w) → (l,o)
+    // round 3: low=5 → lo,w; lowest → lo,w,e,s,t: pairs low 7 ... recompute:
+    //   after lo: low = lo,w (5): pair lo-w 5; lowest = lo,w,e,s,t (2): lo-w, we, es, st
+    //   newer: ne 6, ew 6, w-er 6; wider: wi 3, id 3, d-er 3
+    //   lo-w = 7 → merge 3 = (lo, w)
+    assert(merges(0) === ((1, "e", "r", 9L)))
+    assert(merges(1) === ((2, "l", "o", 7L)))
+    assert(merges(2) === ((3, "lo", "w", 7L)))
+  }
+
+  test("t22: merge-apply is left-to-right non-overlapping") {
+    import spark.implicits._
+    // "aaaa" with 4 copies: round 1 pair (a,a) counts overlaps (3 per
+    // word x 4 = 12); the apply folds non-overlapping → aa,aa
+    val docs = Seq.fill(4)("aaaa").toDF("text")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges(0) === ((1, "a", "a", 12L)))
+    // round 2: each word is now [aa, aa] → pair (aa,aa) x 4
+    assert(merges(1) === ((2, "aa", "aa", 4L)))
+  }
+
   test("t8: every doc has injected PII found, and scrub is idempotent-clean") {
     val rows = TextQueries.queries("t8_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
