@@ -145,6 +145,13 @@ object Dedup {
     * majority) are dropped BEFORE the occurrence join back, and AQE
     * handles hot-gram skew on that join; coverage + reassembly
     * shuffle on doc_id. Documents shorter than n pass through.
+    *
+    * Note: CONSTRUCTION IS EAGER — this method runs a small Spark job
+    * (a two-column max over the gram occurrences, which also
+    * materializes their localCheckpoint) before returning, to decide
+    * whether the first-occurrence key can use the hash-aggregate-
+    * eligible packed-long form. Callers composing plans without
+    * executing them pay that one corpus gram pass up front.
     */
   def spanDedup(
       df: DataFrame, textCol: String, idCol: String, n: Int = 5): DataFrame = {
@@ -175,8 +182,11 @@ object Dedup {
       bounds.getLong(1) < (1L << 32)
     val (firstExpr, occKey) =
       if (packable)
-        (min(shiftleft(col("doc_id"), 32) + col("pos")),
-          shiftleft(col("doc_id"), 32) + col("pos"))
+        // cast BEFORE shifting: ShiftLeft on an IntegerType does a
+        // Java int shift where <<32 is a no-op (distance mod 32),
+        // silently collapsing the key to doc_id + pos for int ids
+        (min(shiftleft(col("doc_id").cast("long"), 32) + col("pos")),
+          shiftleft(col("doc_id").cast("long"), 32) + col("pos"))
       else
         (min(struct(col("doc_id"), col("pos"))),
           struct(col("doc_id"), col("pos")))

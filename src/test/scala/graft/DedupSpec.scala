@@ -90,6 +90,14 @@ class DedupSpec extends SparkSpec {
       .select("n_tok", "n_removed", "kept_text")
       .as[(Long, Long, String)].collect().sortBy(_._3).toSeq
     assert(packed === unpackable)
+    // IntegerType ids take the packed path too (the guard passes for
+    // any int); without the pre-shift long cast, <<32 on an int is a
+    // Java no-op and the key collapses to doc_id + pos across docs
+    val intIds = Dedup.spanDedup(
+        tiny.withColumn("doc_id", col("doc_id").cast("int")), "text", "doc_id")
+      .select("n_tok", "n_removed", "kept_text")
+      .as[(Long, Long, String)].collect().sortBy(_._3).toSeq
+    assert(intIds === packed)
   }
 
   test("d12: span dedup is conservative on the real corpus") {
