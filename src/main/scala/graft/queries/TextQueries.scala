@@ -375,32 +375,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // deterministic training-order shuffle: a reproducible global
-    // permutation + fixed-size chunk assignment — ORDER BY a salted
-    // md5 of the id, no RNG, identical on any cluster size. The
-    // global rank is assigned SCALABLY: bucket on the hash's first
-    // byte (a prefix of the sort key, so bucket-major order IS the
-    // global order), rank within each bucket's partition, then add
-    // the 256-row broadcast table of cumulative bucket offsets —
-    // never a single-partition window over the data. At 100 TB this
-    // replaces the one full sort a training-export pipeline pays.
+    // deterministic training-order shuffle — operators/Shuffle.scala:
+    // reproducible salted-md5 permutation, global rank via
+    // prefix-bucket + per-bucket row_number + broadcast cumulative
+    // offsets (never a single-partition window). The default 4-hex
+    // bucket width bounds the per-task rank sort to ~corpus/65536;
+    // the permutation is width-invariant (spec-pinned).
     "t19_global_shuffle" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val b = table(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(concat(col("doc_id").cast("string"), lit(":epoch0"))).as("h"))
-        .withColumn("bkt", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
-      val offs = b.groupBy("bkt").agg(count(lit(1)).as("n"))
-        .withColumn("off",
-          coalesce(sum("n").over(
-            W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-        .select("bkt", "off")
-      b.join(broadcast(offs), Seq("bkt"))
-        .withColumn("r_in_b", row_number().over(
-          W.partitionBy("bkt").orderBy("h", "doc_id")).cast("long"))
-        .select(col("doc_id"),
-          (col("off") + col("r_in_b")).as("shuffle_rank"))
-        .withColumn("chunk", ((col("shuffle_rank") - 1) / 64).cast("long"))
+      graft.operators.Shuffle.globalPermutation(
+          table(s, dir, "documents"), "doc_id", "epoch0")
         .orderBy("doc_id")
     }),
 
