@@ -10,12 +10,34 @@ import graft.functions.{TextFunctions => T}
   * iterative DataFrame computation.
   *
   * Scale shape: the corpus is touched ONCE (tokens → word-frequency
-  * aggregate); every Lloyd-style merge round after that runs on the
+  * aggregate); every merge round after that runs on the
   * WORD-FREQUENCY relation, whose size is the vocabulary — millions
-  * of rows at 100 TB, not the corpus — so the per-round cost is a
-  * vocab-sized pair explode + one groupBy plus a single-row argmax
-  * action. Each round re-materializes the symbolized vocab (lazy
-  * localCheckpoint) so lineage doesn't compound, exactly like
+  * of rows at 100 TB, not the corpus. Two round strategies, identical
+  * output (spec-pinned parity):
+  *
+  *  - `incremental = false` (default): each round re-counts adjacent
+  *    pairs with one vocab-sized explode + groupBy and rewrites the
+  *    whole symbolized vocab. MEASURED fastest at short merge
+  *    schedules (64 merges, sf0.1: 10.3s vs 32.4s incremental —
+  *    BENCH_NOTES_r10.md): early merges are single-character pairs
+  *    that occur in nearly every word, so "only touched words" is the
+  *    whole vocab and delta machinery is pure overhead.
+  *  - `incremental = true`: the pair counts live in their own
+  *    checkpointed (pair, n) relation, the argmax is a limit(1) over
+  *    that already-aggregated relation, and each merge applies ±freq
+  *    count deltas computed from only the words the merge actually
+  *    changed (a lazily-evaluated CaseWhen `array_contains(l) &&
+  *    array_contains(r)` guard keeps the interpreted merge fold off
+  *    untouched words). Per-round bound: one codegen'd whole-vocab
+  *    guard scan + fold/explode work proportional to the touched
+  *    slice + one counts-sized groupBy. This is the shape for
+  *    REALISTIC merge schedules (30k+): deep into the schedule the
+  *    best pair is a rare multi-character symbol pair, the touched
+  *    slice shrinks toward the pair frequency, and a full vocab
+  *    rewrite + recount per round would dominate.
+  *
+  * Each round re-materializes its state (lazy localCheckpoint) so
+  * lineage doesn't compound, exactly like
   * [[Similarity.kmeansCentroids]].
   *
   * Determinism: the best pair maximizes (count, then lexicographic
@@ -49,13 +71,23 @@ object Bpe {
       .otherwise(concat(folded("out"), array(folded("pend"))))
   }
 
+  /** Adjacent symbol pairs via the native positional 2-gram builder
+    * (overlaps included, matching reference BPE counting); the
+    * " "-joined pair string splits back unambiguously because symbols
+    * come from whitespace tokens and merges only concatenate them.
+    */
+  private def pairsOf(syms: Column): Column =
+    explode(graft.functions.gramsWs(syms, 2))
+
   /** Learn `numMerges` BPE merges over the corpus' whitespace words.
     * Returns (merge_rank, lhs, rhs, pair_count) — rank 1 is the first
     * (highest-count) merge. Words shorter than 2 symbols stop
-    * contributing automatically (no pairs).
+    * contributing automatically (no pairs). See the object scaladoc
+    * for the `incremental` strategy trade-off.
     */
   def learnMerges(
-      df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+      df: DataFrame, textCol: String, numMerges: Int,
+      incremental: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // the ONLY corpus-wide pass: word frequencies
@@ -69,19 +101,23 @@ object Bpe {
       // empty symbol (and "" would then enter the pair counts)
       .select(split(col("w"), "(?!^)(?=.)").as("syms"), col("freq"))
       .localCheckpoint(eager = false)
+    // incremental only: the ONE full pair count, patched every round
+    var counts: DataFrame =
+      if (incremental)
+        vocab.where(size(col("syms")) >= 2)
+          .select(col("freq"), pairsOf(col("syms")).as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("n"))
+          .localCheckpoint(eager = false)
+      else null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     while (rank <= numMerges) {
-      // adjacent symbol pairs via the native positional 2-gram
-      // builder (overlaps included, matching reference BPE counting);
-      // the " "-joined pair string splits back unambiguously because
-      // symbols come from whitespace tokens and merges only
-      // concatenate them
-      val best = vocab
-        .where(size(col("syms")) >= 2)
-        .select(col("freq"),
-          explode(graft.functions.gramsWs(col("syms"), 2)).as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("n"))
+      val pairCounts =
+        if (incremental) counts
+        else vocab.where(size(col("syms")) >= 2)
+          .select(col("freq"), pairsOf(col("syms")).as("pair"))
+          .groupBy("pair").agg(sum(col("freq")).as("n"))
+      val best = pairCounts
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1)
         .collect()
@@ -92,9 +128,45 @@ object Bpe {
         val sp = pairStr.indexOf(' ') // symbols never contain spaces (whitespace tokens)
         val (lS, rS) = (pairStr.substring(0, sp), pairStr.substring(sp + 1))
         merges += ((rank, lS, rS, n))
-        vocab = vocab
-          .select(mergePair(col("syms"), lit(lS), lit(rS)).as("syms"), col("freq"))
-          .localCheckpoint(eager = false)
+        if (incremental) {
+          // only words CONTAINING both symbols can change under this
+          // merge (mergePair is identity otherwise); CaseWhen evaluates
+          // branches lazily per row, so the codegen'd guard keeps the
+          // interpreted fold off every untouched word. The fold runs
+          // ONCE, here — vocab and the count deltas both derive from
+          // this checkpointed slice.
+          val touches =
+            array_contains(col("syms"), lS) && array_contains(col("syms"), rS)
+          val touched = vocab
+            .where(touches)
+            .select(col("freq"), col("syms").as("old_syms"),
+              mergePair(col("syms"), lit(lS), lit(rS)).as("new_syms"))
+            .localCheckpoint(eager = false)
+          // contains-but-not-adjacent words merge to themselves —
+          // zero net delta, dropped before the explode
+          val delta = touched.where(!(col("old_syms") <=> col("new_syms")))
+          val minus = delta.where(size(col("old_syms")) >= 2)
+            .select(pairsOf(col("old_syms")).as("pair"), (-col("freq")).as("d"))
+          val plus = delta.where(size(col("new_syms")) >= 2)
+            .select(pairsOf(col("new_syms")).as("pair"), col("freq").as("d"))
+          // patch the counts; the groupBy's shuffle re-normalizes the
+          // union's concatenated partition list every round
+          counts = counts.select(col("pair"), col("n").as("d"))
+            .unionAll(minus).unionAll(plus)
+            .groupBy("pair").agg(sum(col("d")).as("n"))
+            .where(col("n") > 0)
+            .localCheckpoint(eager = false)
+          vocab = vocab.where(!touches)
+            .unionAll(touched.select(col("new_syms").as("syms"), col("freq")))
+            // union CONCATENATES partition lists — bound the count or
+            // it doubles every round (2^rounds tasks)
+            .coalesce(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager = false)
+        } else {
+          vocab = vocab
+            .select(mergePair(col("syms"), lit(lS), lit(rS)).as("syms"), col("freq"))
+            .localCheckpoint(eager = false)
+        }
         rank += 1
       }
     }

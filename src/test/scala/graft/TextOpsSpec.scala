@@ -172,4 +172,38 @@ class TextOpsSpec extends SparkSpec {
     val b = TextQueries.queries("t11_stratified_sample")(spark, sf).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("t22: incremental and recount rounds learn identical merge tables") {
+    // the incremental path patches a persistent (pair, n) relation
+    // with ±freq deltas from touched words; any accounting error
+    // (missed word, double-counted pair, stale entry) diverges the
+    // argmax within a few rounds — pin full-table equality on the
+    // real corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def table(inc: Boolean) =
+      graft.operators.Bpe.learnMerges(docs, "text", 12, incremental = inc)
+        .collect().map(_.toString).toSeq
+    assert(table(inc = true) === table(inc = false))
+  }
+
+  test("t19: the permutation is bucket-width invariant") {
+    // the bucket is a PREFIX of the sort key, so bucket-major order is
+    // the global order at any width — widening only re-partitions the
+    // rank computation (the 100 TB knob), never changes a rank
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def ranks(w: Int) =
+      graft.operators.Shuffle.globalPermutation(docs, "doc_id", "epoch0", prefixHexChars = w)
+        .select("doc_id", "shuffle_rank", "chunk")
+        .collect().map(_.toString).sorted.toSeq
+    val w4 = ranks(4)
+    assert(ranks(1) === w4)
+    assert(ranks(2) === w4)
+    // ranks are a dense permutation of 1..N
+    val n = docs.count()
+    val rs = graft.operators.Shuffle.globalPermutation(docs, "doc_id", "epoch0")
+      .agg(count(lit(1)), countDistinct(col("shuffle_rank")),
+        min("shuffle_rank"), max("shuffle_rank")).head()
+    assert(rs.getLong(0) === n && rs.getLong(1) === n &&
+      rs.getLong(2) === 1L && rs.getLong(3) === n)
+  }
 }
