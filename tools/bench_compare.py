@@ -24,13 +24,23 @@ def load(p):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    ratio = 1.5
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--ratio"):
+            if "=" in a:
+                ratio = float(a.split("=", 1)[1])
+            else:
+                ratio = float(argv[i + 1])
+                i += 1  # consume the value so it is not taken as a path
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     new_p = args[0] if len(args) > 0 else "BENCH_DETAIL.json"
     old_p = args[1] if len(args) > 1 else "BENCH_DETAIL_prev.json"
-    ratio = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     new, old = load(new_p), load(old_p)
     flags = []
     for name in sorted(set(new) & set(old)):
@@ -39,7 +49,9 @@ def main():
             flags.append((name, old[name], new[name]))
     for name, o, n in flags:
         print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
-    tn, to = sum(new.values()), sum(o for k, o in old.items() if k in new)
+    common = set(new) & set(old)
+    tn = sum(v for k, v in new.items() if k in common)
+    to = sum(v for k, v in old.items() if k in common)
     print(f"== common-query total: {to:.1f}s -> {tn:.1f}s ({tn / to:.2f}x); "
           f"{len(flags)} flagged of {len(set(new) & set(old))} common ==")
     sys.exit(1 if flags else 0)
