@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object ParquetLake {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Write `df` date-partitioned on `tsMsCol` (epoch millis →
     * `p_date=YYYY-MM-DD` directories), sorted within partitions by
     * `sortCols` for row-group min/max skipping.
@@ -395,19 +397,77 @@ object ParquetLake {
     }
   }
 
+  /** Thrown when an optimistic commit loses the race: the expected
+    * version is no longer the latest, or another writer published the
+    * target version first. The snapshot the loser computed from is
+    * stale — re-read and recompute (what [[mergeManifested]]'s retry
+    * loop does), never blind-retry the same commit.
+    */
+  final class ManifestConflictException(msg: String)
+    extends java.io.IOException(msg)
+
   /** Atomically commit a new snapshot listing `files` (lake-relative)
     * as the next manifest version; returns that version.
+    *
+    * `expectedVersion = Some(v)` makes the commit OPTIMISTIC
+    * (compare-and-swap): it publishes v+1 only if v is still the
+    * latest committed version, and throws [[ManifestConflictException]]
+    * otherwise — the multi-writer contract (two concurrent merges,
+    * ingest racing compaction) that turns last-writer-wins silent
+    * data loss into a loud, retryable conflict. `None` keeps the
+    * single-writer behavior (next = latest + 1 at publish time).
+    *
+    * Publish is write-tmp-then-link/rename with a per-writer unique
+    * tmp name, so a half-written manifest is never visible under a
+    * committed name and concurrent writers never touch each other's
+    * tmp. The publish step is atomic-if-absent: on HDFS-like stores
+    * rename-to-existing fails by contract; on the local filesystem
+    * (where POSIX rename would silently REPLACE an existing target)
+    * the manifest is published via a hard link, which fails atomically
+    * if the target exists — so of two racers exactly one wins.
     */
-  def commitManifest(spark: SparkSession, path: String, files: Seq[String]): Int = {
+  def commitManifest(
+      spark: SparkSession, path: String, files: Seq[String],
+      expectedVersion: Option[Int] = None): Int = {
+    import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
-    val next = manifestVersions(fs, root).lastOption.map(_._1 + 1).getOrElse(1)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"._graft_manifest.tmp")
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val latest = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(0)
+    expectedVersion.foreach { v =>
+      if (latest != v)
+        throw new ManifestConflictException(
+          s"manifest commit expected latest version $v but found $latest under $path")
+    }
+    val next = latest + 1
+    val tmp = new Path(root,
+      s"._graft_manifest.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
     try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    val target = new org.apache.hadoop.fs.Path(root, s"$ManifestPrefix$next")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"manifest commit failed: $target")
+    val target = new Path(root, s"$ManifestPrefix$next")
+    val localFs = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    try {
+      if (localFs) {
+        // POSIX rename replaces an existing target; link(2) is the
+        // atomic fail-if-exists publish on a local lake
+        try
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new ManifestConflictException(
+              s"manifest version $next already committed by a concurrent writer under $path")
+        }
+      } else {
+        // HDFS-contract stores: rename fails (returns false) when the
+        // destination exists — atomic first-writer-wins
+        if (fs.exists(target) || !fs.rename(tmp, target))
+          throw new ManifestConflictException(
+            s"manifest version $next already committed by a concurrent writer under $path")
+      }
+    } finally fs.delete(tmp, false)
     next
   }
 
@@ -510,8 +570,9 @@ object ParquetLake {
       parallelism: Int = 8): Seq[CompactionStat] = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
-    val current = readManifest(spark, path).getOrElse(
+    val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
+    val current = readManifest(spark, path, Some(currentVersion)).get
     val byPartition = current.groupBy(_.split('/').head)
     val results = inParallel(byPartition.toSeq.sortBy(_._1), parallelism) {
       case (part, files) =>
@@ -534,7 +595,14 @@ object ParquetLake {
         }
     }
     val stats = results.flatMap(_._3)
-    if (stats.nonEmpty) commitManifest(spark, path, results.flatMap(_._2))
+    // CAS at the version this compaction planned against: if a merge
+    // or ingest committed meanwhile, committing our file list would
+    // silently DROP their files from the snapshot — fail loudly
+    // instead (compaction is cheap to re-run; lost commits are not).
+    // The compacted files stay on disk as unreferenced garbage for
+    // [[vacuum]].
+    if (stats.nonEmpty)
+      commitManifest(spark, path, results.flatMap(_._2), Some(currentVersion))
     stats
   }
 
@@ -562,8 +630,19 @@ object ParquetLake {
     * flips the snapshot; replaced files stay referenced by retained
     * older versions ([[vacuum]] is the only deletion point); a crash
     * before the commit leaves unreferenced garbage, never duplicates.
-    * Same SINGLE-WRITER contract as compaction. Returns the committed
-    * manifest version (the current one when the merge is a no-op).
+    *
+    * MULTI-WRITER safe via optimistic concurrency: the commit is a
+    * compare-and-swap at the snapshot version the merge planned
+    * against ([[commitManifest]]'s `expectedVersion`), and on
+    * conflict the merge REBASES — re-reads the new current snapshot,
+    * recomputes the rewrite against it, and retries, up to
+    * `maxRetries` times before throwing the final
+    * [[ManifestConflictException]]. Two concurrent merges therefore
+    * serialize: both batches land, in commit order. A lost attempt's
+    * already-renamed files are unreferenced garbage for [[vacuum]],
+    * never duplicates (readers only see committed manifests). Returns
+    * the committed manifest version (the current one when the merge
+    * is a no-op).
     *
     * `source` must carry `keyCols` plus `partCol`; other columns
     * align by NAME, null-filling in either direction (so merges work
@@ -576,21 +655,40 @@ object ParquetLake {
   def mergeManifested(
       spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], partCol: String = "p_date",
-      deleteCol: Option[String] = None): Int = {
-    import org.apache.hadoop.fs.Path
+      deleteCol: Option[String] = None, maxRetries: Int = 3): Int = {
     require(keyCols.nonEmpty, "mergeManifested needs at least one key column")
-    val (fs, root) = fsFor(spark, path)
-    val current = readManifest(spark, path).getOrElse(
-      throw new IllegalStateException(s"no committed manifest under $path"))
-    val currentVersion = manifestVersions(fs, root).last._1
     // the change batch is read several times (matched-partition probe,
-    // anti-join, insert union) — materialize once
+    // anti-join, insert union) and by every rebase attempt —
+    // materialize once
     val src = source.localCheckpoint(eager = false)
+    var attempt = 0
+    while (true) {
+      try return mergeAttempt(spark, path, src, keyCols, partCol, deleteCol)
+      catch {
+        case e: ManifestConflictException if attempt < maxRetries =>
+          attempt += 1
+          log.info(
+            s"mergeManifested conflict on $path (attempt $attempt/$maxRetries), " +
+              s"rebasing onto the new snapshot: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeAttempt(
+      spark: SparkSession, path: String, src: DataFrame,
+      keyCols: Seq[String], partCol: String,
+      deleteCol: Option[String]): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val current = readManifest(spark, path, Some(currentVersion)).get
     val isDelete = deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
       .getOrElse(lit(false))
     val upserts = deleteCol.foldLeft(src.where(!isDelete))((d, c) => d.drop(c))
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
-    val tgt = readManifested(spark, path)
+    val tgt = readManifested(spark, path, Some(currentVersion))
     // partitions to rewrite: those holding a matched key, plus those
     // receiving inserts. Both are partition-count-bounded collects.
     val matchedParts = tgt.join(srcKeys, keyCols)
@@ -640,7 +738,11 @@ object ParquetLake {
           }
       }.toSeq
     fs.delete(aside, true)
-    commitManifest(spark, path, carried ++ moved)
+    // CAS at the snapshot this attempt planned against — a concurrent
+    // commit means `carried` is stale, so the conflict propagates to
+    // the rebase loop; this attempt's moved files become unreferenced
+    // garbage for [[vacuum]]
+    commitManifest(spark, path, carried ++ moved, Some(currentVersion))
   }
 
   case class FsckReport(orphans: Seq[String], missing: Seq[String])

@@ -639,4 +639,62 @@ class ParquetLakeSpec extends SparkSpec {
     assert(stats.nonEmpty)
     assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === expected)
   }
+
+  test("lk19: optimistic commit — a stale expectedVersion fails loudly, never last-writer-wins") {
+    val dir = Files.createTempDirectory("graft_cas").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val files = ParquetLake.readManifest(spark, dir, Some(v1)).get
+    // writer A commits against v1 and wins
+    val v2 = ParquetLake.commitManifest(spark, dir, files.take(1), Some(v1))
+    assert(v2 === v1 + 1)
+    // writer B planned against v1 too — its commit must CONFLICT, and
+    // A's snapshot must survive untouched
+    intercept[ParquetLake.ManifestConflictException] {
+      ParquetLake.commitManifest(spark, dir, files.takeRight(1), Some(v1))
+    }
+    assert(ParquetLake.readManifest(spark, dir, Some(v2)).get === files.take(1).sorted)
+    assert(ParquetLake.readManifest(spark, dir).get === files.take(1).sorted)
+  }
+
+  test("lk19: two interleaved mergeManifested writers — both batches land, no lost update") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft_mw").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val tgt = ParquetLake.readManifested(spark, dir).localCheckpoint()
+    val ids = tgt.orderBy("event_id").limit(2).select("event_id")
+      .collect().map(_.getLong(0))
+    def batch(id: Long, tag: String) =
+      tgt.where(col("event_id") === id).withColumn("event_type", lit(tag))
+        .localCheckpoint()
+    val (bA, bB) = (batch(ids(0), "WRITER_A"), batch(ids(1), "WRITER_B"))
+    // release both writers together so their plan->rewrite->commit
+    // windows overlap; the loser's CAS conflicts and rebases
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def writer(b: org.apache.spark.sql.DataFrame) = Future {
+      gate.await()
+      ParquetLake.mergeManifested(spark, dir, b, keyCols = Seq("event_id"))
+    }
+    val (fA, fB) = (writer(bA), writer(bB))
+    gate.countDown()
+    val (vA, vB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
+    // both committed, at distinct versions
+    assert(Set(vA, vB).size === 2)
+    assert(math.max(vA, vB) === v1 + 2)
+    // no lost update: the final snapshot carries BOTH writers' rows
+    val after = ParquetLake.readManifested(spark, dir)
+      .select("event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after(ids(0)) === "WRITER_A")
+    assert(after(ids(1)) === "WRITER_B")
+    // and every other row is untouched
+    assert(ParquetLake.readManifested(spark, dir).count() === tgt.count())
+  }
 }
