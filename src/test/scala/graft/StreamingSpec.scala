@@ -38,6 +38,24 @@ class StreamingSpec extends SparkSpec {
     dir
   }
 
+  /** Runs `body` with streaming state on the RocksDB provider — the
+    * 100 TB configuration (state off-heap on local disk, no
+    * executor-heap ceiling). The conf is what
+    * `GraftSession.builder(rocksdbStateStore = true)` sets; the
+    * provider-metrics smoke test below proves the conf takes effect
+    * for queries started under it. Stateful specs run under BOTH
+    * providers via this helper (the `(rocksdb)` twins).
+    */
+  private def withRocksDb(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, GraftSession.RocksDbProvider)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("st1: streaming parse of gzipped CWL payloads") {
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
@@ -132,7 +150,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("st4_out").count() === expected)
   }
 
-  test("st13: streaming dedup against a historical corpus drops known + repeated docs") {
+  private def st13Body(tag: String): Unit = {
     // corpus of 500 docs: the first half is already in history; the
     // stream delivers every doc TWICE (at-least-once redelivery)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -146,10 +164,10 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream
       .schema(docs.schema).parquet(dir)
     val out = LogStream.dedupeAgainstHistory(stream, history, "fp", "event_time", "1 hour")
-    val q = out.writeStream.format("memory").queryName("st13_out")
+    val q = out.writeStream.format("memory").queryName(s"st13_out$tag")
       .outputMode("append").start()
     try { q.processAllAvailable() } finally q.stop()
-    val got = spark.table("st13_out")
+    val got = spark.table(s"st13_out$tag")
     // exactly the unseen fingerprints, exactly once each (a doc ≥ 250
     // whose text also appears below 250 counts as already-known)
     val expected = docs.where(col("doc_id") >= 250)
@@ -158,6 +176,14 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() === expected)
     assert(got.select("fp").distinct().count() === expected)
     assert(got.join(history, "fp").count() === 0)
+  }
+
+  test("st13: streaming dedup against a historical corpus drops known + repeated docs") {
+    st13Body("")
+  }
+
+  test("st13 (rocksdb): history dedup under the RocksDB state store") {
+    withRocksDb(st13Body("_rdb"))
   }
 
   test("st5: stream-static broadcast enrichment joins every record, no state") {
@@ -178,7 +204,7 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.where(col("weight") === 1.0).count() === clicks.count())
   }
 
-  test("st6: watermarked stream-stream interval join matches the batch join") {
+  private def st6Body(tag: String): Unit = {
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
       .parquet(payloadDir)
@@ -189,7 +215,7 @@ class StreamingSpec extends SparkSpec {
       .select("log_id", "user_id", "timestamp_ms")
     val q = LogStream.joinWithin(side("error"), side("click"), "user_id",
       lookbackMs = 3600000L, watermarkDelay = "10 minutes")
-      .writeStream.format("memory").queryName("st6_out").outputMode("append").start()
+      .writeStream.format("memory").queryName(s"st6_out$tag").outputMode("append").start()
     try { q.processAllAvailable() } finally q.stop()
 
     val ev = events(spark, sf)
@@ -200,10 +226,18 @@ class StreamingSpec extends SparkSpec {
       col("user_id") === col("u2") &&
         col("c_ms") >= col("ts_ms") - 3600000L && col("c_ms") <= col("ts_ms")).count()
     assert(expected > 0)
-    assert(spark.table("st6_out").count() === expected)
+    assert(spark.table(s"st6_out$tag").count() === expected)
   }
 
-  test("st17: left-outer interval join emits null-padded rows exactly for watermark-expired non-matches") {
+  test("st6: watermarked stream-stream interval join matches the batch join") {
+    st6Body("")
+  }
+
+  test("st6 (rocksdb): interval join under the RocksDB state store") {
+    withRocksDb(st6Body("_rdb"))
+  }
+
+  private def st17Body(tag: String): Unit = {
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
       .parquet(payloadDir)
@@ -214,7 +248,7 @@ class StreamingSpec extends SparkSpec {
       .select("log_id", "user_id", "timestamp_ms")
     val q = LogStream.joinWithinOuter(side("error"), side("click"), "user_id",
       lookbackMs = 3600000L, watermarkDelay = "10 minutes")
-      .writeStream.format("memory").queryName("st17_out").outputMode("append").start()
+      .writeStream.format("memory").queryName(s"st17_out$tag").outputMode("append").start()
     try { q.processAllAvailable() } finally q.stop()
 
     val ev = events(spark, sf)
@@ -223,7 +257,7 @@ class StreamingSpec extends SparkSpec {
     val bc = ev.where(col("event_type") === "click")
       .select(col("user_id").as("u2"), col("ts_ms").as("c_ms"))
     // matched rows are identical to the inner join
-    val out = spark.table("st17_out")
+    val out = spark.table(s"st17_out$tag")
     val innerExpected = be.join(bc,
       col("user_id") === col("u2") &&
         col("c_ms") >= col("ts_ms") - 3600000L && col("c_ms") <= col("ts_ms")).count()
@@ -253,6 +287,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamedNulls.nonEmpty)
   }
 
+  test("st17: left-outer interval join emits null-padded rows exactly for watermark-expired non-matches") {
+    st17Body("")
+  }
+
+  test("st17 (rocksdb): left-outer interval join under the RocksDB state store") {
+    withRocksDb(st17Body("_rdb"))
+  }
+
   test("st7: stream writes land in the partitioned lake and read back pruned") {
     val stream = spark.readStream
       .schema(StructType(Seq(StructField("data", BinaryType))))
@@ -273,7 +315,7 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.length > 1)
   }
 
-  test("st8: event-time timeout expires idle sessions exactly once") {
+  private def st8Body(tag: String): Unit = {
     import org.apache.spark.sql.{Dataset, SaveMode}
     val dir = Files.createTempDirectory("graft_stream_expire").toString
     val t0 = 1704067200000L // 2024-01-01 00:00:00 UTC, millis
@@ -293,19 +335,27 @@ class StreamingSpec extends SparkSpec {
       .withWatermark("eventTime", "1 second")
       .as[LogStream.TimedEventIn]
     val q = LogStream.sessionizeExpiring(in, gapNs = 1800L * 1000 * 1000 * 1000)
-      .writeStream.format("memory").queryName("st8_out").outputMode("append").start()
+      .writeStream.format("memory").queryName(s"st8_out$tag").outputMode("append").start()
     try {
       q.processAllAvailable()
-      assert(spark.table("st8_out").count() === 0) // all sessions still open
+      assert(spark.table(s"st8_out$tag").count() === 0) // all sessions still open
       // late traffic advances the watermark far past every open session
       write(Seq((99L, t0 + 36000000L)), SaveMode.Append)
       q.processAllAvailable()
       write(Seq((98L, t0 + 72000000L)), SaveMode.Append)
       q.processAllAvailable()
     } finally q.stop()
-    val out = spark.table("st8_out")
+    val out = spark.table(s"st8_out$tag")
       .select(col("userId"), col("nEvents")).as[(Long, Long)].collect().toMap
     (1L to 3L).foreach(u => assert(out.get(u).contains(2L), s"user $u: $out"))
+  }
+
+  test("st8: event-time timeout expires idle sessions exactly once") {
+    st8Body("")
+  }
+
+  test("st8 (rocksdb): event-time session expiry under the RocksDB state store") {
+    withRocksDb(st8Body("_rdb"))
   }
 
   test("stateful sessionization is provider-agnostic: same output under RocksDB state store") {
@@ -552,7 +602,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expectedClosed)
   }
 
-  test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
+  private def st3Body(tag: String): Unit = {
     val evDir = Files.createTempDirectory("graft_stream_ev").toString
     events(spark, sf)
       .select(col("user_id").as("userId"), col("ts_ns").as("tsNs"))
@@ -563,12 +613,20 @@ class StreamingSpec extends SparkSpec {
       .parquet(evDir)
       .as[LogStream.EventIn]
     val q = LogStream.sessionize(evs, gapNs = 1800L * 1000 * 1000 * 1000)
-      .writeStream.format("memory").queryName("st3_out").outputMode("append").start()
+      .writeStream.format("memory").queryName(s"st3_out$tag").outputMode("append").start()
     try { q.processAllAvailable() } finally q.stop()
-    val emitted = spark.table("st3_out").count()
+    val emitted = spark.table(s"st3_out$tag").count()
     val batchSessions = SparkEntry.queries("q8_sessionize")(spark, sf).count()
     val nUsers = events(spark, sf).select("user_id").distinct().count()
     // open (last) session per user stays in state, everything else closes
     assert(emitted === batchSessions - nUsers)
+  }
+
+  test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
+    st3Body("")
+  }
+
+  test("st3 (rocksdb): stateful sessionization under the RocksDB state store") {
+    withRocksDb(st3Body("_rdb"))
   }
 }
