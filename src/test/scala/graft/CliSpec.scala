@@ -3,6 +3,52 @@ package graft.cli
 import org.scalatest.funsuite.AnyFunSuite
 
 class CliSpec extends AnyFunSuite {
+
+  test("e2e: gzipped-CWL fixture through main — byte-exact sorted-key TSV with --start-time and --count") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.GraftSession.builder(4).appName("graft-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftSession.ensureRegistered(spark)
+    import spark.implicits._
+    // 10 flow-log events, one per minute, split across two payload
+    // rows (the two-shard shape); every field value is derivable by
+    // hand so the expected bytes are written out literally below
+    val t0 = 1709251200000L // 2024-03-01 00:00:00 UTC
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_e2e").toString
+    (1 to 10).map(i => (i, t0 + i * 60000L)).toDF("i", "ts")
+      .select(
+        struct(
+          format_string("ev%02d", col("i")).as("id"),
+          col("ts").as("timestamp"),
+          lit("").as("message"),
+          map(
+            lit("srcaddr"), format_string("192.168.0.%d", col("i")),
+            lit("dstaddr"), format_string("10.0.0.%d", col("i")),
+            lit("action"), when(col("i") % 2 === 0, "ACCEPT").otherwise("REJECT")
+          ).as("extractedFields")).as("ev"),
+        (col("i") % 2).as("shard"))
+      .groupBy("shard").agg(collect_list("ev").as("logEvents"))
+      .select(graft.sources.CloudWatchLogs.encodePayload(
+        lit(graft.sources.CloudWatchLogs.DataMessage), col("logEvents")).as("data"))
+      .write.mode("overwrite").parquet(dir)
+    // the reference's CLI contract (__main__.py:10-24): sorted-key
+    // header, tab-joined values, --start-time drops events before
+    // 00:04, --count stops after 4
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      ReadLogsCli.main(Array(dir,
+        "--start-time", "2024-03-01 00:04:00",
+        "--count", "4"))
+    }
+    spark.sparkContext.setLogLevel("ERROR") // main sets WARN; restore
+    val expected = Seq(
+      "action\tdstaddr\tsrcaddr",
+      "ACCEPT\t10.0.0.4\t192.168.0.4",
+      "REJECT\t10.0.0.5\t192.168.0.5",
+      "ACCEPT\t10.0.0.6\t192.168.0.6",
+      "REJECT\t10.0.0.7\t192.168.0.7").mkString("", "\n", "\n")
+    assert(out.toString("UTF-8") === expected)
+  }
   test("strptime codes translate to java.time patterns") {
     assert(ReadLogsCli.strptimeToJava("%Y-%m-%d %H:%M:%S") === "yyyy-MM-dd HH:mm:ss")
   }
