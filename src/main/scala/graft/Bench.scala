@@ -56,10 +56,20 @@ object Bench {
     import org.apache.logging.log4j.core.LoggerContext
     import org.apache.logging.log4j.core.filter.RegexFilter
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
-    val filter = RegexFilter.createFilter(
-      ".*non-existent accumulator.*", null, java.lang.Boolean.FALSE,
-      Filter.Result.DENY, Filter.Result.NEUTRAL)
-    ctx.getConfiguration.getRootLogger.addFilter(filter)
+    // two message shapes for the same benign race: TaskSchedulerImpl
+    // logs "...non-existent accumulator..." directly, while
+    // DAGScheduler.updateAccumulators wraps it as "Failed to update
+    // accumulator <id>" with the exception (and its stack trace)
+    // attached — r9's artifact trace came through the second path,
+    // which the first regex cannot see (RegexFilter tests the
+    // message, not the throwable)
+    for (re <- Seq(".*non-existent accumulator.*",
+        ".*Failed to update accumulator.*")) {
+      val filter = RegexFilter.createFilter(
+        re, null, java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL)
+      ctx.getConfiguration.getRootLogger.addFilter(filter)
+    }
     ctx.updateLoggers()
   }
 

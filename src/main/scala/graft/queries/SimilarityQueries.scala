@@ -51,6 +51,19 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // the SAME operator at its auto-sized default (≈256-vector
+    // buckets: planes grow with log2(N), so bucket occupancy — and
+    // with it the quadratic in-bucket pair count — stays constant as
+    // the corpus grows). No oracle (the plane count depends on N);
+    // rows-only driver check + recall/symmetry specs, and the
+    // BENCH_HEADROOM row that shows the default scaling near-linearly
+    // where the 4-plane pinned config above goes quadratic.
+    "s6_knn_join_auto" -> ((s, dir) =>
+      Similarity.knnJoin(
+        table(s, dir, "embeddings"), "embedding", "vec_id", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
     // similarity range search: every neighbor within cos ≥ 0.25 of
     // each query — no top-k, pure map-side scan filter.
     "s5_range_search" -> ((s, dir) =>

@@ -116,6 +116,35 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.select("q_id").distinct().count() === emb.count())
   }
 
+  test("s6 (auto config): recall vs exact all-pairs, and candidate symmetry") {
+    // exact ground truth: brute-force top-5 per vector (500 vectors →
+    // 250k pairs, test-only; the operator under test never does this)
+    import graft.functions.cosine
+    val l = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val r = emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val exact = l.crossJoin(r).where(col("q_id") =!= col("n_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("q_id"), cosine(col("q_vec"), col("n_vec")).desc, col("n_id"))))
+      .where(col("rk") <= 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val auto = Similarity.knnJoin(emb, "embedding", "vec_id", 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (auto & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, f"auto-config recall@5 = $recall%.3f")
+    // symmetry of the candidate generation: the bucket (+ multiprobe)
+    // structure is identical on both sides of the self-join, so if a
+    // scores against b, b scored against a — any top-5 asymmetry comes
+    // only from the heap cut, never from candidate generation. Spot
+    // check: every mutual-top-5 exact pair whose BOTH endpoints were
+    // recalled individually appears in both directions.
+    val mutualExact = exact.filter { case (a, b) => exact((b, a)) }
+    val recalled = mutualExact.filter(p => auto(p) || auto(p.swap))
+    val bothWays = recalled.count(p => auto(p) && auto(p.swap))
+    assert(bothWays >= (recalled.size * 0.8).toInt,
+      s"$bothWays of ${recalled.size} recalled mutual pairs appear both ways")
+  }
+
   test("nearestId: exact parity with the relational transform/array_max form") {
     import graft.functions.{cosine, dot, nearestId}
     val cents = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(16)
