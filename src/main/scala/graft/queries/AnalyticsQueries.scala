@@ -886,6 +886,87 @@ object AnalyticsQueries {
           round(col("tot"), 2).cast("double").as("revenue"),
           col("n_lines"))
         .orderBy("mon")
+    }),
+
+    // TPC-H Q12 shape: per-category counts of high- vs low-priority
+    // lines in a ship-date window (l_linestatus stands in for the
+    // absent l_shipmode — same plan, different column). Both sides
+    // project to their narrow columns BEFORE the join: the shuffle
+    // carries (orderkey, linestatus) and (orderkey, priority), never
+    // full rows, and the date filter prunes the fact at the scan. The
+    // orderkey equi-join is the one shuffle; the final groupBy runs
+    // over the 2-row linestatus domain with map-side combine.
+    "q41_shipmode_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus")
+        .join(table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q17 shape: revenue that would be lost by refusing
+    // small-quantity orders of one brand's small parts — the classic
+    // correlated per-part average, decorrelated: the brand slice
+    // broadcasts into the fact scan, the per-part mean is ONE
+    // pre-aggregate of that filtered slice (reused via its
+    // localCheckpoint on both sides of the self-join), and the
+    // "below a fifth of the mean" cut is written multiplicatively in
+    // exact integer math (5·qty·cnt < sum) — quantities are integral,
+    // so there is no fp boundary for the oracle to disagree on.
+    "q42_small_qty_revenue" -> ((s, dir) => {
+      val slice = table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+          .where(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          dec(col("l_extendedprice")).as("price"))
+        .localCheckpoint(eager = false) // feeds the mean AND the probe
+      val perPart = slice.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      slice.join(perPart, col("l_partkey") === col("a_partkey"))
+        .where(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg(
+          round(sum(col("price")).cast("double") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_small_lines"))
+    }),
+
+    // TPC-H Q20 shape: suppliers whose shipments are dominated by
+    // promo-type parts. The reference formulation is a nested
+    // semi-join chain (part IN ... → partsupp IN ... → supplier IN
+    // ...); the Spark-first plan collapses it to ONE fact scan with a
+    // broadcast promo-part membership flag and a conditional
+    // aggregate per supplier — no second scan, no subquery join tree
+    // — then a broadcast dim join decorates the survivors. The cut
+    // (promo share above 20%: 5·promo > total — selective but
+    // non-empty at every SF against the ~16.7% uniform base rate) is
+    // exact integer math.
+    "q43_promo_suppliers" -> ((s, dir) => {
+      val promo = table(s, dir, "part")
+        .where(col("p_type") === "PROMO")
+        .select(col("p_partkey"), lit(1).as("is_promo"))
+      table(s, dir, "lineitem")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+          coalesce(col("is_promo"), lit(0)).as("is_promo"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("qty")).as("q_tot"),
+          sum(when(col("is_promo") === 1, col("qty")).otherwise(0L)).as("q_promo"))
+        .where(col("q_promo") * 5 > col("q_tot"))
+        .join(broadcast(table(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name").as("nation"),
+          col("q_promo"), col("q_tot"))
+        .orderBy("s_name")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1284,5 +1365,41 @@ object AnalyticsQueries {
         |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         |count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |count(*) FILTER (WHERE event_type = 'error') AS error
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_small_qty_revenue" ->
+      """WITH slice AS (
+        |  SELECT l_partkey, l_quantity::BIGINT AS qty,
+        |    l_extendedprice::DECIMAL(18,4) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |), agg AS (
+        |  SELECT l_partkey AS a_partkey, sum(qty)::BIGINT AS sum_qty,
+        |    count(*) AS cnt
+        |  FROM slice GROUP BY 1
+        |)
+        |SELECT round(sum(price)::DOUBLE / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_small_lines
+        |FROM slice JOIN agg ON l_partkey = a_partkey
+        |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+    "q43_promo_suppliers" ->
+      """WITH bysupp AS (
+        |  SELECT l_suppkey,
+        |    sum(l_quantity::BIGINT)::BIGINT AS q_tot,
+        |    sum(CASE WHEN p_type = 'PROMO' THEN l_quantity::BIGINT ELSE 0 END)::BIGINT AS q_promo
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT s_name, n_name AS nation, q_promo, q_tot
+        |FROM bysupp
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE q_promo * 5 > q_tot
+        |ORDER BY s_name""".stripMargin)
 }
