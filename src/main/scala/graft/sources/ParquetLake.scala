@@ -390,11 +390,53 @@ object ParquetLake {
           s"manifest version $v not found under $path (have ${versions.map(_._1).mkString(",")})"))
       case None => versions.lastOption
     }
-    chosen.map { case (_, p) =>
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
-      finally in.close()
+    chosen.map { case (_, p) => manifestLines(fs, p).filterNot(_.startsWith("#")) }
+  }
+
+  private def manifestLines(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): List[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The commit log: (version, committed epoch-millis), oldest first.
+    * The timestamp comes from the manifest's `# committed_ms=` header
+    * (written by every commit since lk20); manifests from before the
+    * header fall back to the file's modification time — same value on
+    * the filesystem that wrote them, and only ever used to ORDER
+    * versions that are already ordered.
+    */
+  def manifestLog(spark: SparkSession, path: String): Seq[(Int, Long)] = {
+    val (fs, root) = fsFor(spark, path)
+    manifestVersions(fs, root).map { case (v, p) =>
+      val header = manifestLines(fs, p).headOption
+        .filter(_.startsWith("# committed_ms="))
+        .map(_.stripPrefix("# committed_ms=").trim.toLong)
+      v -> header.getOrElse(fs.getFileStatus(p).getModificationTime)
     }
+  }
+
+  /** Time travel by TIMESTAMP: read the snapshot that was current at
+    * `asOfMs` — the latest version committed at or before it (the
+    * "what did the lake look like yesterday 18:00" question an audit
+    * or a reproducible-training-run manifest needs; version-pinned
+    * reads stay the API for exact replay). Loud failure when `asOfMs`
+    * predates the first commit or the version it resolves to has been
+    * vacuumed out of retention.
+    */
+  def readManifestedAsOf(
+      spark: SparkSession, path: String, asOfMs: Long,
+      mergeSchema: Boolean = false): DataFrame = {
+    val log = manifestLog(spark, path)
+    if (log.isEmpty)
+      throw new IllegalStateException(s"no committed manifest under $path")
+    val chosen = log.filter(_._2 <= asOfMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"asOf $asOfMs predates the first retained commit " +
+          s"(version ${log.head._1} at ${log.head._2}) under $path"))
+    readManifested(spark, path, Some(chosen._1), mergeSchema)
   }
 
   /** Thrown when an optimistic commit loses the race: the expected
@@ -442,7 +484,10 @@ object ParquetLake {
     val tmp = new Path(root,
       s"._graft_manifest.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // '#' header = commit metadata (readers drop '#' lines; legacy
+    // manifests without one still read — see manifestLog)
+    try out.write((s"# committed_ms=${System.currentTimeMillis()}\n" +
+      files.sorted.mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     val target = new Path(root, s"$ManifestPrefix$next")
     val localFs = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||

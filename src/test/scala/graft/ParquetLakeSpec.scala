@@ -640,6 +640,31 @@ class ParquetLakeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === expected)
   }
 
+  test("lk20: time travel by timestamp resolves the snapshot current at that instant") {
+    val dir = Files.createTempDirectory("graft_asof").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val files = ParquetLake.readManifest(spark, dir, Some(v1)).get
+    Thread.sleep(5) // distinct commit timestamps
+    val v2 = ParquetLake.commitManifest(spark, dir, files.take(1), Some(v1))
+    val log = ParquetLake.manifestLog(spark, dir)
+    assert(log.map(_._1) === Seq(v1, v2))
+    val (t1, t2) = (log(0)._2, log(1)._2)
+    assert(t2 > t1)
+    // at t1 (and between commits): the full v1 snapshot
+    val atV1 = ParquetLake.readManifestedAsOf(spark, dir, (t1 + t2) / 2)
+    assert(atV1.count() === events(spark, sf).count())
+    // at t2 (and after): the one-file v2 snapshot
+    assert(ParquetLake.readManifestedAsOf(spark, dir, t2).inputFiles.length === 1)
+    assert(ParquetLake.readManifestedAsOf(spark, dir, t2 + 60000).inputFiles.length === 1)
+    // before the first commit: loud failure, not an empty read
+    intercept[IllegalArgumentException] {
+      ParquetLake.readManifestedAsOf(spark, dir, t1 - 1)
+    }
+  }
+
   test("lk19: optimistic commit — a stale expectedVersion fails loudly, never last-writer-wins") {
     val dir = Files.createTempDirectory("graft_cas").toString
     ParquetLake.writePartitioned(
