@@ -529,6 +529,39 @@ object AnalyticsQueries {
         .orderBy("rn")
     }),
 
+    // count-min point-frequency estimates (Cormode & Muthukrishnan
+    // 2005), via Spark's count_min_sketch aggregate: the corpus-wide
+    // state is ONE bounded mergeable buffer (map-side partial
+    // sketches, ~KB merged result) — the shape that answers "how
+    // often does token X occur" at 100 TB without shuffling the token
+    // stream. SQL has no probe function for the binary sketch, so the
+    // 10-token probe deserializes it on the driver (one row + 10
+    // probes — bounded driver action, same class as Tsv's key peek).
+    // Exact regime for the oracle: width 2/eps = 20k cells vs a
+    // 31-token vocabulary → collision-free at the fixed seed, so
+    // est_n == n deterministically (a4/a5's below-capacity pattern).
+    "a6_countmin_freq" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      import s.implicits._
+      val toks = table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+      val skBytes = toks
+        .agg(expr("count_min_sketch(token, 0.0001d, 0.999d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val w = Window.orderBy(col("n").desc, col("token"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .select("rn", "token", "n")
+        .collect()
+      top.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          cms.estimateCount(r.getString(1))))
+        .toSeq.toDF("rn", "token", "n", "est_n")
+        .orderBy("rn")
+    }),
+
     // TPC-H Q8 shape: one nation's revenue share within its region
     // per order year. The supplier→nation→region lookup broadcasts
     // (dim-sized), so numerator and denominator are one conditional
@@ -1366,6 +1399,19 @@ object AnalyticsQueries {
         |count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact regime: 20k-cell sketch rows vs 31 distinct tokens —
+    // collision-free at the fixed seed, so the estimate column equals
+    // the exact count (same pattern as a4/a5)
+    "a6_countmin_freq" ->
+      """WITH x AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM x GROUP BY 1
+        |), r AS (
+        |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c
+        |)
+        |SELECT rn, token, n, n AS est_n FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
     "q41_shipmode_priority" ->
       """SELECT l_linestatus,
         |sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
