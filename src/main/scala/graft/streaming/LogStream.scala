@@ -461,4 +461,54 @@ object LogStream {
           closed.iterator
       }
   }
+
+  /** st20: continuous ANN — a stream of query vectors probed against
+    * a STATIC LSH-bucketed corpus (the online face of s2's index; an
+    * embedding-service lookup stream, a near-dup gate on ingest).
+    *
+    * Scale shape: the corpus is bucketed ONCE by the same
+    * deterministic hyperplanes as the batch operator and broadcast
+    * into every micro-batch (index-sized, not corpus-scan-sized per
+    * batch); each query explodes to its own bucket + single-bit
+    * multiprobes, so it scores ~(nP+1)/2^nP of the corpus, map-side.
+    * Per-query top-k is a windowed graft_topk bounded-heap aggregate
+    * with a watermark — state per open window is ≤ k rows per query,
+    * and rows append exactly when the watermark closes the window.
+    * Same emitted schema as the batch lshKnn, plus `w_start`.
+    *
+    * `queries`: streaming (q_id, q_vec, event_time columns named by
+    * the params). Self-matches (q_id == corpus id) are excluded,
+    * mirroring the batch operator.
+    */
+  def streamKnn(
+      queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, numPlanes: Int = 4, dim: Int = 64,
+      windowDur: String = "1 hour", watermarkDelay: String = "10 minutes",
+      eventTimeCol: String = "event_time"): DataFrame = {
+    import graft.operators.Similarity.{bucketOf, hyperplanes}
+    import graft.functions.{cosine, topk}
+    val planes = hyperplanes(numPlanes, dim)
+    val index = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("bucket", bucketOf(col("n_vec"), planes))
+    val probed = queries
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(eventTimeCol), col("q_id"), col("q_vec"),
+        explode(array(bucketOf(col("q_vec"), planes) +:
+          (0 until numPlanes).map(b =>
+            bucketOf(col("q_vec"), planes).bitwiseXOR(lit(1 << b))): _*)).as("probe"))
+      .join(broadcast(index), col("probe") === col("bucket"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col(eventTimeCol), col("q_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
+    probed
+      .groupBy(window(col(eventTimeCol), windowDur), col("q_id"))
+      .agg(topk(col("cos_exact"), col("n_id"), k).as("tk"))
+      .select(col("window.start").as("w_start"), col("q_id"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("w_start"), col("q_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("neighbor_id"),
+        round(col("e.score"), 4).as("cos_sim"))
+  }
 }

@@ -402,6 +402,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st20: streaming ANN against the static LSH index matches batch lshKnn") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // a stream of query vectors: every 5th corpus vector, all inside
+    // one window hour
+    val t0 = 1704067200000L
+    val qBatch = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = Files.createTempDirectory("graft_stream_knn").toString
+    qBatch.withColumn("event_time", timestamp_millis(lit(t0) + col("q_id")))
+      .write.mode("overwrite").parquet(dir)
+    val qStream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("q_id", LongType),
+        StructField("q_vec", ArrayType(FloatType)),
+        StructField("event_time", TimestampType))))
+      .parquet(dir)
+    val q = LogStream.streamKnn(qStream, emb, "embedding", "vec_id", k = 5)
+      .writeStream.format("memory").queryName("st20_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("st20_out")
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Similarity.lshKnn(emb, "embedding", "vec_id", qBatch, k = 5)
+      .select("q_id", "rank", "neighbor_id", "cos_sim")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("st19: streaming bloom decontamination flags exactly the batch-contaminated docs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
