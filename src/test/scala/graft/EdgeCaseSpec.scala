@@ -125,4 +125,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(fp.map(_.getAs[Long]("n_copies")).sum === 4L)
     assert(Dedup.simhashFingerprints(weird, "text", "doc_id").count() === 4)
   }
+
+  test("global shuffle: empty input, salt independence, determinism") {
+    import graft.operators.Shuffle
+    assert(Shuffle.globalPermutation(noDocs, "doc_id", "e0").count() === 0)
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def perm(salt: String) =
+      Shuffle.globalPermutation(docs, "doc_id", salt)
+        .select("doc_id", "shuffle_rank")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (e0, e0again, e1) = (perm("epoch0"), perm("epoch0"), perm("epoch1"))
+    assert(e0 === e0again)            // same salt → identical permutation
+    assert(e0 !== e1)                 // different salt → a different epoch order
+    assert(e1.values.toSeq.sorted === (1L to 200L)) // still a dense permutation
+    intercept[IllegalArgumentException] {
+      Shuffle.globalPermutation(docs, "doc_id", "e0", prefixHexChars = 0)
+    }
+  }
+
+  test("BPE: zero merges, empty corpus, single-char words — both strategies") {
+    import graft.operators.Bpe
+    for (inc <- Seq(false, true)) {
+      assert(Bpe.learnMerges(noDocs, "text", 4, incremental = inc).count() === 0)
+      assert(Bpe.learnMerges(
+        Seq((1L, "hello world")).toDF("doc_id", "text"), "text", 0,
+        incremental = inc).count() === 0)
+      // single-char words carry no pairs: merge learning stops early
+      assert(Bpe.learnMerges(
+        Seq((1L, "a b c a b")).toDF("doc_id", "text"), "text", 8,
+        incremental = inc).count() === 0)
+    }
+  }
 }
