@@ -402,7 +402,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("st20: streaming ANN against the static LSH index matches batch lshKnn") {
+  private def st20Body(tag: String): Unit = {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // a stream of query vectors: every 5th corpus vector, all inside
     // one window hour
@@ -419,9 +419,9 @@ class StreamingSpec extends SparkSpec {
         StructField("event_time", TimestampType))))
       .parquet(dir)
     val q = LogStream.streamKnn(qStream, emb, "embedding", "vec_id", k = 5)
-      .writeStream.format("memory").queryName("st20_out").outputMode("complete").start()
+      .writeStream.format("memory").queryName(s"st20_out$tag").outputMode("complete").start()
     try { q.processAllAvailable() } finally q.stop()
-    val streamed = spark.table("st20_out")
+    val streamed = spark.table(s"st20_out$tag")
       .select("q_id", "rank", "neighbor_id", "cos_sim")
       .collect().map(_.toString).sorted.toSeq
     val batch = graft.operators.Similarity.lshKnn(emb, "embedding", "vec_id", qBatch, k = 5)
@@ -429,6 +429,14 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed.nonEmpty)
     assert(streamed === batch)
+  }
+
+  test("st20: streaming ANN against the static LSH index matches batch lshKnn") {
+    st20Body("")
+  }
+
+  test("st20 (rocksdb): streaming ANN under the RocksDB state store") {
+    withRocksDb(st20Body("_rdb"))
   }
 
   test("st19: streaming bloom decontamination flags exactly the batch-contaminated docs") {
