@@ -439,6 +439,111 @@ object ParquetLake {
     readManifested(spark, path, Some(chosen._1), mergeSchema)
   }
 
+  // ---------------------------------------------------------------
+  // lk21: file-level min/max stats + data-skipping manifested reads.
+  //
+  // A stats sidecar `_graft_stats.v<N>` (TSV: file, column, type,
+  // min, max) records per-file ranges for chosen NUMERIC columns,
+  // harvested from the parquet FOOTERS of the version-N snapshot —
+  // metadata reads only, no data scan. readManifestedPruned then
+  // plans a range query over exactly the files whose [min, max]
+  // intersects it. With z-ordered or time-ordered layouts
+  // (zorderWrite / writePartitioned sortCols) this is the
+  // Iceberg-style skip: a narrow predicate reads a handful of files
+  // instead of listing-everything-and-letting-row-group-pruning
+  // work it out per task. Files with no stats row for the column
+  // (evolved schema, missing footer stats) are conservatively KEPT.
+  // ---------------------------------------------------------------
+
+  private val StatsPrefix = "_graft_stats.v"
+
+  /** Harvest per-file min/max footer statistics for `cols` (numeric
+    * columns only — INT32/INT64/FLOAT/DOUBLE) of a committed
+    * snapshot, and publish them as the version's stats sidecar.
+    * Footer reads are driver-side and manifest-bounded (same class as
+    * compactManifested's listings); each is a few KB of metadata.
+    * Returns the number of (file, column) stat rows written.
+    */
+  def buildFileStats(
+      spark: SparkSession, path: String, cols: Seq[String],
+      version: Option[Int] = None): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val (fs, root) = fsFor(spark, path)
+    val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    val files = readManifest(spark, path, Some(v)).get
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = files.flatMap { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(root, f), conf))
+      try {
+        val byCol = rd.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(c => cols.contains(c.getPath.toDotString))
+          .groupBy(_.getPath.toDotString)
+        byCol.flatMap { case (col, chunks) =>
+          val stats = chunks.map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          val nums = stats.map(_.genericGetMin).collect {
+            case n: java.lang.Number => n }
+          // numeric columns only; a column whose min isn't numeric
+          // (string/binary) gets no row → conservative keep
+          if (nums.isEmpty || nums.size != stats.size) None
+          else {
+            val mins = stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue())
+            val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue())
+            Some(s"$f\t$col\tnum\t${mins.min}\t${maxs.max}")
+          }
+        }
+      } finally rd.close()
+    }
+    val target = new Path(root, s"$StatsPrefix$v")
+    // merge with an existing sidecar: this call's columns replace
+    // their old rows, other columns' stats survive
+    val carried =
+      if (!fs.exists(target)) Seq.empty
+      else manifestLines(fs, target)
+        .filterNot(l => cols.contains(l.split('\t')(1)))
+    writeAtomic(fs, target, (carried ++ rows).mkString("", "\n", "\n"))
+    rows.size
+  }
+
+  /** Range read with file skipping: the version's snapshot restricted
+    * to files whose recorded [min, max] for `col` intersects
+    * [lo, hi] (inclusive), plus any file without stats (conservative).
+    * The returned plan still carries the predicate — skipping only
+    * shrinks the file list, it never changes results. Requires
+    * [[buildFileStats]] for the version.
+    */
+  def readManifestedPruned(
+      spark: SparkSession, path: String, col: String, lo: Double, hi: Double,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    val statsPath = new Path(root, s"$StatsPrefix$v")
+    if (!fs.exists(statsPath))
+      throw new IllegalStateException(
+        s"no stats sidecar for version $v under $path — run buildFileStats first")
+    val ranges = manifestLines(fs, statsPath)
+      .map(_.split('\t'))
+      .collect { case Array(f, c, "num", mn, mx) if c == col =>
+        f -> (mn.toDouble, mx.toDouble) }
+      .toMap
+    val files = readManifest(spark, path, Some(v)).get
+    val kept = files.filter(f =>
+      ranges.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val all = spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*) // schema from the full snapshot
+    if (kept.isEmpty) all.where(lit(false)).where(org.apache.spark.sql.functions.col(col).between(lo, hi))
+    else spark.read.option("basePath", path)
+      .parquet(kept.map(f => s"$path/$f"): _*)
+      .where(org.apache.spark.sql.functions.col(col).between(lo, hi))
+  }
+
   /** Thrown when an optimistic commit loses the race: the expected
     * version is no longer the latest, or another writer published the
     * target version first. The snapshot the loser computed from is
@@ -860,7 +965,11 @@ object ParquetLake {
     val versions = manifestVersions(fs, root)
     if (versions.isEmpty) return Seq.empty
     val oldManifests = versions.dropRight(math.max(1, keepVersions))
-    oldManifests.foreach { case (_, p) => fs.delete(p, false) }
+    oldManifests.foreach { case (v, p) =>
+      fs.delete(p, false)
+      // a dropped version's stats sidecar goes with it
+      fs.delete(new Path(root, s"$StatsPrefix$v"), false)
+    }
     val kept = versions.drop(oldManifests.length)
     val referenced = kept.flatMap { case (v, _) =>
       readManifest(spark, path, Some(v)).getOrElse(Seq.empty)

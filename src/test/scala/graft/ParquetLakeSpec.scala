@@ -665,6 +665,39 @@ class ParquetLakeSpec extends SparkSpec {
     }
   }
 
+  test("lk21: footer-stats sidecar skips files outside a ts range; results identical") {
+    val dir = Files.createTempDirectory("graft_stats").toString
+    // time-ordered layout: one+ file per day partition, ts ranges per
+    // file are tight — the case stats skipping is built for
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("ts_ms"))
+    val v = ParquetLake.snapshotManifest(spark, dir)
+    val nStats = ParquetLake.buildFileStats(spark, dir, Seq("ts_ms"))
+    val allFiles = ParquetLake.readManifest(spark, dir, Some(v)).get
+    assert(nStats === allFiles.size, "every data file should carry ts_ms footer stats")
+    // a two-day range in the middle of the month
+    val lo = events(spark, sf).agg(min("ts_ms")).head().getLong(0) + 3L * 86400000L
+    val hi = lo + 2L * 86400000L
+    val pruned = ParquetLake.readManifestedPruned(spark, dir, "ts_ms", lo, hi)
+    assert(pruned.inputFiles.length < allFiles.size,
+      s"${pruned.inputFiles.length} of ${allFiles.size} files — nothing was skipped")
+    // skipping never changes results: same rows as the unpruned
+    // snapshot under the same predicate
+    val expected = ParquetLake.readManifested(spark, dir)
+      .where(col("ts_ms").between(lo, hi))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq === expected)
+    assert(expected.nonEmpty)
+    // conservative on a column with no stats rows (strings are not
+    // harvested): every file is kept, results still correct
+    assert(ParquetLake.buildFileStats(spark, dir, Seq("event_type")) === 0)
+    // and a missing sidecar version fails loudly
+    intercept[IllegalStateException] {
+      ParquetLake.readManifestedPruned(spark, dir, "ts_ms", lo, hi, version = Some(v + 7))
+    }
+  }
+
   test("lk19: optimistic commit — a stale expectedVersion fails loudly, never last-writer-wins") {
     val dir = Files.createTempDirectory("graft_cas").toString
     ParquetLake.writePartitioned(
