@@ -460,45 +460,40 @@ object ParquetLake {
   /** Harvest per-file min/max footer statistics for `cols` (numeric
     * columns only — INT32/INT64/FLOAT/DOUBLE) of a committed
     * snapshot, and publish them as the version's stats sidecar.
-    * Footer reads are driver-side and manifest-bounded (same class as
-    * compactManifested's listings); each is a few KB of metadata.
-    * Returns the number of (file, column) stat rows written.
+    * Footer reads are DISTRIBUTED — the file list parallelizes over
+    * the cluster and each task reads only its files' footers (a few
+    * KB of metadata each), so a 100 TB lake's ~10^5-file manifest
+    * harvests in one short job instead of a driver loop; only the
+    * finished (file, col, min, max) rows come back to the driver
+    * (stat-sidecar-sized by definition). Returns the number of stat
+    * rows written.
     */
   def buildFileStats(
       spark: SparkSession, path: String, cols: Seq[String],
       version: Option[Int] = None): Int = {
     import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
     val (fs, root) = fsFor(spark, path)
     val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path")))
     val files = readManifest(spark, path, Some(v)).get
-    val conf = spark.sessionState.newHadoopConf()
-    val rows = files.flatMap { f =>
-      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(root, f), conf))
-      try {
-        val byCol = rd.getFooter.getBlocks.asScala
-          .flatMap(_.getColumns.asScala)
-          .filter(c => cols.contains(c.getPath.toDotString))
-          .groupBy(_.getPath.toDotString)
-        byCol.flatMap { case (col, chunks) =>
-          val stats = chunks.map(_.getStatistics)
-            .filter(s => s != null && s.hasNonNullValue)
-          val nums = stats.map(_.genericGetMin).collect {
-            case n: java.lang.Number => n }
-          // numeric columns only; a column whose min isn't numeric
-          // (string/binary) gets no row → conservative keep
-          if (nums.isEmpty || nums.size != stats.size) None
-          else {
-            val mins = stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue())
-            val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue())
-            Some(s"$f\t$col\tnum\t${mins.min}\t${maxs.max}")
-          }
-        }
-      } finally rd.close()
+    // Hadoop Configuration is not Serializable (and Spark's wrapper is
+    // private[spark]) — ship the entries and rebuild per partition
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => e.getKey -> e.getValue).toArray
     }
+    val rootStr = root.toString
+    val colSet = cols.toSet
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val rows = spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, vl) => conf.set(k, vl) }
+        it.flatMap(f => footerStats(rootStr, f, colSet, conf))
+      }
+      .collect().toSeq
     val target = new Path(root, s"$StatsPrefix$v")
     // merge with an existing sidecar: this call's columns replace
     // their old rows, other columns' stats survive
@@ -508,6 +503,39 @@ object ParquetLake {
         .filterNot(l => cols.contains(l.split('\t')(1)))
     writeAtomic(fs, target, (carried ++ rows).mkString("", "\n", "\n"))
     rows.size
+  }
+
+  /** Executor-side footer harvest for one file: (file, col, num, min,
+    * max) TSV rows for the requested numeric columns. Row-group
+    * chunk stats aggregate to one per-file range; a column with any
+    * non-numeric or absent stats gets no row (conservative keep).
+    */
+  private def footerStats(
+      rootStr: String, file: String, cols: Set[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(rootStr, file)
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      rd.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(c => cols.contains(c.getPath.toDotString))
+        .groupBy(_.getPath.toDotString)
+        .flatMap { case (col, chunks) =>
+          val stats = chunks.map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          val nums = stats.map(_.genericGetMin).collect {
+            case n: java.lang.Number => n }
+          if (nums.isEmpty || nums.size != stats.size) None
+          else {
+            val mins = stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue())
+            val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue())
+            Some(s"$file\t$col\tnum\t${mins.min}\t${maxs.max}")
+          }
+        }.toSeq
+    } finally rd.close()
   }
 
   /** Range read with file skipping: the version's snapshot restricted
