@@ -374,6 +374,42 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** st21: streaming enrichment against a VERSIONED dimension — each
+    * micro-batch broadcast-joins the manifested lake's snapshot that
+    * is CURRENT when the batch processes (re-resolved per batch via
+    * foreachBatch), and stamps the dim version it used. This is the
+    * feature-store / slowly-changing-dimension shape: a long-running
+    * ingest picks up dimension refreshes (published as manifest
+    * commits by a concurrent batch job, atomically — lk15/lk19)
+    * without restart, and every output row records which snapshot
+    * enriched it, so any row is replayable bit-exactly with
+    * readManifested(version).
+    *
+    * The dim read per batch is manifest-gated (never a torn
+    * mid-maintenance directory listing) and broadcast-joined
+    * (dim-sized). Exactly-once inherits the idempotent batch-id
+    * partition overwrite sink. */
+  def startEnrichManifestedSink(
+      stream: DataFrame, dimLake: String, usingColumns: Seq[String],
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val log = graft.sources.ParquetLake.manifestLog(spark, dimLake)
+          require(log.nonEmpty, s"no committed manifest under $dimLake")
+          val v = log.last._1
+          val dim = graft.sources.ParquetLake.readManifested(spark, dimLake, Some(v))
+          val enriched = batch.join(broadcast(dim), usingColumns, "left")
+            .withColumn("dim_version", lit(v))
+          idempotentBatchWriter(outPath)(enriched, id)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)

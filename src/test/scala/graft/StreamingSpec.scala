@@ -439,6 +439,55 @@ class StreamingSpec extends SparkSpec {
     withRocksDb(st20Body("_rdb"))
   }
 
+  test("st21: per-batch manifested-dim enrichment picks up a dim refresh mid-stream") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.ParquetLake
+    // versioned dim lake: every user bronze at v1
+    val dimDir = Files.createTempDirectory("graft_dim_lake").toString
+    val t0 = 1704067200000L
+    (1L to 6L).map(u => (u, "bronze", t0)).toDF("user_id", "tier", "ts_ms")
+      .createOrReplaceTempView("dim_seed")
+    ParquetLake.writePartitioned(
+      spark.table("dim_seed"), dimDir, "ts_ms", sortCols = Nil)
+    val v1 = ParquetLake.snapshotManifest(spark, dimDir)
+    val inDir = Files.createTempDirectory("graft_enrich_in").toString
+    val outDir = Files.createTempDirectory("graft_enrich_out").toString
+    val ckpt = Files.createTempDirectory("graft_enrich_ckpt").toString
+    def writeIn(ids: Seq[Long], mode: SaveMode): Unit =
+      ids.map(u => (u, u * 10)).toDF("user_id", "v")
+        .write.mode(mode).parquet(inDir)
+    writeIn(Seq(1L, 2L, 3L), SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("v", LongType))))
+      .parquet(inDir)
+    val q = LogStream.startEnrichManifestedSink(
+      stream, dimDir, Seq("user_id"), outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      // dim refresh lands BETWEEN batches as one atomic manifest commit
+      val pdType = ParquetLake.readManifested(spark, dimDir).schema("p_date").dataType
+      val changes = Seq((1L, "gold", t0), (2L, "gold", t0))
+        .toDF("user_id", "tier", "ts_ms")
+        .withColumn("p_date",
+          to_date(timestamp_millis(col("ts_ms"))).cast("string").cast(pdType))
+      val v2 = ParquetLake.mergeManifested(
+        spark, dimDir, changes, keyCols = Seq("user_id"))
+      assert(v2 > v1)
+      writeIn(Seq(1L, 4L), SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select("user_id", "tier", "dim_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // first batch enriched by v1 (all bronze); second by v2 — user 1
+    // re-appears gold, user 4 still bronze — and every row records
+    // the snapshot that enriched it
+    assert(out === Set(
+      (1L, "bronze", v1), (2L, "bronze", v1), (3L, "bronze", v1),
+      (1L, "gold", v1 + 1), (4L, "bronze", v1 + 1)))
+  }
+
   test("st19: streaming bloom decontamination flags exactly the batch-contaminated docs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text")
