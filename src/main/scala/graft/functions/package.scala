@@ -56,6 +56,15 @@ package object functions {
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 
+  /** Content-defined chunk fingerprints of a binary column
+    * (array<long>) — gear-hash CDC boundaries, FNV-1a identities;
+    * see [[CdcOps]].
+    */
+  def cdcChunks(bin: Column, minLen: Int = 64, maskBits: Int = 8,
+      maxLen: Int = 4096): Column =
+    ColumnShim.column(
+      CdcChunks(ColumnShim.expression(bin), minLen, maskBits, maxLen))
+
   /** Single-pass whitespace tokenizer (array<string>): exact-parity
     * fast path for split(trim(regexp_replace(lower(s), "\\s+", " ")),
     * " ") — see [[TokenizeOps]].

@@ -72,6 +72,31 @@ object BinaryOps {
     * modality partition (no tiny-file fanout at 100 TB — compaction
     * handles the rest, see ParquetLake.compact).
     */
+  /** Chunk-grain dedup accounting over binary payloads via
+    * content-defined chunking ([[graft.functions.CdcOps]]): each
+    * payload becomes its ordered chunk-fingerprint list (one native
+    * codegen'd pass per row), corpus-wide chunk multiplicity comes
+    * from ONE groupBy over (fingerprint) — fingerprints only, bytes
+    * never shuffle — and the per-payload report counts how many of
+    * its chunks also occur elsewhere. Near-copies (same blob with an
+    * edit, re-encoded container with shared streams) that
+    * document-grain exact dedup scores as distinct show up here with
+    * shared_chunks ≈ n_chunks. Returns (id, n_chunks, shared_chunks).
+    */
+  def cdcDedupReport(
+      df: DataFrame, binCol: String, idCol: String,
+      minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096): DataFrame = {
+    val chunks = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
+      .localCheckpoint(eager = false) // feeds the multiplicity agg AND the join
+    val mult = chunks.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+    chunks.join(mult, "fp")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("shared_chunks"))
+  }
+
   def routeByModality(df: DataFrame, binCol: String, idCol: String, outPath: String): Unit =
     withMeta(df, binCol)
       .select(col(idCol).as("id"), col(binCol).as("payload"),

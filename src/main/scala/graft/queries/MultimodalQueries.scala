@@ -79,6 +79,26 @@ object MultimodalQueries {
           aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
           md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
         .orderBy("vec_id")
+    }),
+
+    // chunk-grain binary dedup via content-defined chunking: a
+    // duplicated tail slice of the corpus makes every original's
+    // chunks shared — fingerprints only cross the shuffle, bytes
+    // never do (rows-only: the gear/FNV chunker has no SQL replay;
+    // boundary-locality and parity specs in MultimodalSpec)
+    "m7_cdc_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // re-ingested near-copies: the last 50 docs appear again under
+      // new ids with a small header prepended (the CDC selling point:
+      // document-grain exact dedup sees distinct payloads)
+      val copies = docs.where(col("doc_id") >= 450)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("v2-header: ").cast("binary"), col("payload")).as("payload"))
+      BinaryOps.cdcDedupReport(
+          docs.unionAll(copies), "payload", "doc_id",
+          minLen = 16, maskBits = 6, maxLen = 512)
+        .orderBy("id")
     }))
 
   val oracleSql: Map[String, String] = Map(

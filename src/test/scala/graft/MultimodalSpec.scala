@@ -98,4 +98,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.map(_.energy).toSeq === out2.map(_.energy).toSeq)
     assert(out1.forall(f => f.energy >= 0 && f.energy < 100000L))
   }
+
+  test("m7: CDC boundaries are content-local — a prepended header re-chunks only the front") {
+    import graft.functions.cdcChunks
+    def fps(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        cdcChunks(col("payload"), minLen = 16, maskBits = 6, maxLen = 512).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val orig = fps(docs)
+    val edited = fps(docs.select(col("doc_id"),
+      concat(lit("v2-header: ").cast("binary"), col("payload")).as("payload")))
+    // identical input → identical chunk lists (determinism)
+    assert(fps(docs) === orig)
+    // the edit only disturbs chunks up to the first boundary after it:
+    // for every multi-chunk doc, the edited version must retain the
+    // original's chunk TAIL verbatim
+    val multi = orig.filter(_._2.size >= 3)
+    assert(multi.nonEmpty, "fixture too small for a locality check")
+    multi.foreach { case (id, o) =>
+      val e = edited(id)
+      val sharedTail = o.reverse.zip(e.reverse).takeWhile { case (a, b) => a == b }.size
+      assert(sharedTail >= o.size - 2,
+        s"doc $id: only $sharedTail of ${o.size} tail chunks survived a front edit")
+    }
+    // chunk fingerprints are the dedup identity: the m7 report marks
+    // every copied doc's chunks shared
+    val report = SparkEntry.queries("m7_cdc_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val copies = report.filter(_._1 >= 10000)
+    assert(copies.nonEmpty)
+    copies.foreach { case (id, n, shared) =>
+      assert(shared >= n - 2, s"copy $id: $shared of $n chunks shared")
+    }
+    // empty payload → no chunks
+    val empty = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload")
+    assert(fps(empty)(1L).isEmpty)
+  }
 }
