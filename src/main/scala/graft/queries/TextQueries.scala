@@ -37,6 +37,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // classifier evaluation over the labeled corpus: t1's language
+    // heuristic scored against the ground-truth lang column as a
+    // confusion matrix with per-cell share of the actual class — the
+    // quality-control report a pipeline runs before trusting a filter
+    // model at 100 TB. One aggregate over the prediction pass; the
+    // per-class totals come from a window over the (≤16-row)
+    // confusion relation, not a second corpus scan.
+    "t23_langid_eval" -> ((s, dir) => {
+      val preds = table(s, dir, "documents")
+        .withColumn("toks", T.tokens(col("text")))
+        .select(col("lang") +: markers.map { case (l, ws) =>
+          markerCount(col("toks"), ws).as(s"c_$l")
+        }: _*)
+        .withColumn("pred_lang",
+          when(col("c_en") >= greatest(col("c_es"), col("c_de"), col("c_fr")), "en")
+            .when(col("c_es") >= greatest(col("c_de"), col("c_fr")), "es")
+            .when(col("c_de") >= col("c_fr"), "de")
+            .otherwise("fr"))
+      val wCls = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      preds.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("class_share",
+          round(col("n").cast("double") / sum("n").over(wCls), 4))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // doc quality: token count, stopword ratio, mean token length
     "t2_quality" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -625,6 +650,28 @@ object TextQueries {
         |     WHEN c_es >= greatest(c_de, c_fr) THEN 'es'
         |     WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t23_langid_eval" ->
+      """WITH x AS (
+        |  SELECT lang, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), c AS (
+        |  SELECT lang,
+        |  len(list_filter(t, w -> w IN ('the', 'a'))) AS c_en,
+        |  len(list_filter(t, w -> w IN ('el', 'la', 'los'))) AS c_es,
+        |  len(list_filter(t, w -> w IN ('der', 'und', 'die'))) AS c_de,
+        |  len(list_filter(t, w -> w IN ('le', 'les', 'et'))) AS c_fr
+        |  FROM x
+        |), p AS (
+        |  SELECT lang,
+        |  CASE WHEN c_en >= greatest(c_es, c_de, c_fr) THEN 'en'
+        |       WHEN c_es >= greatest(c_de, c_fr) THEN 'es'
+        |       WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |  FROM c
+        |), m AS (
+        |  SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2
+        |)
+        |SELECT lang, pred_lang, n,
+        |round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 4) AS class_share
+        |FROM m ORDER BY lang, pred_lang""".stripMargin,
     "t2_quality" ->
       """WITH x AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents

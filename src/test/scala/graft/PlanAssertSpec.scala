@@ -231,4 +231,35 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p.take(3000))
     assert(!p.contains("props"), p.take(3000))
   }
+
+  test("q41: date filter reaches the fact scan; both join inputs are narrow projections") {
+    val p = plan("q41_shipmode_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(3000))
+    // the shuffle/broadcast carries two columns per side, never full rows
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linestatus:string"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>"), p.take(3000))
+  }
+
+  test("q42: the checkpointed slice feeds both sides of the self-join; no cartesian") {
+    val p = plan("q42_small_qty_revenue")
+    // the brand-broadcast + filter materializes ONCE (the d2 lesson):
+    // the per-part mean and the probe both read the SAME checkpointed
+    // leaf — two ExistingRDD scans, zero re-derivations of the join
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p.take(3000))
+    // the threshold is part of the equi-join on l_partkey, not a
+    // cartesian residual
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q43: one fact scan — the semi-join chain is a broadcast flag + conditional agg") {
+    val p = plan("q43_promo_suppliers")
+    // exactly one lineitem scan: the Q20 subquery tree would need two
+    assert(p.sliding("l_suppkey".length).nonEmpty)
+    val factScans = "ReadSchema: struct<l_partkey".r.findAllIn(p).size +
+      "ReadSchema: struct<l_suppkey".r.findAllIn(p).size
+    assert(factScans === 1, p.take(3000))
+    assert(p.contains("BroadcastHashJoin LeftOuter"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
