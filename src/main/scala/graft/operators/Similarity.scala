@@ -211,6 +211,39 @@ object Similarity {
     * round; this shape is scan → broadcast join → project.
     * `data`: (n_id, n_vec); returns (c_id, n_id, n_vec).
     */
+  /** Embedding-space label diagnostics: partition the corpus into
+    * `nlist` deterministic k-means cells (the s3 machinery) and score
+    * each cell against a ground-truth label column — members, majority
+    * label, purity (majority share). The embedding-side twin of the
+    * t23 classifier eval: low overall purity means the embedding
+    * doesn't separate the labels and every downstream
+    * cluster-grained decision (semdedup retention, IVF routing,
+    * auto-labeling) inherits that noise. Cost: the s3 Lloyd loop +
+    * ONE (cell, label) count aggregate; the per-cell argmax runs on
+    * the nlist·|labels|-sized count relation, never the corpus.
+    */
+  def clusterPurity(
+      corpus: DataFrame, vecCol: String, idCol: String, labelCol: String,
+      nlist: Int = 16, lloydIters: Int = 3): DataFrame = {
+    val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = false)
+    val cents = kmeansCentroids(data, nlist, lloydIters)
+    val labeled = assignNearest(data, cents)
+      .join(corpus.select(col(idCol).as("n_id"), col(labelCol).as("label")), "n_id")
+    val counts = labeled.groupBy("c_id", "label").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // feeds totals AND the argmax
+    val wCell = org.apache.spark.sql.expressions.Window.partitionBy("c_id")
+    counts
+      .withColumn("n_members", sum("n").over(wCell))
+      .withColumn("rk", row_number().over(
+        wCell.orderBy(col("n").desc, col("label"))))
+      .where(col("rk") === 1)
+      .select(col("c_id").as("cell_id"), col("n_members"),
+        col("label").as("majority_label"),
+        round(col("n").cast("double") / col("n_members"), 4).as("purity"))
+  }
+
   private[graft] def assignNearest(data: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.nearestId
     val packed = cents.agg(

@@ -64,6 +64,15 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // embedding-space label diagnostics: k-means cells scored against
+    // the ground-truth label column — members, majority label, purity
+    // per cell (no oracle: Lloyd fp averaging, like s3/s4; the
+    // labeled-fixture spec pins near-perfect purity and determinism)
+    "s8_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(
+        table(s, dir, "embeddings"), "embedding", "vec_id", "label")
+        .orderBy("cell_id")),
+
     // similarity range search: every neighbor within cos ≥ 0.25 of
     // each query — no top-k, pure map-side scan filter.
     "s5_range_search" -> ((s, dir) =>

@@ -199,6 +199,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"clustered-corpus ivf recall@10 = $recall")
   }
 
+  test("s8: purity is 1.0 on a label-aligned clustered corpus, structural on the real one") {
+    val dim = 64
+    val nPerCluster = 100
+    val rows = (0L until 400L).map { id =>
+      val c = (id / nPerCluster).toInt
+      val v = Array.tabulate(dim) { d =>
+        val base = if (d == c * 16) 1.0f else 0.0f
+        base + 0.05f * (((id * 31 + d * 17) % 7).toFloat - 3.0f) / 3.0f
+      }
+      (id, v, c)
+    }
+    val labeled = rows.toDF("vec_id", "embedding", "label")
+    val rep = Similarity.clusterPurity(labeled, "embedding", "vec_id", "label",
+        nlist = 8, lloydIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // labels ARE the clusters: every cell is pure, and the members add
+    // up to the corpus
+    assert(rep.map(_._2).sum === 400L)
+    rep.foreach { case (cell, n, _, purity) =>
+      assert(purity === 1.0, s"cell $cell: purity $purity over $n members")
+    }
+    // scrambled labels floor the purity — the metric actually measures
+    // alignment, it can't report high on noise
+    val scrambled = Similarity.clusterPurity(
+        labeled.withColumn("label", (col("vec_id") % 10).cast("int")),
+        "embedding", "vec_id", "label", nlist = 8, lloydIters = 3)
+      .agg(max("purity")).head().getDouble(0)
+    assert(scrambled < 0.5, s"scrambled-label purity $scrambled")
+    // real corpus: structural invariants + determinism
+    val real1 = SparkEntry.queries("s8_cluster_purity")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val real2 = SparkEntry.queries("s8_cluster_purity")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(real1 === real2)
+    assert(real1.nonEmpty)
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
