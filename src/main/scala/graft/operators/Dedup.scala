@@ -276,6 +276,39 @@ object Dedup {
     * 1-(1-J^r)^b, ≈ 1 for J near 1 (12 perms / 4 bands: 99.98% at
     * J=0.9).
     */
+  /** EXACT near-dup ground truth: every pair with word-shingle
+    * Jaccard ≥ threshold, computed without any LSH — the inverted
+    * shingle index joins docs on each shared shingle (complete for
+    * J > 0: a pair with no shared shingle has J = 0), common counts
+    * come from one pair-keyed aggregate, and the exact Jaccard uses
+    * the per-doc distinct-shingle sizes. This is the truth side of
+    * recall/precision evaluation for the approximate paths (d16);
+    * cost is Σ|posting list|² over shingles — corpus-quadratic in the
+    * worst case, which is WHY the approximate operators exist; run it
+    * on samples at scale.
+    */
+  def exactJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val sh = spread(df).select(
+      col(idCol).as("id"),
+      T.wordShingles(T.tokens(col(textCol))).as("s"))
+      .localCheckpoint(eager = false) // feeds the index AND the sizes
+    val sizes = sh.select(col("id"), size(col("s")).as("n_sh"))
+    val inv = sh.select(col("id"), explode(col("s")).as("sng"))
+    val common = inv.toDF("id_a", "sng")
+      .join(inv.toDF("id_b", "sng"), Seq("sng"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   def jaccardVerified(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {

@@ -77,6 +77,32 @@ object DedupQueries {
       Dedup.embeddingPairs(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
         .orderBy("id_a", "id_b")),
 
+    // evaluation row: MinHash-LSH candidate recall/precision against
+    // the EXACT all-pairs Jaccard truth (no LSH anywhere in the truth
+    // side) — the measurement that justifies trusting d2's bands at a
+    // given threshold before running them over 100 TB. One row:
+    // counts + recall + precision.
+    "d16_lsh_recall_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      val truth = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager = false) // counted AND joined below
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager = false)
+      val hit = truth.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit)
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            when(col("n_truth") > 0, col("n_truth")), 4).as("recall"),
+          round(col("n_hit").cast("double") /
+            when(col("n_cand") > 0, col("n_cand")), 4).as("precision"))
+    }),
+
     // sub-quadratic LSH-bucketed variant (recall < 1 at thresholds
     // near the bulk angle — exactness spec'd on clustered data in
     // DedupSpec; no oracle by design, see NOTES_r03.md)
@@ -218,6 +244,35 @@ object DedupQueries {
         |FROM keys n JOIN keys o ON n.band = o.band AND n.h = o.h
         |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // candidates = d2's band-key replay; truth = d4's full-pairwise
+    // exact Jaccard — composed into one counts row
+    "d16_lsh_recall_eval" -> (shingleCtes + minhashSigSql +
+      """, bh AS (
+        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band, * FROM sig
+        |), keys AS (
+        |  SELECT doc_id, band, CASE band
+        |    WHEN 0 THEN md5(m0 || '|' || m1 || '|' || m2)
+        |    WHEN 1 THEN md5(m3 || '|' || m4 || '|' || m5)
+        |    WHEN 2 THEN md5(m6 || '|' || m7 || '|' || m8)
+        |    ELSE md5(m9 || '|' || m10 || '|' || m11) END AS h FROM bh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+        |), truth AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |), h AS (
+        |  SELECT count(*) AS n_hit FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+        |)
+        |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+        |(SELECT count(*) FROM cand)::BIGINT AS n_cand,
+        |n_hit::BIGINT AS n_hit,
+        |round(n_hit * 1.0 / nullif((SELECT count(*) FROM truth), 0), 4) AS recall,
+        |round(n_hit * 1.0 / nullif((SELECT count(*) FROM cand), 0), 4) AS precision
+        |FROM h""".stripMargin),
     "d12_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents

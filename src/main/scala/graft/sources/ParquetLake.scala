@@ -440,6 +440,72 @@ object ParquetLake {
   }
 
   // ---------------------------------------------------------------
+  // lk22: named tags — "dataset release" refs over manifest versions.
+  //
+  // A tag file `_graft_tag.<name>` holds one committed version
+  // number. Tags give a stable name to the exact snapshot a training
+  // run consumed ("release-2026-08"), and they PIN it: vacuum keeps
+  // every tagged version's manifest and files regardless of
+  // keepVersions, so the replay contract survives retention. Tag
+  // writes go through the same atomic write-tmp-then-rename as
+  // manifests; re-tagging a name moves it (tags are refs, not
+  // history).
+  // ---------------------------------------------------------------
+
+  private val TagPrefix = "_graft_tag."
+
+  private def tagPath(root: org.apache.hadoop.fs.Path, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    new org.apache.hadoop.fs.Path(root, s"$TagPrefix$name")
+  }
+
+  /** Point tag `name` at a committed version (latest by default). */
+  def tagManifest(
+      spark: SparkSession, path: String, name: String,
+      version: Option[Int] = None): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val versions = manifestVersions(fs, root)
+    val v = version.getOrElse(versions.lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    require(versions.exists(_._1 == v),
+      s"cannot tag: version $v is not a committed manifest under $path")
+    writeAtomic(fs, tagPath(root, name), s"$v\n")
+    v
+  }
+
+  /** All tags of the lake: name → version. */
+  def manifestTags(spark: SparkSession, path: String): Map[String, Int] = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(TagPrefix))
+      .map { s =>
+        s.getPath.getName.stripPrefix(TagPrefix) ->
+          manifestLines(fs, s.getPath).head.trim.toInt
+      }.toMap
+  }
+
+  /** Delete a tag (the versions it pinned become ordinary retention
+    * candidates again). No-op if absent.
+    */
+  def untagManifest(spark: SparkSession, path: String, name: String): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    fs.delete(tagPath(root, name), false)
+    ()
+  }
+
+  /** Read the snapshot a tag points at. */
+  def readManifestedTag(
+      spark: SparkSession, path: String, name: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val v = manifestTags(spark, path).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' under $path"))
+    readManifested(spark, path, Some(v), mergeSchema)
+  }
+
+  // ---------------------------------------------------------------
   // lk21: file-level min/max stats + data-skipping manifested reads.
   //
   // A stats sidecar `_graft_stats.v<N>` (TSV: file, column, type,
@@ -992,13 +1058,18 @@ object ParquetLake {
     }
     val versions = manifestVersions(fs, root)
     if (versions.isEmpty) return Seq.empty
-    val oldManifests = versions.dropRight(math.max(1, keepVersions))
+    // tagged versions are PINNED: a "dataset release" ref must stay
+    // replayable no matter how retention is configured (lk22)
+    val pinned = manifestTags(spark, path).values.toSet
+    val retained = versions.takeRight(math.max(1, keepVersions)).map(_._1).toSet
+    val oldManifests = versions.filterNot(v =>
+      retained(v._1) || pinned(v._1))
     oldManifests.foreach { case (v, p) =>
       fs.delete(p, false)
       // a dropped version's stats sidecar goes with it
       fs.delete(new Path(root, s"$StatsPrefix$v"), false)
     }
-    val kept = versions.drop(oldManifests.length)
+    val kept = versions.filter(v => retained(v._1) || pinned(v._1))
     val referenced = kept.flatMap { case (v, _) =>
       readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
     }.toSet

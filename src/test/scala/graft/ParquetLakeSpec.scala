@@ -698,6 +698,34 @@ class ParquetLakeSpec extends SparkSpec {
     }
   }
 
+  test("lk22: tags name a release and pin it through vacuum; untag releases the pin") {
+    val dir = fragmentedLake()
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val release = ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ParquetLake.tagManifest(spark, dir, "release-1") === v1)
+    ParquetLake.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    assert(ParquetLake.manifestTags(spark, dir) === Map("release-1" -> v1))
+    // keepVersions=1 would age v1 out — the tag pins it
+    ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(ParquetLake.readManifestedTag(spark, dir, "release-1")
+      .collect().map(_.toString).sorted.toSeq === release)
+    // untag → the next vacuum reclaims v1 for real
+    ParquetLake.untagManifest(spark, dir, "release-1")
+    ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    intercept[IllegalArgumentException] {
+      ParquetLake.readManifested(spark, dir, Some(v1))
+    }
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === release) // compacted latest intact
+    intercept[IllegalArgumentException] {
+      ParquetLake.readManifestedTag(spark, dir, "release-1")
+    }
+    intercept[IllegalArgumentException] {
+      ParquetLake.tagManifest(spark, dir, "bad name!")
+    }
+  }
+
   test("lk19: optimistic commit — a stale expectedVersion fails loudly, never last-writer-wins") {
     val dir = Files.createTempDirectory("graft_cas").toString
     ParquetLake.writePartitioned(
