@@ -52,24 +52,30 @@ object Bench {
     */
   private def muteNonExistentAccumulatorNoise(): Unit = {
     import org.apache.logging.log4j.LogManager
-    import org.apache.logging.log4j.core.Filter
-    import org.apache.logging.log4j.core.LoggerContext
-    import org.apache.logging.log4j.core.filter.RegexFilter
+    import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.filter.AbstractFilter
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     // two message shapes for the same benign race: TaskSchedulerImpl
     // logs "...non-existent accumulator..." directly, while
     // DAGScheduler.updateAccumulators wraps it as "Failed to update
-    // accumulator <id>" with the exception (and its stack trace)
-    // attached — r9's artifact trace came through the second path,
-    // which the first regex cannot see (RegexFilter tests the
-    // message, not the throwable)
-    for (re <- Seq(".*non-existent accumulator.*",
-        ".*Failed to update accumulator.*")) {
-      val filter = RegexFilter.createFilter(
-        re, null, java.lang.Boolean.FALSE,
-        Filter.Result.DENY, Filter.Result.NEUTRAL)
-      ctx.getConfiguration.getRootLogger.addFilter(filter)
+    // accumulator <id>" with the exception attached. The wrapped
+    // shape is ONLY denied when the attached cause chain names the
+    // non-existent accumulator — a genuine accumulator failure (any
+    // other cause) still reaches the log.
+    val filter = new AbstractFilter(Filter.Result.DENY, Filter.Result.NEUTRAL) {
+      private def benign(e: LogEvent): Boolean = {
+        val msg = Option(e.getMessage).map(_.getFormattedMessage).getOrElse("")
+        if (msg.contains("non-existent accumulator")) true
+        else if (msg.contains("Failed to update accumulator"))
+          Iterator.iterate(e.getThrown)(t => if (t == null) null else t.getCause)
+            .takeWhile(_ != null).take(8)
+            .exists(t => Option(t.getMessage).exists(_.contains("non-existent accumulator")))
+        else false
+      }
+      override def filter(e: LogEvent): Filter.Result =
+        if (benign(e)) getOnMatch else getOnMismatch
     }
+    ctx.getConfiguration.getRootLogger.addFilter(filter)
     ctx.updateLoggers()
   }
 

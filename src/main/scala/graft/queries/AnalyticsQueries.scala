@@ -18,6 +18,17 @@ object AnalyticsQueries {
 
   private val revenue = sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
 
+  /** a6's top-10 token cut: orderBy+limit plans as
+    * TakeOrderedAndProject — each map task keeps a 10-row heap and
+    * only those rows reach the driver. (A `row_number` window here
+    * would sort the FULL distinct-token relation — vocabulary-sized
+    * at 100 TB — in a single task.) Exposed for PlanAssertSpec.
+    */
+  private[graft] def a6TopCut(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(10)
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -550,14 +561,12 @@ object AnalyticsQueries {
         .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skBytes))
-      val w = Window.orderBy(col("n").desc, col("token"))
-      val top = toks.groupBy("token").agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 10)
-        .select("rn", "token", "n")
+      val top = a6TopCut(toks)
         .collect()
-      top.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-          cms.estimateCount(r.getString(1))))
+        .sortBy(r => (-r.getLong(1), r.getString(0)))
+      top.zipWithIndex.map { case (r, i) =>
+          ((i + 1).toLong, r.getString(0), r.getLong(1),
+            cms.estimateCount(r.getString(0))) }
         .toSeq.toDF("rn", "token", "n", "est_n")
         .orderBy("rn")
     }),

@@ -252,10 +252,21 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("a6: the top-10 token cut is TakeOrderedAndProject — no Window over the token relation") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.{TextFunctions => T}
+    val toks = graft.queries.table(spark, sf, "documents")
+      .select(explode(T.tokens(col("text"))).as("token"))
+    val p = graft.queries.AnalyticsQueries.a6TopCut(toks).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // an unpartitioned row_number window here would single-task-sort
+    // the full vocabulary-sized distinct-token relation
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q43: one fact scan — the semi-join chain is a broadcast flag + conditional agg") {
     val p = plan("q43_promo_suppliers")
-    // exactly one lineitem scan: the Q20 subquery tree would need two
-    assert(p.sliding("l_suppkey".length).nonEmpty)
     val factScans = "ReadSchema: struct<l_partkey".r.findAllIn(p).size +
       "ReadSchema: struct<l_suppkey".r.findAllIn(p).size
     assert(factScans === 1, p.take(3000))
