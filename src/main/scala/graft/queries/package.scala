@@ -17,13 +17,28 @@ package object queries {
 
   /** `events` with ts normalized: ts_ns (long), ts_ms (long, floored),
     * ts (TimestampType, microsecond precision — what DuckDB's
-    * `ts::TIMESTAMP` yields too).
+    * `ts::TIMESTAMP` yields too). Adapts to either physical schema the
+    * driver has generated: INT64 epoch-nanos (read as long via
+    * nanosAsLong) or timestamp[us] (naive = UTC wall clock; the
+    * session timezone is pinned to UTC everywhere, so the NTZ→LTZ
+    * cast is instant-preserving and agrees with DuckDB's epoch_ns on
+    * a naive TIMESTAMP).
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    val tsAsNs: Column = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+    // keep ts_ns in ts's original column position, ts_ms/ts appended —
+    // the exact shape the int64-nanos path has always produced
+    raw.select(raw.columns.map {
+        case "ts" => tsAsNs.as("ts_ns")
+        case c    => col(c)
+      }.toSeq: _*)
       .withColumn("ts_ms", expr("ts_ns div 1000000"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
 
   /** Exact decimal cast used before sums so Spark and DuckDB agree
     * bit-for-bit (no fp associativity).

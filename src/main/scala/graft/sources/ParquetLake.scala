@@ -509,23 +509,33 @@ object ParquetLake {
   // lk21: file-level min/max stats + data-skipping manifested reads.
   //
   // A stats sidecar `_graft_stats.v<N>` (TSV: file, column, type,
-  // min, max) records per-file ranges for chosen NUMERIC columns,
-  // harvested from the parquet FOOTERS of the version-N snapshot —
-  // metadata reads only, no data scan. readManifestedPruned then
-  // plans a range query over exactly the files whose [min, max]
-  // intersects it. With z-ordered or time-ordered layouts
-  // (zorderWrite / writePartitioned sortCols) this is the
-  // Iceberg-style skip: a narrow predicate reads a handful of files
-  // instead of listing-everything-and-letting-row-group-pruning
-  // work it out per task. Files with no stats row for the column
-  // (evolved schema, missing footer stats) are conservatively KEPT.
+  // min, max) records per-file ranges for chosen columns, harvested
+  // from the parquet FOOTERS of the version-N snapshot — metadata
+  // reads only, no data scan. readManifestedPruned then plans a
+  // range query over exactly the files whose [min, max] intersects
+  // it. With z-ordered or time-ordered layouts (zorderWrite /
+  // writePartitioned sortCols) this is the Iceberg-style skip: a
+  // narrow predicate reads a handful of files instead of
+  // listing-everything-and-letting-row-group-pruning work it out
+  // per task. Files with no stats row for the column (evolved
+  // schema, missing footer stats) are conservatively KEPT.
+  //
+  // Type tags keep comparisons exact: `long` rows (INT32/INT64,
+  // epoch-nanos, snowflake ids) are stored and compared as longs —
+  // never coerced through Double, whose 2^53 mantissa would round a
+  // file's recorded max below its true max and silently skip a
+  // matching file. `date` rows carry epoch days; `str` rows carry
+  // base64-encoded UTF-8 bounds compared unsigned-lexicographically
+  // (parquet's UTF8 comparator ≡ Spark's UTF8String ordering);
+  // `num` rows are FLOAT/DOUBLE.
   // ---------------------------------------------------------------
 
   private val StatsPrefix = "_graft_stats.v"
 
-  /** Harvest per-file min/max footer statistics for `cols` (numeric
-    * columns only — INT32/INT64/FLOAT/DOUBLE) of a committed
-    * snapshot, and publish them as the version's stats sidecar.
+  /** Harvest per-file min/max footer statistics for `cols`
+    * (INT32/INT64/FLOAT/DOUBLE, DATE, and UTF-8 string columns) of a
+    * committed snapshot, and publish them as the version's stats
+    * sidecar.
     * Footer reads are DISTRIBUTED — the file list parallelizes over
     * the cluster and each task reads only its files' footers (a few
     * KB of metadata each), so a 100 TB lake's ~10^5-file manifest
@@ -571,17 +581,24 @@ object ParquetLake {
     rows.size
   }
 
-  /** Executor-side footer harvest for one file: (file, col, num, min,
-    * max) TSV rows for the requested numeric columns. Row-group
-    * chunk stats aggregate to one per-file range; a column with any
-    * non-numeric or absent stats gets no row (conservative keep).
+  /** Executor-side footer harvest for one file: (file, col, type,
+    * min, max) TSV rows for the requested columns. Row-group chunk
+    * stats aggregate to one per-file range; a column whose chunks
+    * have absent or unsupported-type stats gets no row (conservative
+    * keep). Type tags: `long` (INT32/INT64 — exact, never coerced to
+    * Double), `date` (epoch days), `num` (FLOAT/DOUBLE), `str`
+    * (base64 UTF-8 bounds).
     */
   private def footerStats(
       rootStr: String, file: String, cols: Set[String],
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
+    val b64 = java.util.Base64.getEncoder
     val p = new org.apache.hadoop.fs.Path(rootStr, file)
     val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
@@ -592,28 +609,145 @@ object ParquetLake {
         .flatMap { case (col, chunks) =>
           val stats = chunks.map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
-          val nums = stats.map(_.genericGetMin).collect {
-            case n: java.lang.Number => n }
-          if (nums.isEmpty || nums.size != stats.size) None
+          if (stats.isEmpty || stats.size != chunks.size) None
           else {
-            val mins = stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue())
-            val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue())
-            Some(s"$file\t$col\tnum\t${mins.min}\t${maxs.max}")
+            val prim = chunks.head.getPrimitiveType
+            val ann = prim.getLogicalTypeAnnotation
+            val isDate = ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+            val isStr = ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            prim.getPrimitiveTypeName match {
+              case INT32 | INT64 =>
+                val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue())
+                val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue())
+                val tag = if (isDate) "date" else "long"
+                Some(s"$file\t$col\t$tag\t${mins.min}\t${maxs.max}")
+              case FLOAT | DOUBLE =>
+                val mins = stats.map(_.genericGetMin.asInstanceOf[Number].doubleValue())
+                val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].doubleValue())
+                Some(s"$file\t$col\tnum\t${mins.min}\t${maxs.max}")
+              case BINARY if isStr =>
+                val mins = stats.map(_.genericGetMin.asInstanceOf[Binary].getBytes)
+                val maxs = stats.map(_.genericGetMax.asInstanceOf[Binary].getBytes)
+                Some(s"$file\t$col\tstr\t" +
+                  s"${b64.encodeToString(mins.min(bytesUnsignedOrdering))}\t" +
+                  s"${b64.encodeToString(maxs.max(bytesUnsignedOrdering))}")
+              case _ => None // boolean/int96/decimal/raw-binary: keep
+            }
           }
         }.toSeq
     } finally rd.close()
   }
 
-  /** Range read with file skipping: the version's snapshot restricted
-    * to files whose recorded [min, max] for `col` intersects
-    * [lo, hi] (inclusive), plus any file without stats (conservative).
-    * The returned plan still carries the predicate — skipping only
-    * shrinks the file list, it never changes results. Requires
-    * [[buildFileStats]] for the version.
+  /** Unsigned lexicographic byte ordering — parquet's UTF8
+    * comparator semantics, which also match Spark's UTF8String
+    * comparison, so string skip decisions agree with the engine's
+    * predicate evaluation.
+    */
+  private val bytesUnsignedOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      if (i < n) (a(i) & 0xff) - (b(i) & 0xff) else a.length - b.length
+    }
+
+  /** Numeric range read with file skipping: the version's snapshot
+    * restricted to files whose recorded [min, max] for `col`
+    * intersects [lo, hi] (inclusive), plus any file without stats
+    * (conservative). The returned plan still carries the predicate —
+    * skipping only shrinks the file list, it never changes results.
+    * `long`-tagged stats (INT32/INT64) compare exactly via
+    * BigDecimal — a 2^63-magnitude id column never loses a file to
+    * Double rounding. Requires [[buildFileStats]] for the version.
     */
   def readManifestedPruned(
       spark: SparkSession, path: String, col: String, lo: Double, hi: Double,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
+    val (bLo, bHi) = (BigDecimal(lo), BigDecimal(hi))
+    prunedRead(spark, path, col, version, mergeSchema,
+      keep = {
+        case ("num", mn, mx)           => mx.toDouble >= lo && mn.toDouble <= hi
+        case ("long" | "date", mn, mx) => BigDecimal(BigInt(mn.toLong)) <= bHi &&
+                                          BigDecimal(BigInt(mx.toLong)) >= bLo
+        case _                         => true // foreign type tag: keep
+      },
+      predicate = org.apache.spark.sql.functions.col(col).between(lo, hi))
+  }
+
+  /** Exact integer range read with file skipping: long bounds, long
+    * stats, long predicate literals — no Double anywhere, so id and
+    * epoch-nano columns above 2^53 prune correctly (a Double-coerced
+    * max can round below the true max and silently skip a matching
+    * file). Use this variant for any integer column whose values can
+    * exceed 2^53.
+    */
+  def readManifestedPrunedLong(
+      spark: SparkSession, path: String, col: String, lo: Long, hi: Long,
+      version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame =
+    prunedRead(spark, path, col, version, mergeSchema,
+      keep = {
+        case ("long" | "date", mn, mx) => mx.toLong >= lo && mn.toLong <= hi
+        case _                         => true
+      },
+      predicate = org.apache.spark.sql.functions.col(col).between(lit(lo), lit(hi)))
+
+  /** Date range read with file skipping over a DATE-typed column.
+    * `lo`/`hi` are inclusive ISO dates (`yyyy-MM-dd`); files are
+    * skipped on the epoch-day bounds harvested from DATE footer
+    * stats. Time predicates are the dominant prune key of a log lake
+    * (the reference's `--start-time`,
+    * kinesis_logs_reader/__main__.py:13-19, is exactly this shape).
+    */
+  def readManifestedPrunedDate(
+      spark: SparkSession, path: String, col: String, lo: String, hi: String,
+      version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
+    val loDay = java.time.LocalDate.parse(lo).toEpochDay
+    val hiDay = java.time.LocalDate.parse(hi).toEpochDay
+    prunedRead(spark, path, col, version, mergeSchema,
+      keep = {
+        case ("date", mn, mx) => mx.toLong >= loDay && mn.toLong <= hiDay
+        case _                => true
+      },
+      predicate = org.apache.spark.sql.functions.col(col)
+        .between(to_date(lit(lo)), to_date(lit(hi))))
+  }
+
+  /** String range read with file skipping over a UTF-8 column: keeps
+    * files whose base64-decoded [min, max] bounds intersect
+    * [lo, hi] under unsigned-lexicographic byte order — the same
+    * total order Spark's UTF8String comparison uses, so the skip
+    * decision can never disagree with the engine's own predicate.
+    * Prefix predicates (`id LIKE 'abc%'`) are the range
+    * `["abc", "abc￿")` in this order.
+    */
+  def readManifestedPrunedString(
+      spark: SparkSession, path: String, col: String, lo: String, hi: String,
+      version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
+    val b64 = java.util.Base64.getDecoder
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
+    val ord = bytesUnsignedOrdering
+    prunedRead(spark, path, col, version, mergeSchema,
+      keep = {
+        case ("str", mn, mx) => ord.compare(b64.decode(mx), loB) >= 0 &&
+                                ord.compare(b64.decode(mn), hiB) <= 0
+        case _               => true
+      },
+      predicate = org.apache.spark.sql.functions.col(col).between(lo, hi))
+  }
+
+  /** Shared skip-read: restrict the version's snapshot to files whose
+    * stats row for `col` passes `keep` (files with no row are kept),
+    * apply `predicate` on top. The kept subset is always read with
+    * the FULL snapshot's schema — under additive schema evolution a
+    * pruned read returns the same columns as [[readManifested]], with
+    * nulls where old files lack them.
+    */
+  private def prunedRead(
+      spark: SparkSession, path: String, col: String, version: Option[Int],
+      mergeSchema: Boolean,
+      keep: ((String, String, String)) => Boolean,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
     val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
@@ -624,18 +758,17 @@ object ParquetLake {
         s"no stats sidecar for version $v under $path — run buildFileStats first")
     val ranges = manifestLines(fs, statsPath)
       .map(_.split('\t'))
-      .collect { case Array(f, c, "num", mn, mx) if c == col =>
-        f -> (mn.toDouble, mx.toDouble) }
+      .collect { case Array(f, c, tag, mn, mx) if c == col => f -> ((tag, mn, mx)) }
       .toMap
     val files = readManifest(spark, path, Some(v)).get
-    val kept = files.filter(f =>
-      ranges.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
-    val all = spark.read.option("basePath", path)
-      .parquet(files.map(f => s"$path/$f"): _*) // schema from the full snapshot
-    if (kept.isEmpty) all.where(lit(false)).where(org.apache.spark.sql.functions.col(col).between(lo, hi))
-    else spark.read.option("basePath", path)
+    val kept = files.filter(f => ranges.get(f).forall(keep))
+    val reader = spark.read.option("basePath", path)
+      .option("mergeSchema", mergeSchema.toString)
+    val all = reader.parquet(files.map(f => s"$path/$f"): _*)
+    if (kept.isEmpty) all.where(lit(false)).where(predicate)
+    else spark.read.schema(all.schema).option("basePath", path)
       .parquet(kept.map(f => s"$path/$f"): _*)
-      .where(org.apache.spark.sql.functions.col(col).between(lo, hi))
+      .where(predicate)
   }
 
   /** Thrown when an optimistic commit loses the race: the expected
@@ -716,17 +849,22 @@ object ParquetLake {
   }
 
   /** Bootstrap a manifest from the lake's current directory listing
-    * (for lakes written by [[writePartitioned]] or a streaming sink).
+    * (for lakes written by [[writePartitioned]], a streaming sink, or
+    * a plain unpartitioned `df.write.parquet` — root-level part files
+    * are manifested alongside one level of partition directories).
     */
   def snapshotManifest(spark: SparkSession, path: String): Int = {
     val (fs, root) = fsFor(spark, path)
-    val files = fs.listStatus(root)
+    val top = fs.listStatus(root)
+    val flat = top
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName)
+    val partitioned = top
       .filter(isPartitionDir)
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .map(f => s"${f.getPath.getParent.getName}/${f.getPath.getName}")
-      .toSeq
-    commitManifest(spark, path, files)
+    commitManifest(spark, path, (flat ++ partitioned).toSeq)
   }
 
   /** Read the lake through a committed manifest (latest by default):

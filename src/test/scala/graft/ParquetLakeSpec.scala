@@ -689,13 +689,83 @@ class ParquetLakeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(pruned.collect().map(_.toString).sorted.toSeq === expected)
     assert(expected.nonEmpty)
-    // conservative on a column with no stats rows (strings are not
-    // harvested): every file is kept, results still correct
-    assert(ParquetLake.buildFileStats(spark, dir, Seq("event_type")) === 0)
+    // string columns are harvested too (str-tagged base64 bounds)
+    assert(ParquetLake.buildFileStats(spark, dir, Seq("event_type")) === allFiles.size)
     // and a missing sidecar version fails loudly
     intercept[IllegalStateException] {
       ParquetLake.readManifestedPruned(spark, dir, "ts_ms", lo, hi, version = Some(v + 7))
     }
+  }
+
+  test("lk21: long stats stay exact above 2^53 — no Double-rounding skip of a matching file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stats_long").toString
+    // file B's max is (2^62)+511: coerced through Double it rounds
+    // DOWN to 2^62 (spacing at 2^62 is 1024), which sits below the
+    // query's lo — a double-typed sidecar would skip the file and
+    // silently lose the matching row
+    val base = 1L << 62
+    Seq(1L, 2L, 3L).toDF("id").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq(base + 100L, base + 511L).toDF("id").repartition(1)
+      .write.mode("append").parquet(dir)
+    val v = ParquetLake.snapshotManifest(spark, dir)
+    assert(ParquetLake.buildFileStats(spark, dir, Seq("id")) === 2)
+    val pruned = ParquetLake.readManifestedPrunedLong(
+      spark, dir, "id", base + 256L, base + 1024L)
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(base + 511L))
+    // and the small-ids file WAS skipped — stats did their job
+    assert(pruned.inputFiles.length === 1)
+    assert(v >= 1)
+  }
+
+  test("lk21: date and string stats skip files; pruned results identical to unpruned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stats_ds").toString
+    // three single-file batches with disjoint date and id ranges
+    for (m <- Seq("01", "02", "03")) {
+      Seq((s"2026-$m-05", s"u$m-a"), (s"2026-$m-20", s"u$m-z"))
+        .toDF("d_raw", "uid")
+        .select(to_date($"d_raw").as("d"), $"uid")
+        .repartition(1).write.mode("append").parquet(dir)
+    }
+    ParquetLake.snapshotManifest(spark, dir)
+    assert(ParquetLake.buildFileStats(spark, dir, Seq("d", "uid")) === 6)
+    val allFiles = ParquetLake.readManifested(spark, dir).inputFiles.length
+    // date-range prune: only February's file survives
+    val feb = ParquetLake.readManifestedPrunedDate(
+      spark, dir, "d", "2026-02-01", "2026-02-28")
+    assert(feb.inputFiles.length === 1 && allFiles === 3)
+    val febExpected = ParquetLake.readManifested(spark, dir)
+      .where($"d".between(to_date(lit("2026-02-01")), to_date(lit("2026-02-28"))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(feb.collect().map(_.toString).sorted.toSeq === febExpected)
+    assert(febExpected.size === 2)
+    // string-range prune on uid: the u02 file alone
+    val mid = ParquetLake.readManifestedPrunedString(
+      spark, dir, "uid", "u02", "u02￿")
+    assert(mid.inputFiles.length === 1)
+    assert(mid.collect().map(_.getString(1)).sorted.toSeq === Seq("u02-a", "u02-z"))
+  }
+
+  test("lk21: pruned read keeps the full snapshot schema under additive evolution") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stats_evo").toString
+    Seq((1L, "old")).toDF("k", "tag").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq((100L, "new", 3.14)).toDF("k", "tag", "extra").repartition(1)
+      .write.mode("append").parquet(dir)
+    ParquetLake.snapshotManifest(spark, dir)
+    ParquetLake.buildFileStats(spark, dir, Seq("k"))
+    // the prune keeps only the OLD file (no `extra` column); with
+    // mergeSchema the result still exposes the evolved schema, null
+    // where the kept file lacks it
+    val pruned = ParquetLake.readManifestedPruned(
+      spark, dir, "k", 0, 10, mergeSchema = true)
+    assert(pruned.inputFiles.length === 1)
+    assert(pruned.columns.contains("extra"))
+    val row = pruned.collect()
+    assert(row.length === 1 && row(0).isNullAt(pruned.columns.indexOf("extra")))
   }
 
   test("lk22: tags name a release and pin it through vacuum; untag releases the pin") {

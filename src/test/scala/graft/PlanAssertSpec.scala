@@ -228,7 +228,11 @@ class PlanAssertSpec extends SparkSpec {
 
   test("q26: the cohort scan reads only (ts, user_id); no wide columns") {
     val p = plan("q26_retention_cohorts")
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p.take(3000))
+    // ts's physical type depends on the driver's generator (int64
+    // nanos in older drops, timestamp[us] now) — either way only the
+    // two needed columns may reach the scan
+    assert("ReadSchema: struct<ts:(bigint|timestamp_ntz|timestamp),user_id:bigint>".r
+      .findFirstIn(p).nonEmpty, p.take(3000))
     assert(!p.contains("props"), p.take(3000))
   }
 
