@@ -87,7 +87,43 @@ object Bpe {
     */
   def learnMerges(
       df: DataFrame, textCol: String, numMerges: Int,
-      incremental: Boolean = false): DataFrame = {
+      incremental: Boolean = false): DataFrame =
+    learnMergesImpl(df, textCol, numMerges,
+      startIncremental = incremental, crossoverFrac = -1.0)._1
+
+  /** Auto-crossover strategy: rounds start on recount (measured
+    * fastest while the best pair touches most of the vocab) and
+    * switch PERMANENTLY to incremental the first round the best
+    * pair's unweighted occurrence count falls below `crossoverFrac` ×
+    * the FIRST round's best-pair occurrence count. Occurrence count
+    * estimates the touched vocab slice (what incremental's per-round
+    * cost tracks); measuring the decay against round 1's own maximum
+    * self-calibrates across corpora, where an absolute vocab-size
+    * fraction would mis-fire on corpora whose top pair is
+    * occurrence-poor. The switch round's recount seeds the
+    * incremental counts relation, so no extra pass is paid.
+    * Identical output to either pure strategy (parity spec), and on
+    * a realistic deep schedule beats both: early rounds skip the
+    * delta machinery, late rounds skip the full recount+rewrite.
+    */
+  def learnMergesAuto(
+      df: DataFrame, textCol: String, numMerges: Int,
+      crossoverFrac: Double = 0.1): DataFrame =
+    learnMergesAutoWithSwitch(df, textCol, numMerges, crossoverFrac)._1
+
+  /** [[learnMergesAuto]] plus the 1-based rank whose merge first ran
+    * incrementally (-1 = the schedule finished all-recount) — the
+    * observable the crossover spec and tuning runs read.
+    */
+  private[graft] def learnMergesAutoWithSwitch(
+      df: DataFrame, textCol: String, numMerges: Int,
+      crossoverFrac: Double): (DataFrame, Int) =
+    learnMergesImpl(df, textCol, numMerges,
+      startIncremental = false, crossoverFrac = crossoverFrac)
+
+  private def learnMergesImpl(
+      df: DataFrame, textCol: String, numMerges: Int,
+      startIncremental: Boolean, crossoverFrac: Double): (DataFrame, Int) = {
     val spark = df.sparkSession
     import spark.implicits._
     // the ONLY corpus-wide pass: word frequencies
@@ -101,6 +137,10 @@ object Bpe {
       // empty symbol (and "" would then enter the pair counts)
       .select(split(col("w"), "(?!^)(?=.)").as("syms"), col("freq"))
       .localCheckpoint(eager = false)
+    var incremental = startIncremental
+    val auto = crossoverFrac >= 0.0
+    // round 1's best-pair occurrence count — the crossover yardstick
+    var occYardstick = -1L
     // incremental only: the ONE full pair count, patched every round
     var counts: DataFrame =
       if (incremental)
@@ -111,12 +151,15 @@ object Bpe {
       else null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
+    var switchRank = if (startIncremental) 1 else -1
     while (rank <= numMerges) {
       val pairCounts =
         if (incremental) counts
         else vocab.where(size(col("syms")) >= 2)
           .select(col("freq"), pairsOf(col("syms")).as("pair"))
-          .groupBy("pair").agg(sum(col("freq")).as("n"))
+          .groupBy("pair").agg(sum(col("freq")).as("n"),
+            // auto only: occurrence count ≈ touched-word estimate
+            count(lit(1)).as("n_occ"))
       val best = pairCounts
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1)
@@ -128,6 +171,17 @@ object Bpe {
         val sp = pairStr.indexOf(' ') // symbols never contain spaces (whitespace tokens)
         val (lS, rS) = (pairStr.substring(0, sp), pairStr.substring(sp + 1))
         merges += ((rank, lS, rS, n))
+        if (auto && !incremental && occYardstick < 0) occYardstick = best(0).getLong(2)
+        if (auto && !incremental &&
+            best(0).getLong(2) < crossoverFrac * occYardstick) {
+          // crossover: adopt THIS round's full recount as the counts
+          // relation (no extra pass) and apply the merge — and every
+          // later one — through the delta path
+          incremental = true
+          switchRank = rank
+          counts = pairCounts.select(col("pair"), col("n"))
+            .localCheckpoint(eager = false)
+        }
         if (incremental) {
           // only words CONTAINING both symbols can change under this
           // merge (mergePair is identity otherwise); CaseWhen evaluates
@@ -170,6 +224,6 @@ object Bpe {
         rank += 1
       }
     }
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), switchRank)
   }
 }

@@ -309,6 +309,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** d16's evaluation harness: MinHash-LSH candidate recall/precision
+    * against the exact all-pairs Jaccard truth, as ONE summary row
+    * (n_truth, n_cand, n_hit, recall, precision) — the measurement
+    * that justifies trusting a band config before a 100 TB run.
+    *
+    * `samplePct < 100` runs the whole evaluation on a deterministic
+    * md5-bucket sample of the DOC set (the t5 split arithmetic —
+    * stable across runs, engines, and cluster sizes; no RNG). Both
+    * the truth and the candidate side see exactly the sampled
+    * sub-corpus, so the measured rates are the band config's capture
+    * rates over the sample's pair population — per-pair capture
+    * probability depends only on the pair's Jaccard, so the sampled
+    * recall estimates the full recall. The truth side is
+    * posting-list-quadratic by nature, which is WHY this mode
+    * exists: at 100 TB the evaluation runs at p% (truth pair work
+    * scales ~p²) while the production d2 path stays full-corpus.
+    */
+  def lshRecallEval(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      samplePct: Int = 100, numPerms: Int = 12, bands: Int = 4): DataFrame = {
+    val docs =
+      if (samplePct >= 100) df
+      else df.where(
+        conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100 < samplePct)
+    val truth = exactJaccardPairs(docs, textCol, idCol, threshold)
+      .select("id_a", "id_b")
+      .localCheckpoint(eager = false) // counted AND joined below
+    val cand = minhashCandidates(docs, textCol, idCol, numPerms, bands)
+      .select("id_a", "id_b")
+      .localCheckpoint(eager = false)
+    val hit = truth.join(cand, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit)
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          when(col("n_truth") > 0, col("n_truth")), 4).as("recall"),
+        round(col("n_hit").cast("double") /
+          when(col("n_cand") > 0, col("n_cand")), 4).as("precision"))
+  }
+
   def jaccardVerified(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {

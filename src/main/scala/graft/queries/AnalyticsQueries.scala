@@ -425,16 +425,23 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
-    // approx_percentile (KLL-style mergeable quantile sketch) next to
-    // the exact sort-based answer: the 100 TB path when one pass +
-    // bounded memory matters more than exactness. Engine-specific
-    // values → rows-only + spec a3 asserting the error bound.
+    // approx_percentile (Greenwald-Khanna mergeable quantile summary)
+    // next to the exact sort-based answer: the 100 TB path when one
+    // pass + bounded memory matters more than exactness. Exact regime
+    // for the oracle (the a4/a5/a6 below-capacity posture): at
+    // accuracy 1e6 the summary's merge threshold 2·count/accuracy
+    // stays < 1 for any group under 500k rows, so compression never
+    // merges samples and the query returns EXACTLY the element at
+    // rank ceil(q·n) — which the oracle recomputes by rank
+    // arithmetic. At 100 TB group sizes the very same query degrades
+    // gracefully to ±count/accuracy-rank estimates from bounded
+    // memory.
     "a3_approx_quantiles" -> ((s, dir) => {
       events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-          approx_percentile(col("value"), lit(0.9), lit(1000)).as("p90_approx"),
+          approx_percentile(col("value"), lit(0.5), lit(1000000)).as("p50_approx"),
+          approx_percentile(col("value"), lit(0.9), lit(1000000)).as("p90_approx"),
           count(lit(1)).as("n_rows"))
         .orderBy("event_type")
     }),
@@ -1216,6 +1223,22 @@ object AnalyticsQueries {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
         |ORDER BY l_suppkey, rn""".stripMargin,
+    // exact regime (see the query comment): Spark returns the element
+    // at rank ceil(q * n) in value order; the CASTs force DuckDB to
+    // do the same DOUBLE multiply (its bare 0.9 literal is DECIMAL,
+    // whose exact product can ceil one rank lower)
+    "a3_approx_quantiles" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN value END) AS p50_approx,
+        |       max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT)) THEN value END) AS p90_approx,
+        |       count(*) AS n_rows
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a4_theta_intersect" ->
       """SELECT
         |(SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS click_users,

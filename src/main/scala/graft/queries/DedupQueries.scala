@@ -81,27 +81,12 @@ object DedupQueries {
     // the EXACT all-pairs Jaccard truth (no LSH anywhere in the truth
     // side) — the measurement that justifies trusting d2's bands at a
     // given threshold before running them over 100 TB. One row:
-    // counts + recall + precision.
-    "d16_lsh_recall_eval" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val docs = table(s, dir, "documents")
-      val truth = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.5)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager = false) // counted AND joined below
-      val cand = Dedup.minhashCandidates(docs, "text", "doc_id")
-        .select("id_a", "id_b")
-        .localCheckpoint(eager = false)
-      val hit = truth.join(cand, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_hit"))
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hit)
-        .select(col("n_truth"), col("n_cand"), col("n_hit"),
-          round(col("n_hit").cast("double") /
-            when(col("n_truth") > 0, col("n_truth")), 4).as("recall"),
-          round(col("n_hit").cast("double") /
-            when(col("n_cand") > 0, col("n_cand")), 4).as("precision"))
-    }),
+    // counts + recall + precision. The oracle replays the full-corpus
+    // evaluation; at scale the same operator runs in sampled-truth
+    // mode (Dedup.lshRecallEval samplePct, spec'd vs full in
+    // DedupSpec).
+    "d16_lsh_recall_eval" -> ((s, dir) =>
+      Dedup.lshRecallEval(table(s, dir, "documents"), "text", "doc_id", 0.5)),
 
     // sub-quadratic LSH-bucketed variant (recall < 1 at thresholds
     // near the bulk angle — exactness spec'd on clustered data in

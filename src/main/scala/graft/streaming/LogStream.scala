@@ -410,6 +410,41 @@ object LogStream {
       .outputMode("append")
       .start()
 
+  /** st22: read-side stream-static enrichment against a PINNED
+    * manifested-lake snapshot — the plain-streaming-query twin of
+    * st21's per-batch foreachBatch refresh, usable anywhere a
+    * DataFrame transform is (downstream aggregations, watermarks,
+    * any sink).
+    *
+    * Snapshot-pinning semantics: the dim snapshot is resolved ONCE,
+    * here, at plan time — readManifested fixes the exact file set of
+    * `version` (latest committed if None), so every micro-batch for
+    * the query's lifetime joins the SAME snapshot. A concurrent lake
+    * commit is therefore fully invisible to a running query (never
+    * torn, never half-old-half-new within or across batches), and
+    * upgrading is an atomic restart: stop, call again (re-resolving
+    * latest), start. Pick this when per-row reproducibility across a
+    * run matters more than freshness; pick st21 when each batch must
+    * see the newest published dim. The stamped `dim_version` makes
+    * the pin auditable per row either way.
+    *
+    * The dim side is broadcast (dim-sized by contract, like st21);
+    * vacuum retention must cover the longest-running query's
+    * lifetime, or pin the version with a manifest tag (lk22) so
+    * maintenance cannot age out files a live query still reads.
+    */
+  def enrichManifestedPinned(
+      stream: DataFrame, dimLake: String, usingColumns: Seq[String],
+      version: Option[Int] = None): DataFrame = {
+    val spark = stream.sparkSession
+    val log = graft.sources.ParquetLake.manifestLog(spark, dimLake)
+    require(log.nonEmpty, s"no committed manifest under $dimLake")
+    val v = version.getOrElse(log.last._1)
+    val dim = graft.sources.ParquetLake.readManifested(spark, dimLake, Some(v))
+    stream.join(broadcast(dim), usingColumns, "left")
+      .withColumn("dim_version", lit(v))
+  }
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)
@@ -503,14 +538,31 @@ object LogStream {
     * embedding-service lookup stream, a near-dup gate on ingest).
     *
     * Scale shape: the corpus is bucketed ONCE by the same
-    * deterministic hyperplanes as the batch operator and broadcast
-    * into every micro-batch (index-sized, not corpus-scan-sized per
-    * batch); each query explodes to its own bucket + single-bit
-    * multiprobes, so it scores ~(nP+1)/2^nP of the corpus, map-side.
-    * Per-query top-k is a windowed graft_topk bounded-heap aggregate
-    * with a watermark — state per open window is ≤ k rows per query,
-    * and rows append exactly when the watermark closes the window.
-    * Same emitted schema as the batch lshKnn, plus `w_start`.
+    * deterministic hyperplanes as the batch operator; each query
+    * explodes to its own bucket + single-bit multiprobes, so it
+    * scores ~(nP+1)/2^nP of the corpus, map-side. Per-query top-k is
+    * a windowed graft_topk bounded-heap aggregate with a watermark —
+    * state per open window is ≤ k rows per query, and rows append
+    * exactly when the watermark closes the window. Same emitted
+    * schema as the batch lshKnn, plus `w_start`.
+    *
+    * Two index-join modes, chosen by `broadcastIndex`:
+    *   - `true` (default): the whole (id, vec, bucket) index is
+    *     broadcast into every micro-batch — zero stream-side shuffle,
+    *     right whenever the index fits executor memory (the online
+    *     embedding-service gate it models). WRONG for a corpus-scale
+    *     index: a 100 TB corpus's index is far past broadcast range
+    *     and the hint becomes a driver OOM, so
+    *   - `false`: a shuffled stream-static equi-join on `bucket`.
+    *     Each micro-batch shuffles only that batch's exploded probes
+    *     plus the matched index partitions; the static side's
+    *     bucketing is computed once and pinned via localCheckpoint.
+    *     Fat buckets (clustered corpora) salt exactly like the batch
+    *     knnJoin: the ≤ N/saltThreshold fat-bucket set — broadcast-
+    *     class BY CONSTRUCTION, unlike the index — salts index rows
+    *     deterministically (`n_id mod salts`) and replicates only the
+    *     probes of fat buckets, so one hot bucket's quadratic score
+    *     work spreads over `salts` tasks instead of one.
     *
     * `queries`: streaming (q_id, q_vec, event_time columns named by
     * the params). Self-matches (q_id == corpus id) are excluded,
@@ -520,20 +572,46 @@ object LogStream {
       queries: DataFrame, corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, numPlanes: Int = 4, dim: Int = 64,
       windowDur: String = "1 hour", watermarkDelay: String = "10 minutes",
-      eventTimeCol: String = "event_time"): DataFrame = {
+      eventTimeCol: String = "event_time", broadcastIndex: Boolean = true,
+      salts: Int = 16, saltThreshold: Int = 1024): DataFrame = {
     import graft.operators.Similarity.{bucketOf, hyperplanes}
     import graft.functions.{cosine, topk}
     val planes = hyperplanes(numPlanes, dim)
     val index = corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .withColumn("bucket", bucketOf(col("n_vec"), planes))
-    val probed = queries
+    val probeBase = queries
       .withWatermark(eventTimeCol, watermarkDelay)
       .select(col(eventTimeCol), col("q_id"), col("q_vec"),
         explode(array(bucketOf(col("q_vec"), planes) +:
           (0 until numPlanes).map(b =>
             bucketOf(col("q_vec"), planes).bitwiseXOR(lit(1 << b))): _*)).as("probe"))
-      .join(broadcast(index), col("probe") === col("bucket"))
+    val joined =
+      if (broadcastIndex) probeBase.join(broadcast(index), col("probe") === col("bucket"))
+      else {
+        // static side pinned once across micro-batches; fat-bucket
+        // detection + salting mirrors Similarity.knnJoin:166-188
+        val idx = index.localCheckpoint(eager = false)
+        val fat = idx.groupBy("bucket").agg(count(lit(1)).as("bn"))
+          .where(col("bn") > saltThreshold)
+          .select(col("bucket").as("f_bucket"))
+          .localCheckpoint(eager = false)
+        val data = idx
+          .join(broadcast(fat), col("bucket") === col("f_bucket"), "left")
+          .withColumn("d_salt",
+            when(col("f_bucket").isNotNull, pmod(col("n_id"), lit(salts)))
+              .otherwise(lit(0)))
+          .drop("f_bucket")
+        val probes = probeBase
+          .join(broadcast(fat), col("probe") === col("f_bucket"), "left")
+          .withColumn("p_salt", explode(
+            when(col("f_bucket").isNotNull, sequence(lit(0), lit(salts - 1)))
+              .otherwise(array(lit(0)))))
+          .drop("f_bucket")
+        probes.join(data,
+          col("probe") === col("bucket") && col("p_salt") === col("d_salt"))
+      }
+    val probed = joined
       .where(col("n_id") =!= col("q_id"))
       .select(col(eventTimeCol), col("q_id"),
         cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))

@@ -239,6 +239,24 @@ class DedupSpec extends SparkSpec {
     assert(first.where(col("contaminated")).count() === n1)
   }
 
+  test("d16: sampled-truth recall agrees with the full evaluation") {
+    val docs = graft.queries.table(spark, sf, "documents")
+    def row(pct: Int) =
+      Dedup.lshRecallEval(docs, "text", "doc_id", 0.5, samplePct = pct).head()
+    val full = row(100)
+    val sampled = row(60)
+    // the sample really shrinks the quadratic truth work
+    assert(sampled.getAs[Long]("n_truth") < full.getAs[Long]("n_truth"))
+    assert(sampled.getAs[Long]("n_cand") < full.getAs[Long]("n_cand"))
+    assert(sampled.getAs[Long]("n_truth") > 0)
+    // per-pair capture probability depends only on the pair's
+    // Jaccard, so the sampled recall estimates the full recall
+    assert(math.abs(sampled.getAs[Double]("recall") - full.getAs[Double]("recall")) <= 0.1,
+      s"sampled=$sampled full=$full")
+    // determinism: the hash sample is stable across runs
+    assert(row(60) === sampled)
+  }
+
   test("d6: decontamination excludes the benchmark slice and flags iff shared") {
     val rows = graft.queries.DedupQueries.queries("d6_decontaminate")(spark, sf).collect()
     assert(rows.nonEmpty)

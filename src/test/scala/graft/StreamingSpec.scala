@@ -402,7 +402,8 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  private def st20Body(tag: String): Unit = {
+  private def st20Body(tag: String, broadcastIndex: Boolean = true,
+      saltThreshold: Int = 1024): Unit = {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // a stream of query vectors: every 5th corpus vector, all inside
     // one window hour
@@ -418,7 +419,8 @@ class StreamingSpec extends SparkSpec {
         StructField("q_vec", ArrayType(FloatType)),
         StructField("event_time", TimestampType))))
       .parquet(dir)
-    val q = LogStream.streamKnn(qStream, emb, "embedding", "vec_id", k = 5)
+    val q = LogStream.streamKnn(qStream, emb, "embedding", "vec_id", k = 5,
+        broadcastIndex = broadcastIndex, saltThreshold = saltThreshold)
       .writeStream.format("memory").queryName(s"st20_out$tag").outputMode("complete").start()
     try { q.processAllAvailable() } finally q.stop()
     val streamed = spark.table(s"st20_out$tag")
@@ -437,6 +439,20 @@ class StreamingSpec extends SparkSpec {
 
   test("st20 (rocksdb): streaming ANN under the RocksDB state store") {
     withRocksDb(st20Body("_rdb"))
+  }
+
+  test("st20: the non-broadcast stream-static join path matches batch lshKnn") {
+    st20Body("_nb", broadcastIndex = false)
+  }
+
+  test("st20: non-broadcast path with fat-bucket salting forced matches batch lshKnn") {
+    // saltThreshold below any bucket's population → every bucket
+    // salts; the pair set (and so the result) must be unchanged
+    st20Body("_nbsalt", broadcastIndex = false, saltThreshold = 2)
+  }
+
+  test("st20 (rocksdb): non-broadcast path under the RocksDB state store") {
+    withRocksDb(st20Body("_nbrdb", broadcastIndex = false))
   }
 
   test("st21: per-batch manifested-dim enrichment picks up a dim refresh mid-stream") {
@@ -486,6 +502,63 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(
       (1L, "bronze", v1), (2L, "bronze", v1), (3L, "bronze", v1),
       (1L, "gold", v1 + 1), (4L, "bronze", v1 + 1)))
+  }
+
+  test("st22: pinned-snapshot enrichment — a mid-stream dim commit is fully invisible, a restart sees it fully") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.ParquetLake
+    val dimDir = Files.createTempDirectory("graft_pin_lake").toString
+    val t0 = 1704067200000L
+    (1L to 6L).map(u => (u, "bronze", t0)).toDF("user_id", "tier", "ts_ms")
+      .createOrReplaceTempView("pin_dim_seed")
+    ParquetLake.writePartitioned(
+      spark.table("pin_dim_seed"), dimDir, "ts_ms", sortCols = Nil)
+    val v1 = ParquetLake.snapshotManifest(spark, dimDir)
+    val inDir = Files.createTempDirectory("graft_pin_in").toString
+    def writeIn(ids: Seq[Long], mode: SaveMode): Unit =
+      ids.map(u => (u, u * 10)).toDF("user_id", "v")
+        .write.mode(mode).parquet(inDir)
+    writeIn(Seq(1L, 2L, 3L), SaveMode.Overwrite)
+    def startQuery(name: String) = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("v", LongType))))
+        .parquet(inDir)
+      LogStream.enrichManifestedPinned(stream, dimDir, Seq("user_id"))
+        .select("user_id", "tier", "dim_version")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    val q1 = startQuery("st22_run1")
+    try {
+      q1.processAllAvailable()
+      // dim refresh lands mid-stream as one atomic manifest commit
+      val pdType = ParquetLake.readManifested(spark, dimDir).schema("p_date").dataType
+      val changes = Seq((1L, "gold", t0), (2L, "gold", t0))
+        .toDF("user_id", "tier", "ts_ms")
+        .withColumn("p_date",
+          to_date(timestamp_millis(col("ts_ms"))).cast("string").cast(pdType))
+      assert(ParquetLake.mergeManifested(
+        spark, dimDir, changes, keyCols = Seq("user_id")) > v1)
+      writeIn(Seq(1L, 4L), SaveMode.Append)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val run1 = spark.table("st22_run1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // FULLY INVISIBLE: both batches — including the one after the
+    // commit — joined the pinned v1 snapshot; user 1 stays bronze
+    assert(run1 === Set(
+      (1L, "bronze", v1), (2L, "bronze", v1), (3L, "bronze", v1),
+      (1L, "bronze", v1), (4L, "bronze", v1)))
+    assert(run1.forall(_._3 === v1))
+    // FULLY VISIBLE after an atomic restart: a fresh plan re-pins to
+    // the latest snapshot and every row reflects it
+    val q2 = startQuery("st22_run2")
+    try q2.processAllAvailable() finally q2.stop()
+    val run2 = spark.table("st22_run2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(run2 === Set(
+      (1L, "gold", v1 + 1), (2L, "gold", v1 + 1), (3L, "bronze", v1 + 1),
+      (4L, "bronze", v1 + 1)))
   }
 
   test("st19: streaming bloom decontamination flags exactly the batch-contaminated docs") {
