@@ -32,7 +32,7 @@ object SparkEntry {
     */
   val boundedObjectAggQueries: Set[String] = Set(
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq", "s6_knn_join",
-    "s6_knn_join_auto", "s7_knn_ivfpq",
+    "s6_knn_join_auto", "s7_knn_ivfpq", "s9_ann_recall",
     "a2_sketch_merge", "a3_approx_quantiles", "a4_theta_intersect",
     "a5_approx_top_k", "a7_rolling_distinct")
 

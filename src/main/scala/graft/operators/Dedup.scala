@@ -309,6 +309,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** d17: analytic LSH band planner — the S-curve arithmetic that
+    * chooses a (bands, rowsPerBand) split of a `numPerms` MinHash
+    * budget BEFORE any data is touched; d16's empirical evaluation
+    * then validates the choice on a sample. One row per divisor
+    * split b·r = numPerms with the capture probability
+    * p(J) = 1 − (1 − J^r)^b evaluated at τ−0.1 / τ / τ+0.1 and at
+    * J = 0.9 (the near-dup regime). `pick_rank` 1 is the best
+    * config: near-dup capture ≥ targetRecall first, then minimum
+    * false-candidate rate at τ−0.1 (wasted verify work), then
+    * fewest bands (signature bytes shuffled per doc).
+    *
+    * Driver-side literal arithmetic over ≤ numPerms configs — no
+    * data, no shuffle; powers are explicit left-associated multiply
+    * chains, so the DuckDB oracle replays bit-identical doubles
+    * (the lshPlanesSql trick, applied to math instead of planes).
+    */
+  def lshBandPlan(
+      spark: org.apache.spark.sql.SparkSession, numPerms: Int = 12,
+      threshold: Double = 0.5, targetRecall: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    def chainPow(x: Double, n: Int): Double = {
+      var acc = x
+      var i = 1
+      while (i < n) { acc *= x; i += 1 }
+      acc
+    }
+    def capture(j: Double, r: Int, b: Int): Double =
+      1.0 - chainPow(1.0 - chainPow(j, r), b)
+    val js = Seq(threshold - 0.1, threshold, threshold + 0.1, 0.9)
+    val rows = (1 to numPerms).filter(numPerms % _ == 0).map { b =>
+      val r = numPerms / b
+      val Seq(pBelow, pAt, pAbove, pNear) = js.map(j => capture(j, r, b))
+      (b, r, pBelow, pAt, pAbove, pNear)
+    }
+    // ranking and rounding both run through Spark's SQL round so the
+    // oracle's identical ORDER BY can never disagree; the window is
+    // over the ≤ numPerms-row config relation, bounded by definition
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      when(round(col("pn_raw"), 4) >= targetRecall, 0).otherwise(1),
+      round(col("pb_raw"), 4), col("n_bands"))
+    rows.toDF("n_bands", "rows_per_band", "pb_raw", "pa_raw", "pab_raw", "pn_raw")
+      .select(col("n_bands"), col("rows_per_band"),
+        round(col("pb_raw"), 4).as("p_below"),
+        round(col("pa_raw"), 4).as("p_at"),
+        round(col("pab_raw"), 4).as("p_above"),
+        round(col("pn_raw"), 4).as("p_neardup"),
+        row_number().over(w).cast("long").as("pick_rank"))
+      .orderBy("pick_rank")
+  }
+
   /** d16's evaluation harness: MinHash-LSH candidate recall/precision
     * against the exact all-pairs Jaccard truth, as ONE summary row
     * (n_truth, n_cand, n_hit, recall, precision) — the measurement

@@ -62,6 +62,42 @@ object Similarity {
         col("e.id").as("neighbor_id"),
         round(col("e.score"), 4).as("cos_sim"))
 
+  /** s9: ANN quality evaluation — LSH-kNN recall@k against the exact
+    * brute-force truth, as ONE summary row (n_q, k, n_hits, recall)
+    * with recall = n_hits / (n_q · k). The serving-side twin of
+    * Dedup.lshRecallEval: the measurement that justifies an index
+    * config before a 100 TB serving job.
+    *
+    * Queries are a deterministic md5-bucket sample of the corpus
+    * (`samplePct`, the t5/d16 split arithmetic — no RNG). Sampling
+    * QUERIES, never the corpus, keeps the estimate unbiased for what
+    * production sees: each sampled query's truth is its exact top-k
+    * over the FULL corpus, so truth cost is |sample| × N exact
+    * scores — linear in the corpus, scaled down by the sample — not
+    * the N² of an all-pairs evaluation.
+    */
+  def annRecallEval(
+      corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      samplePct: Int = 100, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val q0 = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = (if (samplePct >= 100) q0
+      else q0.where(
+        conv(substring(md5(col("q_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100 < samplePct))
+      .localCheckpoint(eager = false) // feeds truth, approx, and n_q
+    val truth = bruteKnn(corpus, vecCol, idCol, q, k)
+      .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false) // counted via join below
+    val approx = lshKnn(corpus, vecCol, idCol, q, k, numPlanes, dim)
+      .select(col("q_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("q_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    q.agg(count(lit(1)).as("n_q"))
+      .crossJoin(hits)
+      .select(col("n_q"), lit(k).cast("long").as("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / (col("n_q") * lit(k)), 4).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component d of plane p
     * is derived from a seeded integer hash — reproducible across
     * runs/JVMs with no RNG state.

@@ -42,6 +42,12 @@ object DedupQueries {
       Dedup.minhashCandidates(table(s, dir, "documents"), "text", "doc_id")
         .orderBy("id_a", "id_b")),
 
+    // analytic band planner: pure S-curve arithmetic over the divisor
+    // configs of the 12-perm budget — touches no data by design (the
+    // plan you compute BEFORE shingling 100 TB; d16 then validates
+    // the pick empirically). `dir` is unused.
+    "d17_lsh_band_plan" -> ((s, _) => Dedup.lshBandPlan(s)),
+
     // incremental probe: NEW docs (doc_id % 10 == 0) against the
     // existing corpus index — the daily-crawl shape; old×old pairs
     // are never re-examined (see Dedup.minhashCandidatesIncremental)
@@ -186,7 +192,30 @@ object DedupQueries {
         .orderBy("doc_id")
     }))
 
+  // d17 oracle: the identical S-curve arithmetic, generated as
+  // literal left-associated multiply chains from the SAME doubles
+  // (Double.toString is shortest-roundtrip, so DuckDB parses the
+  // exact bits — the lshPlanesSql trick applied to math).
+  private val bandPlanSql: String = {
+    val js = Seq(0.5 - 0.1, 0.5, 0.5 + 0.1, 0.9)
+    def dlit(d: Double) = s"CAST($d AS DOUBLE)"
+    def chain(expr: String, n: Int) = Seq.fill(n)(expr).mkString("(", " * ", ")")
+    def capture(j: Double, r: Int, b: Int) =
+      s"round(1 - ${chain(s"(1 - ${chain(dlit(j), r)})", b)}, 4)"
+    val configs = (1 to 12).filter(12 % _ == 0).map { b =>
+      val r = 12 / b
+      s"SELECT $b AS n_bands, $r AS rows_per_band, " +
+        s"${capture(js(0), r, b)} AS p_below, ${capture(js(1), r, b)} AS p_at, " +
+        s"${capture(js(2), r, b)} AS p_above, ${capture(js(3), r, b)} AS p_neardup"
+    }
+    s"""WITH c AS (${configs.mkString(" UNION ALL ")})
+       |SELECT n_bands, rows_per_band, p_below, p_at, p_above, p_neardup,
+       |row_number() OVER (ORDER BY (CASE WHEN p_neardup >= 0.95 THEN 0 ELSE 1 END), p_below, n_bands) AS pick_rank
+       |FROM c ORDER BY pick_rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "d17_lsh_band_plan" -> bandPlanSql,
     "d1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |min(doc_id) AS keep_id, count(*) AS n_copies

@@ -33,6 +33,15 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // ANN recall evaluation: LSH-kNN recall@5 against exact truth on
+    // an md5-sampled 20% query slice, full corpus on the truth side —
+    // the s-side twin of d16 (pinned 4-plane config so the oracle
+    // replays both legs exactly).
+    "s9_ann_recall" -> ((s, dir) =>
+      Similarity.annRecallEval(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 5, samplePct = 20)),
+
     // IVF-lite ANN: inverted lists by coarse centroid, nprobe probing.
     "s3_knn_ivf" -> ((s, dir) =>
       Similarity.ivfKnn(
@@ -114,6 +123,49 @@ object SimilarityQueries {
       .map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "s9_ann_recall" -> {
+      def bit(p: Int): String =
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), w AS (
+         |  SELECT $lshPlanesSql AS pl
+         |), b AS (
+         |  SELECT vec_id, v,
+         |  ${(0 until 4).map(bit).mkString(" + ")} AS bucket
+         |  FROM e, w
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b
+         |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 100 < 20
+         |), tsc AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+         |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS c
+         |  FROM e a, q WHERE a.vec_id <> q_id
+         |), truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM tsc
+         |  ) WHERE rank <= 5
+         |), probes AS (
+         |  SELECT q_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS probe FROM q
+         |), lsc AS (
+         |  SELECT q_id, a.vec_id AS n_id,
+         |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+         |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS c
+         |  FROM b a JOIN probes ON a.bucket = probe WHERE a.vec_id <> q_id
+         |), approx AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM lsc
+         |  ) WHERE rank <= 5
+         |), h AS (
+         |  SELECT count(*) AS n_hits FROM truth JOIN approx USING (q_id, n_id)
+         |), nq AS (
+         |  SELECT count(*) AS n_q FROM q
+         |)
+         |SELECT n_q, 5::BIGINT AS k, n_hits,
+         |round(n_hits::DOUBLE / (n_q * 5), 4) AS recall
+         |FROM nq, h""".stripMargin
+    },
     "s2_knn_lsh" -> {
       def bit(p: Int): String =
         s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1 << p} ELSE 0 END)"

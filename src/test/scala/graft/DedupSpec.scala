@@ -239,6 +239,34 @@ class DedupSpec extends SparkSpec {
     assert(first.where(col("contaminated")).count() === n1)
   }
 
+  test("d17: the band planner picks (3 bands x 4 rows) for the 12-perm budget at tau 0.5") {
+    val rows = Dedup.lshBandPlan(spark).collect()
+    // every divisor split of 12, once
+    assert(rows.length === 6)
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      Set((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)))
+    // capture probability is monotone in J for every config
+    rows.foreach { r =>
+      val ps = Seq(r.getAs[Double]("p_below"), r.getAs[Double]("p_at"),
+        r.getAs[Double]("p_above"), r.getAs[Double]("p_neardup"))
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0), r.toString)
+      assert(ps === ps.sorted, r.toString)
+    }
+    // hand-computed winner: (3,4) captures 95.93% at J=0.9 with only
+    // 7.49% false candidates at J=0.4 — (4,3) is eligible too but
+    // wastes 3x the verify work below threshold
+    val best = rows.find(_.getAs[Long]("pick_rank") == 1L).get
+    assert((best.getInt(0), best.getInt(1)) === ((3, 4)))
+    assert(best.getAs[Double]("p_neardup") === 0.9593)
+    assert(best.getAs[Double]("p_below") === 0.0749)
+    // the sub-target configs rank strictly after every eligible one
+    val eligible = rows.filter(_.getAs[Double]("p_neardup") >= 0.95)
+      .map(_.getAs[Long]("pick_rank")).max
+    val inel = rows.filter(_.getAs[Double]("p_neardup") < 0.95)
+      .map(_.getAs[Long]("pick_rank")).min
+    assert(eligible < inel)
+  }
+
   test("d16: sampled-truth recall agrees with the full evaluation") {
     val docs = graft.queries.table(spark, sf, "documents")
     def row(pct: Int) =

@@ -32,6 +32,24 @@ class SimilaritySpec extends SparkSpec {
     assert(maxBucket < n / 2, s"maxBucket=$maxBucket of $n")
   }
 
+  test("s9: recall summary is consistent with its own legs and deterministic") {
+    val row = Similarity.annRecallEval(emb, "embedding", "vec_id", k = 5, samplePct = 20).head()
+    val nQ = row.getAs[Long]("n_q")
+    val nHits = row.getAs[Long]("n_hits")
+    val recall = row.getAs[Double]("recall")
+    // md5 buckets spread ~20% of the 500 vectors
+    assert(nQ > 50 && nQ < 150, s"n_q=$nQ")
+    assert(row.getAs[Long]("k") === 5L)
+    assert(nHits <= nQ * 5)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // same floor as the s2 recall spec: multiprobe LSH finds a
+    // reasonable share of the true top-5
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    // sampled-query evaluation is deterministic (no RNG anywhere)
+    assert(Similarity.annRecallEval(emb, "embedding", "vec_id", k = 5, samplePct = 20)
+      .head() === row)
+  }
+
   test("s3: IVF ANN achieves reasonable recall and probes a corpus fraction") {
     val exact = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
