@@ -102,9 +102,18 @@ object Bpe {
     * fraction would mis-fire on corpora whose top pair is
     * occurrence-poor. The switch round's recount seeds the
     * incremental counts relation, so no extra pass is paid.
-    * Identical output to either pure strategy (parity spec), and on
-    * a realistic deep schedule beats both: early rounds skip the
-    * delta machinery, late rounds skip the full recount+rewrite.
+    * Identical output to either pure strategy (parity spec).
+    *
+    * Measured (BENCH_NOTES_r11.md, sf0.01, 300/1000-merge
+    * schedules): incremental's per-round fixed costs run ~4× a
+    * recount round on a ~4k-word vocab, and occurrence counts
+    * collapse below 0.3–0.5× round-1's within ~10 merges yet stay
+    * above 0.2× through merge 1000 — high fractions mis-fire into
+    * the slow leg, while the 0.1 default correctly never switched
+    * there (auto == recount) and DOES switch mid-schedule on corpora
+    * with genuine deep decay (the sf0.001 spec). Keep the default
+    * unless profiling a vocab large enough that full recount passes
+    * dominate the delta machinery.
     */
   def learnMergesAuto(
       df: DataFrame, textCol: String, numMerges: Int,
