@@ -4,16 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact interpolated percentiles, sort-based.
+/** Exact interpolated percentiles, sort-based and RANGE-PARALLEL.
   *
   * Spark's built-in `percentile` aggregate accumulates a value→count
   * map per group in executor memory — fine for low-cardinality
   * values, but on a 100 TB fact column the map IS the column, and the
-  * aggregate buffer explodes. This operator computes the same exact
-  * result with the machinery Spark already scales: one shuffle on the
-  * group key, an external (spillable) sort per partition, and a
-  * row_number window — then only the two boundary rows per
-  * (group, percentile) survive into a tiny final aggregate.
+  * aggregate buffer explodes. A plain `row_number` window is exact
+  * but its parallelism is the GROUP count: percentiles "per return
+  * flag" run three single-task sorts of a third of the fact each, no
+  * matter how many executors exist (measured 6.5× at 10× data).
+  *
+  * This operator computes the same exact result with parallelism
+  * that scales with DATA size: range-partition by (group, value) so
+  * every task holds a contiguous slice of one-or-more groups' value
+  * order, rank locally per (partition, group), then lift local ranks
+  * to global ones by adding per-(partition, group) count offsets — a
+  * P×G-row relation, broadcast-class by construction. Only the two
+  * boundary rows per (group, percentile) survive into a tiny final
+  * aggregate. Ties may straddle a partition boundary, but equal
+  * values at adjacent global ranks make every rank's VALUE
+  * deterministic regardless of tie order.
   *
   * Interpolation matches `percentile` / DuckDB `quantile_cont`:
   * `lo + (hi - lo) * frac` at continuous index `(n-1) * p`.
@@ -26,12 +36,34 @@ object Percentiles {
   def exact(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       ps: Seq[Double]): DataFrame = {
-    val part = Window.partitionBy(groupCols.map(col): _*)
-    val w = part.orderBy(col("__v"))
-    val ranked = df
-      .select(groupCols.map(col) :+ col(valueCol).as("__v"): _*)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(part))
+    val spark = df.sparkSession
+    val gCols = groupCols.map(col)
+    // contiguous (group, value) slices; pid is stable because the
+    // checkpointed base feeds both the rank pass and the count pass
+    val base = df
+      .select(gCols :+ col(valueCol).as("__v"): _*)
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism * 2,
+        gCols :+ col("__v"): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    // local ranks: window keys include the partition id, so the sort
+    // parallelism is the range-partition count, never the group count
+    val wLocal = Window.partitionBy(col("__pid") +: gCols: _*).orderBy(col("__v"))
+    val local = base.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    // per-(partition, group) counts → global rank offsets + group
+    // totals; P×G rows, broadcast-class by construction
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base
+      .groupBy(col("__pid") +: gCols: _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gCols: _*)))
+      .drop("__c")
+    val ranked = local
+      .join(broadcast(offs), "__pid" +: groupCols)
+      .withColumn("__rn", col("__off") + col("__lrn"))
     // keep only rows that are a lo/hi boundary for some requested p
     val needed = ps.map { p =>
       val idx = (col("__n") - 1) * p
@@ -48,7 +80,7 @@ object Percentiles {
     }
     val nRows = max(col("__n")).as("n_rows")
     val agged = ranked.where(needed)
-      .groupBy(groupCols.map(col): _*)
+      .groupBy(gCols: _*)
       .agg(bounds.head, bounds.tail :+ nRows: _*)
     val interp = ps.map { p =>
       val idx = (col("n_rows") - 1) * p
@@ -57,7 +89,7 @@ object Percentiles {
       val hi = coalesce(col(s"__hi_${pName(p)}"), lo) // idx integral → hi row may equal lo row
       (lo + (hi - lo) * frac).as(pName(p))
     }
-    agged.select(groupCols.map(col) ++ interp :+ col("n_rows"): _*)
+    agged.select(gCols ++ interp :+ col("n_rows"): _*)
   }
 
   /** p=0.5 → "p50", p=0.99 → "p99", p=0.999 → "p999". */

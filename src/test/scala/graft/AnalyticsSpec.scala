@@ -68,7 +68,13 @@ class AnalyticsSpec extends SparkSpec {
       assert(salted.count() === plain.count())
       assert(partitionsOfHotKey(plain) === 1L)
       assert(partitionsOfHotKey(salted) > 1L)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+      // restoring ONLY adaptive leaked threshold=-1 into the shared
+      // session and flipped later suites' broadcast plan asserts to
+      // SortMergeJoin depending on suite interleaving
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastWas)
+    }
   }
 
   test("a2: merged HLL union estimate is within 5% of exact overall") {

@@ -55,9 +55,13 @@ copy_sql(
         FROM '{SRC}/lineitem.parquet', (SELECT unnest(generate_series(0, {R-1})) AS r) r""",
     "lineitem")
 
-# events: pyarrow to keep TIMESTAMP(NANOS)
+# events: pyarrow to preserve the source's physical timestamp unit
+# (TIMESTAMP(NANOS) in older drops, timestamp[us] since the 2026-08
+# regeneration) — the shift is computed in that unit
 ev = pq.read_table(SRC / "events.parquet")
 eid_off = max(ev.column("event_id").to_pylist()) + 1
+ts_unit = ev.schema.field("ts").type.unit
+per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_unit]
 chunks = []
 for r in range(R):
     t = ev
@@ -65,9 +69,9 @@ for r in range(R):
                      pa.array([v + r * eid_off for v in ev.column("event_id").to_pylist()],
                               type=pa.int64()))
     ts = ev.column("ts").cast(pa.int64())
-    shifted = pa.array([v + r * 97 * 3600 * 10**9 for v in ts.to_pylist()], type=pa.int64())
+    shifted = pa.array([v + r * 97 * 3600 * per_sec for v in ts.to_pylist()], type=pa.int64())
     t = t.set_column(t.schema.get_field_index("ts"), "ts",
-                     shifted.cast(pa.timestamp("ns")))
+                     shifted.cast(pa.timestamp(ts_unit)))
     chunks.append(t)
 big = pa.concat_tables(chunks)
 pq.write_table(big, DST / "events.parquet", version="2.6", coerce_timestamps=None)
