@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window shapes whose parallelism scales with DATA size instead of
+  * the partition-key cardinality.
+  *
+  * A `Window.partitionBy(g)` over a low-cardinality `g` executes one
+  * task per distinct key, no matter how many executors exist — top
+  * tokens "per language" or running totals "per source" sort the
+  * whole relation in a handful of tasks at 100 TB (the q15 ceiling,
+  * measured 6.5× at 10× data before its range-parallel rewrite).
+  * Both helpers here produce IDENTICAL results to the plain window
+  * (spec-pinned), never materialize a per-key single-task sort over
+  * the full relation, and stay deterministic under any input
+  * partitioning.
+  */
+object ScalableWindow {
+
+  /** Exact `row_number() <= k` per group under the total order
+    * `orderCols`: each input partition first ranks ITS rows per
+    * (partition, group) — parallel in the partition count — and keeps
+    * its local top-k, then the global rank runs over the ≤ P·k
+    * survivors per group (bounded by cluster width, never data).
+    * Correct because a row in a group's global top-k is necessarily
+    * in its partition's local top-k; exact ties must be broken by
+    * `orderCols` (pass a total order), exactly as the plain window
+    * requires for determinism anyway.
+    */
+  def cappedRowNumber(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      k: Int, rnCol: String): DataFrame = {
+    val gCols = groupCols.map(col)
+    val wLocal = Window.partitionBy(col("__pid") +: gCols: _*).orderBy(orderCols: _*)
+    val wGlobal = Window.partitionBy(gCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(wLocal))
+      .where(col("__lrn") <= k)
+      .withColumn(rnCol, row_number().over(wGlobal).cast("long"))
+      .where(col(rnCol) <= k)
+      .drop("__pid", "__lrn")
+  }
+
+  /** Exact EXCLUSIVE per-group running total of `valueCol` in
+    * `orderCol` order (the `sum over rowsBetween(unboundedPreceding,
+    * -1)` shape): range-partition by (group, order) so each task owns
+    * a contiguous slice, cumsum locally, then lift to global totals
+    * by adding per-(partition, group) sum offsets — a P×G-row
+    * broadcast relation. `orderCol` must be unique per group (the
+    * same requirement the plain window has for a deterministic
+    * result).
+    */
+  def prefixSum(
+      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      valueCol: Column, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val gCols = groupCols.map(col)
+    val base = df
+      .withColumn("__v", valueCol)
+      .repartitionByRange(
+        spark.sparkContext.defaultParallelism * 2,
+        gCols :+ orderCol: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false) // pid stable for both passes
+    val wLocal = Window.partitionBy(col("__pid") +: gCols: _*)
+      .orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base
+      .groupBy(col("__pid") +: gCols: _*)
+      .agg(sum(col("__v")).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .drop("__c")
+    base
+      .withColumn("__lcum", coalesce(sum(col("__v")).over(wLocal), lit(0L)))
+      .join(broadcast(offs), "__pid" +: groupCols)
+      .withColumn(outCol, col("__off") + col("__lcum"))
+      .drop("__pid", "__lcum", "__off", "__v")
+  }
+}

@@ -116,16 +116,20 @@ object TextQueries {
         .orderBy("split", "lang")
     }),
 
-    // corpus frequency analysis: top-10 tokens per language
+    // corpus frequency analysis: top-10 tokens per language. The
+    // (lang, token) count relation is vocabulary-sized at 100 TB and
+    // lang has a handful of values, so a plain per-lang window would
+    // sort each lang's whole vocab in ONE task — cappedRowNumber
+    // ranks per (partition, lang) first and only the ≤ P·10
+    // survivors per lang reach the global rank.
     "t6_top_tokens" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("n").desc, col("token"))
-      table(s, dir, "documents")
+      val counts = table(s, dir, "documents")
         .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
         .groupBy("lang", "token")
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .where(col("rn") <= 10)
+      graft.operators.ScalableWindow
+        .cappedRowNumber(counts, Seq("lang"),
+          Seq(col("n").desc, col("token")), k = 10, rnCol = "rn")
         .select("lang", "rn", "token", "n")
         .orderBy("lang", "rn")
     }),
@@ -290,16 +294,18 @@ object TextQueries {
     }),
 
     // greedy sequence packing: cumulative token counts per source
-    // (ordered by doc_id) div the per-bin budget → pack id. One
-    // window pass; deterministic bin assignment on any cluster.
+    // (ordered by doc_id) div the per-bin budget → pack id.
+    // Deterministic bin assignment on any cluster; the running total
+    // is ScalableWindow.prefixSum — a plain per-source window would
+    // accumulate each source's whole corpus slice in ONE task, the
+    // q15 ceiling (source cardinality is tiny, the relation is not).
     "t15_pack_bins" -> ((s, dir) => {
       val budget = 2048L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      table(s, dir, "documents")
+      val toks = table(s, dir, "documents")
         .withColumn("n_tok", size(T.tokens(col("text"))).cast("long"))
-        .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .select("source", "doc_id", "n_tok")
+      graft.operators.ScalableWindow
+        .prefixSum(toks, Seq("source"), col("doc_id"), col("n_tok"), "cum_before")
         .withColumn("bin", expr(s"cum_before div $budget"))
         .groupBy("source", "bin")
         .agg(
