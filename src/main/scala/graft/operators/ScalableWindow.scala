@@ -44,16 +44,18 @@ object ScalableWindow {
   }
 
   /** Exact EXCLUSIVE per-group running total of `valueCol` in
-    * `orderCol` order (the `sum over rowsBetween(unboundedPreceding,
+    * `orderCols` order (the `sum over rowsBetween(unboundedPreceding,
     * -1)` shape): range-partition by (group, order) so each task owns
     * a contiguous slice, cumsum locally, then lift to global totals
     * by adding per-(partition, group) sum offsets — a P×G-row
-    * broadcast relation. `orderCol` must be unique per group (the
-    * same requirement the plain window has for a deterministic
-    * result).
+    * broadcast relation. `orderCols` must be a total order within
+    * each group (the same requirement the plain window has for a
+    * deterministic result); `groupCols` may be empty for a GLOBAL
+    * running total — the shape a plain un-partitioned window would
+    * execute in exactly one task regardless of cluster size.
     */
   def prefixSum(
-      df: DataFrame, groupCols: Seq[String], orderCol: Column,
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       valueCol: Column, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val gCols = groupCols.map(col)
@@ -61,11 +63,11 @@ object ScalableWindow {
       .withColumn("__v", valueCol)
       .repartitionByRange(
         spark.sparkContext.defaultParallelism * 2,
-        gCols :+ orderCol: _*)
+        gCols ++ orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(eager = false) // pid stable for both passes
     val wLocal = Window.partitionBy(col("__pid") +: gCols: _*)
-      .orderBy(orderCol)
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wOff = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1016,6 +1016,83 @@ object AnalyticsQueries {
         .select(col("s_name"), col("n_name").as("nation"),
           col("q_promo"), col("q_tot"))
         .orderBy("s_name")
+    }),
+
+    // top-N per LOW-cardinality group — the shape where a plain
+    // `row_number` window collapses to one task per group (5 priority
+    // values = 5 tasks at 100 TB). ScalableWindow.cappedRowNumber
+    // ranks locally per input partition first (parallel in data),
+    // then globally over ≤ P·k survivors. o_totalprice passes through
+    // unrounded: both engines read the identical stored double, so
+    // the hash is bit-exact with no rounding boundary.
+    "q44_top_orders_by_priority" -> ((s, dir) => {
+      graft.operators.ScalableWindow.cappedRowNumber(
+          table(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3, rnCol = "rn")
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").as("totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // GLOBAL running revenue in ship order over a year slice — the
+    // single-group cumulative sum a plain un-partitioned window
+    // executes in exactly ONE task no matter the cluster size.
+    // ScalableWindow.prefixSum range-partitions by the order key so
+    // every task owns a contiguous slice, cumsums locally, and lifts
+    // to global totals via a P-row broadcast offset relation —
+    // parallelism scales with data. Decimal math end-to-end, so the
+    // running sums are exact and partitioning-invariant.
+    "q45_running_revenue" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          (dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("rev"))
+      graft.operators.ScalableWindow.prefixSum(
+          li, Nil,
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          col("rev"), "cum_before")
+        .withColumn("cum_rev",
+          round(col("cum_before") + col("rev"), 2).cast("double"))
+        .select("l_orderkey", "l_linenumber", "cum_rev")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // peak concurrency via a distributed sweep line: gap-sessions
+    // (q8's operator) become +1/-1 deltas at start/end, the running
+    // sum of deltas in (ts, delta desc, tiebreak) order is the number
+    // of sessions open at each instant (closed intervals: a session
+    // starting at the instant another ends counts as concurrent), and
+    // the answer is the max plus the first instant attaining it. The
+    // running sum is the same single-task-window trap as q45 —
+    // prefixSum keeps the sweep data-parallel at 100 TB; the peak cut
+    // is a one-row aggregate joined back, never a global sort.
+    "q46_peak_sessions" -> ((s, dir) => {
+      val sess = graft.operators.Sessionize
+        .summarize(events(s, dir), "user_id", "ts_ns",
+          gapNs = 1800L * 1000 * 1000 * 1000, tieBreak = col("event_id"))
+        .select(col("user_id"), col("session_idx"),
+          expr("s_start_ns div 1000000").as("s_ms"),
+          expr("s_end_ns div 1000000").as("e_ms"))
+        .localCheckpoint(eager = false) // feeds both delta legs once
+      val deltas = sess
+        .select(col("s_ms").as("ts"), lit(1L).as("delta"),
+          col("user_id"), col("session_idx"))
+        .unionByName(sess.select(col("e_ms").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("session_idx")))
+      val conc = graft.operators.ScalableWindow.prefixSum(
+          deltas, Nil,
+          Seq(col("ts"), col("delta").desc, col("user_id"), col("session_idx")),
+          col("delta"), "cum_before")
+        .withColumn("conc", col("cum_before") + col("delta"))
+      val peak = conc.agg(max(col("conc")).as("peak_concurrent"))
+      conc.join(broadcast(peak), col("conc") === col("peak_concurrent"))
+        .groupBy("peak_concurrent")
+        .agg(min(col("ts")).as("peak_ts_ms"))
+        .select("peak_concurrent", "peak_ts_ms")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1479,5 +1556,47 @@ object AnalyticsQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE q_promo * 5 > q_tot
-        |ORDER BY s_name""".stripMargin)
+        |ORDER BY s_name""".stripMargin,
+    "q44_top_orders_by_priority" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice AS totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |WHERE rn <= 3 ORDER BY 1, 2""".stripMargin,
+    "q45_running_revenue" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)))
+        |  OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS cum_rev
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |ORDER BY 1, 2""".stripMargin,
+    "q46_peak_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, epoch_ms(ts::TIMESTAMP) AS tms FROM events
+        |), y AS (
+        |  SELECT *, CASE WHEN lag(tns) OVER w IS NULL OR tns - lag(tns) OVER w > 1800000000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+        |), z AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT - 1 AS session_idx FROM y
+        |), sess AS (
+        |  SELECT user_id, session_idx, min(tms) AS s_ms, max(tms) AS e_ms
+        |  FROM z GROUP BY 1, 2
+        |), d AS (
+        |  SELECT s_ms AS ts, 1 AS delta, user_id, session_idx FROM sess
+        |  UNION ALL
+        |  SELECT e_ms, -1, user_id, session_idx FROM sess
+        |), r AS (
+        |  SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC, user_id, session_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS conc
+        |  FROM d
+        |), m AS (SELECT max(conc) AS peak_concurrent FROM r)
+        |SELECT m.peak_concurrent, min(r.ts) AS peak_ts_ms
+        |FROM r JOIN m ON r.conc = m.peak_concurrent
+        |GROUP BY 1""".stripMargin)
 }

@@ -305,7 +305,7 @@ object TextQueries {
         .withColumn("n_tok", size(T.tokens(col("text"))).cast("long"))
         .select("source", "doc_id", "n_tok")
       graft.operators.ScalableWindow
-        .prefixSum(toks, Seq("source"), col("doc_id"), col("n_tok"), "cum_before")
+        .prefixSum(toks, Seq("source"), Seq(col("doc_id")), col("n_tok"), "cum_before")
         .withColumn("bin", expr(s"cum_before div $budget"))
         .groupBy("source", "bin")
         .agg(

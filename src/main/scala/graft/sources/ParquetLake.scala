@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-parquet lake layout: the write side of the engine.
@@ -1125,6 +1125,174 @@ object ParquetLake {
     // the rebase loop; this attempt's moved files become unreferenced
     // garbage for [[vacuum]]
     commitManifest(spark, path, carried ++ moved, Some(currentVersion))
+  }
+
+  /** DELETE WHERE for the manifested lake: copy-on-write at the FILE
+    * grain. Candidate discovery is one snapshot scan whose predicate
+    * pushes down to parquet row-group stats (and can be composed with
+    * [[readManifestedPruned]]'s sidecar skipping by the caller), and
+    * it returns only the distinct file names holding a matching row —
+    * a manifest-bounded collect. Only those files are rewritten
+    * (filtered to the surviving rows, written beside the originals);
+    * every other file carries into the new manifest version
+    * byte-untouched. A file whose every row matches simply drops out
+    * of the manifest. At daily partitioning a "delete one bad hour"
+    * predicate rewrites a handful of files, not the lake —
+    * [[mergeManifested]]'s partition-grain rewrite is the key-driven
+    * sibling; this is the predicate-driven one.
+    *
+    * The predicate may reference partition columns (`p_date=...`
+    * values are reconstructed from the directory layout for both the
+    * probe and the rewrite). Visibility, crash-safety, and
+    * multi-writer semantics inherit the manifest contract: one CAS
+    * commit at the planned-against version flips the snapshot,
+    * conflicts rebase and retry, replaced files stay referenced by
+    * retained older versions ([[vacuum]] is the only deletion point),
+    * and a crash before the commit leaves unreferenced garbage, never
+    * a torn snapshot. Returns the committed version (the current one
+    * when nothing matches).
+    */
+  def deleteManifested(
+      spark: SparkSession, path: String, predicate: Column,
+      maxRetries: Int = 3): Int = {
+    var attempt = 0
+    while (true) {
+      try return deleteAttempt(spark, path, predicate)
+      catch {
+        case e: ManifestConflictException if attempt < maxRetries =>
+          attempt += 1
+          log.info(
+            s"deleteManifested conflict on $path (attempt $attempt/$maxRetries), " +
+              s"rebasing onto the new snapshot: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteAttempt(
+      spark: SparkSession, path: String, predicate: Column): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val current = readManifest(spark, path, Some(currentVersion)).get
+    // which files hold a matching row? One pushed-down scan, file names
+    // only — the same bounded-collect class as the manifest listing
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val affected = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
+      .where(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath.stripPrefix(rootPath).stripPrefix("/"))
+      .toSeq.sorted
+    if (affected.isEmpty) return currentVersion
+    val unknown = affected.filterNot(current.contains)
+    require(unknown.isEmpty,
+      s"delete probe returned files outside the snapshot: ${unknown.take(3).mkString(",")}")
+    // per-file rewrite: keep the non-matching rows; partition-column
+    // values come from the directory layout (basePath), and are
+    // dropped again on write because the target directory name IS the
+    // partition value
+    val rewritten = inParallel(affected, 8) { rel =>
+      val dirRel = rel.split('/').dropRight(1)
+      val partCols = dirRel.filter(_.contains('=')).map(_.split('=')(0))
+      val keep = spark.read.option("basePath", path)
+        .parquet(new Path(root, rel).toString)
+        .where(!predicate)
+        .drop(partCols.toSeq: _*)
+      if (keep.isEmpty) Seq.empty[String]
+      else {
+        val aside = new Path(root, s".delete_${java.util.UUID.randomUUID().toString.take(12)}")
+        keep.coalesce(1).write.mode("overwrite").parquet(aside.toString)
+        val dstDir = dirRel.foldLeft(root)((p, d) => new Path(p, d))
+        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+        val out = fs.listStatus(aside)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map { f =>
+            renameOrThrow(fs, f.getPath, new Path(dstDir, f.getPath.getName))
+            (dirRel :+ f.getPath.getName).mkString("/")
+          }.toSeq
+        fs.delete(aside, true)
+        out
+      }
+    }.flatten
+    commitManifest(spark, path,
+      current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
+  }
+
+  /** Row-level change feed between two committed snapshots, computed
+    * from the manifest diff: only files ADDED or REMOVED between the
+    * versions are scanned (churn-bounded, never lake-sized — the
+    * row-level refinement of [[readIncremental]]'s file-grain delta).
+    * Rows are matched across the two sides by `keyCols` (unique per
+    * snapshot, [[mergeManifested]]'s contract) and emitted with a
+    * `_change_type` column: `insert` (key only in `toVersion`),
+    * `delete` (key only in `fromVersion`, carrying the pre-image),
+    * and `update_preimage`/`update_postimage` pairs when the key
+    * exists on both sides with different non-key values. A row
+    * rewritten byte-identically — compaction, a merge carrying
+    * neighbors of a changed key — appears on both sides with equal
+    * fingerprints and is NOT a change: compacting a lake yields an
+    * EMPTY feed (spec-pinned). Columns align by name across additive
+    * schema evolution, null-filling the narrower side.
+    */
+  def changeFeed(
+      spark: SparkSession, path: String,
+      fromVersion: Int, keyCols: Seq[String],
+      toVersion: Option[Int] = None): DataFrame = {
+    require(keyCols.nonEmpty, "changeFeed needs at least one key column")
+    val fromFiles = readManifest(spark, path, Some(fromVersion)).get.toSet
+    val toFiles = readManifest(spark, path, toVersion).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")).toSet
+    def side(files: Set[String], other: Set[String]): DataFrame = {
+      val only = (files -- other).toSeq.sorted
+      if (only.isEmpty) null
+      else spark.read.option("basePath", path).option("mergeSchema", true)
+        .parquet(only.map(f => s"$path/$f"): _*)
+    }
+    val preRaw = side(fromFiles, toFiles)
+    val postRaw = side(toFiles, fromFiles)
+    val template = if (postRaw != null) postRaw else if (preRaw != null) preRaw
+      else readManifested(spark, path, toVersion, mergeSchema = true)
+    // union schema across evolution: align by name, null-fill
+    val sides = Seq(Option(preRaw), Option(postRaw)).flatten
+    val fields = sides.flatMap(_.schema.fields)
+      .groupBy(_.name).map { case (n, fs) => n -> fs.head.dataType }
+    val allCols = (template.columns.toSeq ++
+      sides.flatMap(_.columns).distinct
+        .filterNot(template.columns.contains)).distinct
+    val valCols = allCols.filterNot(keyCols.contains)
+    def aligned(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(fields(c)).as(c)): _*)
+    val empty = aligned(template).where(lit(false))
+    val pre = aligned(Option(preRaw).getOrElse(empty))
+    val post = aligned(Option(postRaw).getOrElse(empty))
+    // fingerprint of the non-key image: JSON of a name-ordered struct —
+    // null and missing-by-evolution collapse together, which is the
+    // right equality for "did this row's visible value change"
+    def fp(df: DataFrame) =
+      md5(to_json(struct(valCols.sorted.map(col): _*)))
+    val kCols = keyCols.map(col)
+    val j = pre
+      .select(kCols :+ struct(valCols.map(col): _*).as("__prev") :+ fp(pre).as("__pre_fp"): _*)
+      .join(
+        post.select(kCols :+ struct(valCols.map(col): _*).as("__newv") :+ fp(post).as("__post_fp"): _*),
+        keyCols, "full_outer")
+      .localCheckpoint(eager = false) // four legs below share one join
+    def leg(cond: Column, image: String, op: String) =
+      j.where(cond).select(
+        lit(op).as("_change_type") +:
+          kCols ++: valCols.map(c => col(s"$image.$c").as(c)): _*)
+    leg(col("__post_fp").isNull, "__prev", "delete")
+      .unionByName(leg(col("__pre_fp").isNull, "__newv", "insert"))
+      .unionByName(leg(
+        col("__pre_fp").isNotNull && col("__post_fp").isNotNull &&
+          col("__pre_fp") =!= col("__post_fp"), "__prev", "update_preimage"))
+      .unionByName(leg(
+        col("__pre_fp").isNotNull && col("__post_fp").isNotNull &&
+          col("__pre_fp") =!= col("__post_fp"), "__newv", "update_postimage"))
   }
 
   case class FsckReport(orphans: Seq[String], missing: Seq[String])

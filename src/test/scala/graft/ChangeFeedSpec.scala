@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.events
+import graft.sources.ParquetLake
+
+/** lk23 (predicate DELETE, file-grain copy-on-write) and lk24
+  * (row-level change feed from the manifest diff).
+  */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def freshLake(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix).toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("user_id"))
+    dir
+  }
+
+  private def snap(dir: String, v: Option[Int] = None): Set[(Long, String, String)] =
+    ParquetLake.readManifested(spark, dir, v)
+      .select(col("event_id"), col("event_type"), col("p_date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("lk23: deleteManifested rewrites only matching files, drops empty ones, keeps history") {
+    val dir = freshLake("graft_del")
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val before = snap(dir)
+    val dates = before.map(_._3).toSeq.sorted
+    assert(dates.size >= 2, "fixture needs at least two partitions")
+    val typ = before.filter(_._3 == dates.head).head._2
+
+    // partial delete: one event type inside ONE partition (predicate
+    // mixes a partition column and a data column)
+    val pred1 = col("p_date").cast("string") === dates.head && col("event_type") === typ
+    val v2 = ParquetLake.deleteManifested(spark, dir, pred1)
+    assert(v2 > v1)
+    val expected2 = before.filterNot(r => r._3 == dates.head && r._2 == typ)
+    assert(snap(dir) === expected2)
+    // only the matched partition's files changed; every other file
+    // carries over verbatim
+    val m1 = ParquetLake.readManifest(spark, dir, Some(v1)).get.toSet
+    val m2 = ParquetLake.readManifest(spark, dir, Some(v2)).get.toSet
+    val d0 = s"p_date=${dates.head}"
+    assert(m1.filterNot(_.startsWith(d0)) === m2.filterNot(_.startsWith(d0)))
+    assert(m1.filter(_.startsWith(d0)) !== m2.filter(_.startsWith(d0)))
+    // pre-delete snapshot still fully readable (vacuum is the only
+    // deletion point)
+    assert(snap(dir, Some(v1)) === before)
+
+    // whole-partition delete: every file of that partition drops out of
+    // the manifest with no rewrite output
+    val pred2 = col("p_date").cast("string") === dates(1)
+    val v3 = ParquetLake.deleteManifested(spark, dir, pred2)
+    assert(snap(dir) === expected2.filterNot(_._3 == dates(1)))
+    val m3 = ParquetLake.readManifest(spark, dir, Some(v3)).get
+    assert(!m3.exists(_.startsWith(s"p_date=${dates(1)}")))
+
+    // a predicate matching nothing commits nothing
+    assert(ParquetLake.deleteManifested(
+      spark, dir, col("event_type") === "NO_SUCH_TYPE") === v3)
+  }
+
+  test("lk24: changeFeed emits exactly the merged row-level changes, never carried neighbors") {
+    val dir = freshLake("graft_cf")
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val tgt = ParquetLake.readManifested(spark, dir).localCheckpoint()
+    val pdType = tgt.schema("p_date").dataType
+    val some = tgt.orderBy("event_id").limit(3).localCheckpoint()
+    val ids = some.select("event_id").collect().map(_.getLong(0)).sorted
+    val maxId = tgt.agg(max("event_id")).head().getLong(0)
+    val updates = some.where(col("event_id").isin(ids(0), ids(1)))
+      .withColumn("event_type", lit("MERGED")).withColumn("_del", lit(false))
+    val dels = some.where(col("event_id") === ids(2)).withColumn("_del", lit(true))
+    val inserts = some.where(col("event_id") === ids(0))
+      .withColumn("event_id", lit(maxId + 1))
+      .withColumn("event_type", lit("INSERTED"))
+      .withColumn("p_date", lit("2030-01-01").cast(pdType))
+      .withColumn("_del", lit(false))
+    val v2 = ParquetLake.mergeManifested(
+      spark, dir, updates.unionByName(dels).unionByName(inserts),
+      keyCols = Seq("event_id"), deleteCol = Some("_del"))
+
+    val feed = ParquetLake.changeFeed(spark, dir, v1, Seq("event_id"), Some(v2))
+      .select(col("_change_type"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val origType = (id: Long) =>
+      some.where(col("event_id") === id).head().getAs[String]("event_type")
+    assert(feed === Set(
+      ("insert", maxId + 1, "INSERTED"),
+      ("delete", ids(2), origType(ids(2))),
+      ("update_preimage", ids(0), origType(ids(0))),
+      ("update_postimage", ids(0), "MERGED"),
+      ("update_preimage", ids(1), origType(ids(1))),
+      ("update_postimage", ids(1), "MERGED")))
+  }
+
+  test("lk24: compaction is invisible to the change feed") {
+    // fragmented lake: several append waves → many small files
+    val dir = Files.createTempDirectory("graft_cf_compact").toString
+    val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
+      .withColumn("p_date", to_date(timestamp_millis(col("ts_ms"))).cast("string"))
+    (0 until 4).foreach { w =>
+      ev.where(col("event_id") % 4 === w)
+        .repartition(2)
+        .write.mode("append").partitionBy("p_date").parquet(dir)
+    }
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val stats = ParquetLake.compactManifested(spark, dir)
+    assert(stats.nonEmpty, "fixture must actually compact")
+    val feed = ParquetLake.changeFeed(spark, dir, v1, Seq("event_id"))
+    assert(feed.count() === 0)
+    // ...while the file-grain incremental read necessarily re-emits the
+    // rewritten rows — the row-level feed is the strictly sharper tool
+    assert(ParquetLake.readIncremental(spark, dir, v1).count() > 0)
+  }
+}

@@ -46,8 +46,29 @@ class ScalableWindowSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     for (parts <- Seq(1, 7, 64)) {
       val got = ScalableWindow.prefixSum(
-          longs.repartition(parts), Seq("g"), col("id"), col("n"), "cum")
+          longs.repartition(parts), Seq("g"), Seq(col("id")), col("n"), "cum")
         .select("g", "id", "n", "cum")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === plain, s"parts=$parts")
+    }
+  }
+
+  test("prefixSum: global (no groups) with a composite order, any partitioning") {
+    // composite order (v desc, id) over NO groups — the global-running-
+    // total shape a plain window executes in one task
+    val longs = fixture.select(col("g"), col("id"), (col("id") % 13).cast("long").as("n"))
+    val w = Window.orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plain = fixture
+      .join(longs.select("id", "n"), "id")
+      .withColumn("cum", coalesce(sum("n").over(w), lit(0L)))
+      .select("id", "n", "cum")
+      .collect().map(_.toString).sorted.toSeq
+    for (parts <- Seq(1, 7, 64)) {
+      val got = ScalableWindow.prefixSum(
+          fixture.join(longs.select("id", "n"), "id").repartition(parts),
+          Nil, Seq(col("v").desc, col("id")), col("n"), "cum")
+        .select("id", "n", "cum")
         .collect().map(_.toString).sorted.toSeq
       assert(got === plain, s"parts=$parts")
     }
