@@ -445,6 +445,59 @@ object LogStream {
       .withColumn("dim_version", lit(v))
   }
 
+  /** st23: streaming consumption of the lake's row-level change feed —
+    * CDC-as-a-source, the consumer side of [[graft.sources.ParquetLake
+    * .changeFeed]]. Each micro-batch of `ticks` (any ticking stream — a
+    * rate source, or the ingest stream itself) advances a cursor over
+    * the lake's committed manifest versions: for every version newer
+    * than the cursor, the row-level feed from its retained predecessor
+    * is computed (churn-bounded — only files added/removed by that
+    * commit are scanned) and written to `outPath/version=<v>/`,
+    * stamped `_commit_version`.
+    *
+    * The cursor IS the sink: a version counts as consumed when its
+    * directory holds a `_SUCCESS` marker, so restarts (or a crash
+    * mid-write) resume exactly where the output left off and re-emit
+    * atomically — per-version overwrite makes redelivery idempotent,
+    * the same contract as [[idempotentBatchWriter]] with the manifest
+    * version as the batch id. The FIRST retained version is the
+    * baseline snapshot and is not emitted as inserts; downstream
+    * bootstraps from `readManifested(firstVersion)` and then follows
+    * the feed — together they reconstruct every retained snapshot.
+    * Vacuum retention must cover the consumer's lag (lk22 tags pin
+    * versions a slow consumer still needs).
+    */
+  def startChangeFeedSink(
+      ticks: DataFrame, lakeDir: String, keyCols: Seq[String],
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val versions = graft.sources.ParquetLake.manifestLog(spark, lakeDir).map(_._1)
+        if (versions.nonEmpty) {
+          val out = new org.apache.hadoop.fs.Path(outPath)
+          val fs = out.getFileSystem(spark.sessionState.newHadoopConf())
+          val done =
+            if (!fs.exists(out)) Seq.empty
+            else fs.listStatus(out).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("version=") &&
+                fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+              .map(_.getPath.getName.stripPrefix("version=").toInt)
+          val cursor = if (done.isEmpty) versions.head else done.max
+          versions.sliding(2).foreach {
+            case Seq(prev, v) if v > cursor =>
+              graft.sources.ParquetLake.changeFeed(spark, lakeDir, prev, keyCols, Some(v))
+                .withColumn("_commit_version", lit(v))
+                .write.mode("overwrite").parquet(s"$outPath/version=$v")
+            case _ => ()
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)

@@ -64,6 +64,38 @@ class ChangeFeedSpec extends SparkSpec {
       spark, dir, col("event_type") === "NO_SUCH_TYPE") === v3)
   }
 
+  test("lk23: two racing deleters on overlapping files — both deletes land via CAS rebase") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val dir = freshLake("graft_del_race")
+    ParquetLake.snapshotManifest(spark, dir)
+    val before = snap(dir)
+    val types = before.map(_._2).toSeq.distinct.sorted
+    assert(types.size >= 2, "fixture needs two event types")
+    // both predicates touch rows in (mostly) every file — maximal
+    // rewrite overlap, so the CAS loser must fully re-probe and
+    // re-rewrite against the winner's snapshot
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val futures = types.take(2).map { t =>
+        pool.submit(new Callable[Int] {
+          override def call(): Int = {
+            gate.await()
+            ParquetLake.deleteManifested(
+              spark, dir, col("event_type") === t, maxRetries = 8)
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futures.map(_.get(120, TimeUnit.SECONDS))
+      assert(versions.toSet.size === 2, "both deletes must commit distinct versions")
+      assert(snap(dir) === before.filterNot(r => types.take(2).contains(r._2)))
+    } finally {
+      pool.shutdownNow()
+      ()
+    }
+  }
+
   test("lk24: changeFeed emits exactly the merged row-level changes, never carried neighbors") {
     val dir = freshLake("graft_cf")
     val v1 = ParquetLake.snapshotManifest(spark, dir)
@@ -96,6 +128,69 @@ class ChangeFeedSpec extends SparkSpec {
       ("update_postimage", ids(0), "MERGED"),
       ("update_preimage", ids(1), origType(ids(1))),
       ("update_postimage", ids(1), "MERGED")))
+  }
+
+  test("st23: streaming change-feed consumer emits each commit exactly once and resumes cleanly") {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import graft.streaming.LogStream
+    val dir = freshLake("graft_cdc")
+    ParquetLake.snapshotManifest(spark, dir)
+    val tickDir = Files.createTempDirectory("graft_cdc_tick").toString
+    val outPath = Files.createTempDirectory("graft_cdc_out").toString + "/feed"
+    val ckpt1 = Files.createTempDirectory("graft_cdc_ck1").toString
+    val ckpt2 = Files.createTempDirectory("graft_cdc_ck2").toString
+    def tick(n: Int): Unit = {
+      import spark.implicits._
+      Seq(n).toDF("n").write.mode("append").parquet(tickDir)
+    }
+    def versionDirs(): Set[String] = {
+      val d = new java.io.File(outPath)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    }
+    def mergeOne(id: Long, newType: String): Int = {
+      val row = ParquetLake.readManifested(spark, dir)
+        .where(col("event_id") === id)
+        .withColumn("event_type", lit(newType)).withColumn("_del", lit(false))
+      ParquetLake.mergeManifested(
+        spark, dir, row, keyCols = Seq("event_id"), deleteCol = Some("_del"))
+    }
+    val firstId = ParquetLake.readManifested(spark, dir)
+      .agg(min("event_id")).head().getLong(0)
+
+    tick(0)
+    val ticks = spark.readStream
+      .schema(StructType(Seq(StructField("n", IntegerType))))
+      .parquet(tickDir)
+    val q = LogStream.startChangeFeedSink(ticks, dir, Seq("event_id"), outPath, ckpt1)
+    try {
+      q.processAllAvailable()
+      assert(versionDirs() === Set.empty) // baseline snapshot is not a change
+      val v2 = mergeOne(firstId, "CDC_A")
+      tick(1); q.processAllAvailable()
+      assert(versionDirs() === Set(s"version=$v2"))
+      val feed2 = spark.read.parquet(s"$outPath/version=$v2")
+        .select("_change_type", "event_id", "event_type", "_commit_version")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+      assert(feed2.map(_._1) === Set("update_preimage", "update_postimage"))
+      assert(feed2.collect { case ("update_postimage", id, t, v) => (id, t, v) } ===
+        Set((firstId, "CDC_A", v2)))
+      val v3 = mergeOne(firstId, "CDC_B")
+      tick(2); q.processAllAvailable()
+      assert(versionDirs() === Set(s"version=$v2", s"version=$v3"))
+    } finally q.stop()
+
+    // restart with a fresh checkpoint against the same sink: the
+    // sink-derived cursor prevents re-emission — same dirs, same rows
+    val countsBefore = versionDirs().map(d =>
+      d -> spark.read.parquet(s"$outPath/$d").count()).toMap
+    val q2 = LogStream.startChangeFeedSink(
+      spark.readStream.schema(StructType(Seq(StructField("n", IntegerType))))
+        .parquet(tickDir), dir, Seq("event_id"), outPath, ckpt2)
+    try { tick(3); q2.processAllAvailable() } finally q2.stop()
+    val countsAfter = versionDirs().map(d =>
+      d -> spark.read.parquet(s"$outPath/$d").count()).toMap
+    assert(countsAfter === countsBefore)
   }
 
   test("lk24: compaction is invisible to the change feed") {
