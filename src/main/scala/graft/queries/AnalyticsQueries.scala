@@ -1093,6 +1093,39 @@ object AnalyticsQueries {
         .groupBy("peak_concurrent")
         .agg(min(col("ts")).as("peak_ts_ms"))
         .select("peak_concurrent", "peak_ts_ms")
+    }),
+
+    // robust outlier scan: per-group median and MAD (median absolute
+    // deviation), then count rows beyond 3 MADs — the robust z-score
+    // QC pass a pipeline runs on a value column before trusting it.
+    // Both medians come from Percentiles.exact, whose rank
+    // parallelism scales with DATA (a naive percentile window here
+    // would run one task per return flag — 3 tasks at 100 TB). The
+    // per-group (median, MAD) relations are group-sized, so they
+    // broadcast back and the outlier count is a map-side aggregate.
+    // The 3*MAD threshold compares bit-identical doubles in both
+    // engines: the interpolation is the shared lo+(hi-lo)*frac form
+    // and abs/mul are exact IEEE ops on the same stored values.
+    "q47_mad_outliers" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = graft.operators.Percentiles
+        .exact(li, "l_extendedprice", Seq("l_returnflag"), Seq(0.5))
+        .select(col("l_returnflag"), col("p50").as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+      val mad = graft.operators.Percentiles
+        .exact(dev, "adev", Seq("l_returnflag"), Seq(0.5))
+        .select(col("l_returnflag"), col("p50").as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(max(col("med")), 2).cast("double").as("med"),
+          round(max(col("mad")), 2).cast("double").as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1492,6 +1525,25 @@ object AnalyticsQueries {
         |round(quantile_cont(l_extendedprice, 0.99), 2)::DOUBLE AS p99,
         |count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q47_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1
+        |), dev AS (
+        |  SELECT l.l_returnflag, m.med,
+        |    abs(l.l_extendedprice - m.med) AS adev
+        |  FROM lineitem l JOIN med m USING (l_returnflag)
+        |), mad AS (
+        |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.l_returnflag,
+        |round(max(d.med), 2)::DOUBLE AS med,
+        |round(max(m.mad), 2)::DOUBLE AS mad,
+        |sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |count(*) AS n_rows
+        |FROM dev d JOIN mad m USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_grouping_sets" ->
       """SELECT coalesce(event_type, '(all)') AS event_type,
         |coalesce(d, '(all)') AS d, g, n FROM (

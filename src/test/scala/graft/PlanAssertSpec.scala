@@ -277,4 +277,14 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin LeftOuter"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("q47: the group-sized median/MAD relations broadcast back; no shuffle join, no cartesian") {
+    val p = plan("q47_mad_outliers")
+    // Percentiles.exact's internal offset join plus the two join-backs
+    // are all broadcast-class — a SortMergeJoin anywhere means a
+    // fact-sized shuffle snuck into the robust-stats pass
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
