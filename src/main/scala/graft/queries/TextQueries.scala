@@ -134,6 +134,80 @@ object TextQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Zipf-fit corpus diagnostic: regress ln(count) on ln(rank) over
+    // the top-1000 tokens — the tokenizer-planning QC that says
+    // whether a corpus has a natural long-tail shape (slope ≈ -1)
+    // or is degenerate (templated/synthetic text). Scale plan: the
+    // top cut is orderBy+limit (TakeOrderedAndProject — map-side
+    // 1000-row heaps, the a6 pattern), ranking happens on the
+    // ≤1000-row survivor relation, and the regression sums are EXACT
+    // decimal(18,9) sums of quantized ln values — order-independent,
+    // so the result is partitioning-invariant and replayable by the
+    // oracle. Sums are rounded to scale 6 before the double cast
+    // (scaled integers < 2^53 → the conversion is exact in both
+    // engines); the closed-form slope/r² then run in IEEE doubles on
+    // bit-identical inputs.
+    "t24_zipf_report" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val totals = counts.agg(
+        count(lit(1)).as("vocab_size"), sum(col("n")).as("total_tokens"))
+      val top = counts.orderBy(col("n").desc, col("token")).limit(1000)
+      val ranked = top.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))).cast("long"))
+      val q = ranked.select(
+        round(log(col("rk").cast("double")), 9).cast("decimal(18,9)").as("x"),
+        round(log(col("n").cast("double")), 9).cast("decimal(18,9)").as("y"))
+      val sums = q.agg(
+        count(lit(1)).as("m"),
+        round(sum(col("x")), 6).cast("double").as("sx"),
+        round(sum(col("y")), 6).cast("double").as("sy"),
+        round(sum(col("x") * col("y")), 6).cast("double").as("sxy"),
+        round(sum(col("x") * col("x")), 6).cast("double").as("sxx"),
+        round(sum(col("y") * col("y")), 6).cast("double").as("syy"))
+      val md = col("m").cast("double")
+      val cov = md * col("sxy") - col("sx") * col("sy")
+      val varx = md * col("sxx") - col("sx") * col("sx")
+      val vary = md * col("syy") - col("sy") * col("sy")
+      sums.crossJoin(totals) // one-row aggregate join, never data-sized
+        .select(
+          round(cov / varx, 6).as("zipf_slope"),
+          round((cov * cov) / (varx * vary), 6).as("r2"),
+          col("m").as("n_top"), col("vocab_size"), col("total_tokens"))
+    }),
+
+    // tokenizer vocab coverage: per language, how much of the token
+    // stream the top-16 vocabulary covers — the OOV-rate QC run
+    // before freezing a tokenizer. The vocab cut reuses
+    // ScalableWindow.cappedRowNumber (per-lang top-k without a
+    // one-task-per-lang vocab sort), the ≤ langs·16-row vocab
+    // broadcasts back onto the count relation, and coverage is a
+    // ratio of exact longs — one final deterministic division.
+    "t25_vocab_coverage" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(col("lang"), explode(T.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+      val vocab = graft.operators.ScalableWindow
+        .cappedRowNumber(counts, Seq("lang"),
+          Seq(col("n").desc, col("token")), k = 16, rnCol = "rk")
+        .select(col("lang"), col("token"), lit(1L).as("in_vocab"))
+      counts.join(broadcast(vocab), Seq("lang", "token"), "left")
+        .groupBy("lang")
+        .agg(
+          sum(col("n")).as("total_tokens"),
+          sum(when(col("in_vocab").isNotNull, col("n")).otherwise(0L))
+            .as("covered_tokens"),
+          count(lit(1)).as("vocab_size"))
+        .withColumn("oov_rate",
+          round(lit(1.0) - col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6))
+        .select("lang", "total_tokens", "covered_tokens", "vocab_size", "oov_rate")
+        .orderBy("lang")
+    }),
+
     // deterministic mixture sampling: per-source keep-rate by hash
     // bucket (even sources 30%, odd 70%) — reproducible re-weighting
     "t7_mixture_sample" -> ((s, dir) => {
@@ -630,6 +704,52 @@ object TextQueries {
         |  SELECT lang, token, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM c
         |)
         |SELECT lang, rn, token, n FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+    "t24_zipf_report" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS vocab_size, sum(n)::BIGINT AS total_tokens FROM c
+        |), top AS (
+        |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+        |  FROM c ORDER BY n DESC, token LIMIT 1000
+        |), q AS (
+        |  SELECT round(ln(rk), 9)::DECIMAL(18,9) AS x, round(ln(n), 9)::DECIMAL(18,9) AS y FROM top
+        |), s AS (
+        |  SELECT count(*)::BIGINT AS m,
+        |  round(sum(x), 6)::DOUBLE AS sx, round(sum(y), 6)::DOUBLE AS sy,
+        |  round(sum(x*y), 6)::DOUBLE AS sxy, round(sum(x*x), 6)::DOUBLE AS sxx,
+        |  round(sum(y*y), 6)::DOUBLE AS syy FROM q
+        |)
+        |SELECT
+        |round((m::DOUBLE * sxy - sx * sy) / (m::DOUBLE * sxx - sx * sx), 6)::DOUBLE AS zipf_slope,
+        |round(((m::DOUBLE * sxy - sx * sy) * (m::DOUBLE * sxy - sx * sy))
+        |      / ((m::DOUBLE * sxx - sx * sx) * (m::DOUBLE * syy - sy * sy)), 6)::DOUBLE AS r2,
+        |m AS n_top, vocab_size, total_tokens
+        |FROM s, tot""".stripMargin,
+    "t25_vocab_coverage" ->
+      """WITH x AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, token, count(*) AS n FROM x GROUP BY 1, 2
+        |), v AS (
+        |  SELECT lang, token FROM (
+        |    SELECT lang, token, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk FROM c
+        |  ) WHERE rk <= 16
+        |), agg AS (
+        |  SELECT c.lang,
+        |  sum(c.n)::BIGINT AS total_tokens,
+        |  sum(CASE WHEN v.token IS NOT NULL THEN c.n ELSE 0 END)::BIGINT AS covered_tokens,
+        |  count(*) AS vocab_size
+        |  FROM c LEFT JOIN v ON c.lang = v.lang AND c.token = v.token
+        |  GROUP BY 1
+        |)
+        |SELECT lang, total_tokens, covered_tokens, vocab_size,
+        |round(1.0 - covered_tokens::DOUBLE / total_tokens::DOUBLE, 6)::DOUBLE AS oov_rate
+        |FROM agg ORDER BY lang""".stripMargin,
     "t7_mixture_sample" ->
       """WITH x AS (
         |  SELECT source,
