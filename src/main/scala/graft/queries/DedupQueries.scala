@@ -131,6 +131,21 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // soft dedup: instead of dropping duplicates, the surviving
+    // representative carries weight = its cluster size — the
+    // loss-weighting / upsampling table a training pipeline feeds the
+    // sampler when it wants dedup'd data WITHOUT losing the
+    // frequency signal. One extra count aggregate over d14's
+    // (id → kept_id) mapping; singletons keep weight 1.
+    "d18_dup_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Dedup.dedupCorpusByQuality(
+          table(s, dir, "documents"), "text", "doc_id", 0.5, col("n_chars"))
+        .groupBy(col("kept_id").as("id"))
+        .agg(count(lit(1)).as("weight"))
+        .orderBy("id")
+    }),
+
     // near-dup clustering: verified pairs → connected components →
     // (id, component, cluster_size); the keep-one-per-cluster step of
     // a dedup pipeline (see operators.ConnectedComponents)
@@ -371,6 +386,35 @@ object DedupQueries {
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         |LEFT JOIN best b ON b.component = c.component
         |ORDER BY 1""".stripMargin),
+    // d18 replays d14's clustering + representative choice, then
+    // aggregates the mapping into per-representative weights
+    "d18_dup_weights" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
+      """, pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |), ed AS (
+        |  SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM ed
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.id, c.component,
+        |  row_number() OVER (PARTITION BY c.component
+        |                     ORDER BY dd.n_chars DESC, c.id ASC) AS rn
+        |  FROM comp c JOIN documents dd ON dd.doc_id = c.id
+        |), best AS (
+        |  SELECT component, id AS kept_id FROM ranked WHERE rn = 1
+        |)
+        |SELECT coalesce(b.kept_id, d.doc_id) AS id, count(*)::BIGINT AS weight
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |LEFT JOIN best b ON b.component = c.component
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     "d7_dup_clusters" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
       """, pr AS (
         |  SELECT id_a, id_b FROM (

@@ -294,4 +294,20 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles"))
     }
   }
+
+  test("d18: dup weights conserve the corpus — sum(weight) = N, planted dups weigh 2") {
+    val out = Dedup
+      .dedupCorpusByQuality(withDups, "text", "doc_id", 0.5, col("n_chars"))
+      .groupBy(col("kept_id").as("id"))
+      .agg(count(lit(1)).as("weight"))
+    val n = withDups.count()
+    // soft dedup must lose nothing: every doc's mass lands on exactly
+    // one representative
+    assert(out.agg(sum("weight")).head().getLong(0) === n)
+    // each planted copy pair collapses to one rep of weight >= 2, and
+    // the rep is a real doc id
+    val dupReps = out.where(col("weight") >= 2)
+    assert(dupReps.count() >= 20L)
+    assert(out.join(withDups.select(col("doc_id").as("id")), Seq("id"), "left_anti").count() === 0)
+  }
 }
