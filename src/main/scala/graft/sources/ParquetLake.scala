@@ -1220,6 +1220,101 @@ object ParquetLake {
       current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
   }
 
+  /** UPDATE … SET for the manifested lake: copy-on-write at the FILE
+    * grain — [[deleteManifested]]'s row-edit sibling. Candidate
+    * discovery is the same single pushed-down snapshot scan returning
+    * only the distinct file names that hold a matching row; only
+    * those files are rewritten, with `set`'s expressions applied to
+    * the MATCHING rows (each value cast back to the column's existing
+    * type, so the file schema never drifts) and every other row
+    * carried bit-for-bit. Untouched files carry into the new manifest
+    * version verbatim, which is what keeps [[changeFeed]] churn-
+    * bounded: the feed between the pre- and post-update versions
+    * emits exactly the matched rows as `update_preimage`/
+    * `update_postimage` pairs (plus byte-identical carried neighbors
+    * collapsing to no change).
+    *
+    * SET columns must be existing data columns — partition columns
+    * are the directory layout, so changing one is a row MOVE between
+    * files, which is [[mergeManifested]]'s job (delete + re-insert),
+    * not an in-place file rewrite. Visibility, crash-safety, and
+    * multi-writer semantics inherit the manifest CAS contract
+    * (conflicts rebase and retry; replaced files stay referenced by
+    * retained older versions until [[vacuum]]). Returns the committed
+    * version (the current one when nothing matches).
+    */
+  def updateManifested(
+      spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column], maxRetries: Int = 3): Int = {
+    require(set.nonEmpty, "updateManifested needs at least one SET column")
+    var attempt = 0
+    while (true) {
+      try return updateAttempt(spark, path, predicate, set)
+      catch {
+        case e: ManifestConflictException if attempt < maxRetries =>
+          attempt += 1
+          log.info(
+            s"updateManifested conflict on $path (attempt $attempt/$maxRetries), " +
+              s"rebasing onto the new snapshot: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def updateAttempt(
+      spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column]): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val current = readManifest(spark, path, Some(currentVersion)).get
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val snapshot = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
+    val unknownCols = set.keySet -- snapshot.columns.toSet
+    require(unknownCols.isEmpty,
+      s"SET columns missing from the lake schema: ${unknownCols.mkString(",")}")
+    val affected = snapshot
+      .where(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath.stripPrefix(rootPath).stripPrefix("/"))
+      .toSeq.sorted
+    if (affected.isEmpty) return currentVersion
+    val unknown = affected.filterNot(current.contains)
+    require(unknown.isEmpty,
+      s"update probe returned files outside the snapshot: ${unknown.take(3).mkString(",")}")
+    val rewritten = inParallel(affected, 8) { rel =>
+      val dirRel = rel.split('/').dropRight(1)
+      val partCols = dirRel.filter(_.contains('=')).map(_.split('=')(0))
+      val illegal = set.keySet.intersect(partCols.toSet)
+      require(illegal.isEmpty,
+        s"cannot UPDATE partition column(s) ${illegal.mkString(",")}: partition values " +
+          "are the directory layout — use mergeManifested to move rows")
+      val src = spark.read.option("basePath", path)
+        .parquet(new Path(root, rel).toString)
+      val updated = src.select(src.schema.fields.map { f =>
+        set.get(f.name)
+          .map(v => when(predicate, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*).drop(partCols.toSeq: _*)
+      val aside = new Path(root, s".update_${java.util.UUID.randomUUID().toString.take(12)}")
+      updated.coalesce(1).write.mode("overwrite").parquet(aside.toString)
+      val dstDir = dirRel.foldLeft(root)((p, d) => new Path(p, d))
+      if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+      val out = fs.listStatus(aside)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map { f =>
+          renameOrThrow(fs, f.getPath, new Path(dstDir, f.getPath.getName))
+          (dirRel :+ f.getPath.getName).mkString("/")
+        }.toSeq
+      fs.delete(aside, true)
+      out
+    }.flatten
+    commitManifest(spark, path,
+      current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
+  }
+
   /** Row-level change feed between two committed snapshots, computed
     * from the manifest diff: only files ADDED or REMOVED between the
     * versions are scanned (churn-bounded, never lake-sized — the

@@ -212,4 +212,60 @@ class ChangeFeedSpec extends SparkSpec {
     // rewritten rows — the row-level feed is the strictly sharper tool
     assert(ParquetLake.readIncremental(spark, dir, v1).count() > 0)
   }
+
+  test("lk25: updateManifested edits matching rows in place; feed shows exactly the pre/post pairs") {
+    val dir = freshLake("graft_upd")
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val before = snap(dir)
+    val dates = before.map(_._3).toSeq.sorted
+    assert(dates.size >= 2, "fixture needs at least two partitions")
+    val typ = before.filter(_._3 == dates.head).head._2
+    val pred = col("p_date").cast("string") === dates.head && col("event_type") === typ
+    val nMatch = before.count(r => r._3 == dates.head && r._2 == typ)
+    assert(nMatch > 0)
+
+    val v2 = ParquetLake.updateManifested(
+      spark, dir, pred, Map("event_type" -> lit("PATCHED")))
+    assert(v2 > v1)
+    // row counts conserved; exactly the matched rows changed
+    val expected = before.map(r =>
+      if (r._3 == dates.head && r._2 == typ) (r._1, "PATCHED", r._3) else r)
+    assert(snap(dir) === expected)
+    // untouched files carry verbatim; only the matched partition's
+    // files were rewritten
+    val m1 = ParquetLake.readManifest(spark, dir, Some(v1)).get.toSet
+    val m2 = ParquetLake.readManifest(spark, dir, Some(v2)).get.toSet
+    val d0 = s"p_date=${dates.head}"
+    assert(m1.filterNot(_.startsWith(d0)) === m2.filterNot(_.startsWith(d0)))
+    assert(m1.filter(_.startsWith(d0)) !== m2.filter(_.startsWith(d0)))
+    // pre-update snapshot still readable
+    assert(snap(dir, Some(v1)) === before)
+
+    // the change feed between the two versions is EXACTLY the matched
+    // rows as update pre/post pairs — carried neighbors collapse
+    val feed = ParquetLake.changeFeed(spark, dir, v1, Seq("event_id"), Some(v2))
+      .select(col("_change_type"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(feed.count(_._1 == "update_preimage") === nMatch)
+    assert(feed.count(_._1 == "update_postimage") === nMatch)
+    assert(feed.filter(_._1 == "update_postimage").forall(_._3 == "PATCHED"))
+    assert(!feed.exists(f => f._1 == "insert" || f._1 == "delete"))
+
+    // no-match predicate commits nothing
+    assert(ParquetLake.updateManifested(
+      spark, dir, col("event_type") === "NO_SUCH_TYPE",
+      Map("event_type" -> lit("X"))) === v2)
+
+    // partition columns cannot be SET (that's a row move → merge)
+    intercept[Exception] {
+      ParquetLake.updateManifested(
+        spark, dir, col("event_type") === "PATCHED",
+        Map("p_date" -> lit("2030-01-01")))
+    }
+    // unknown SET column rejected
+    intercept[IllegalArgumentException] {
+      ParquetLake.updateManifested(
+        spark, dir, lit(true), Map("no_such_col" -> lit(1)))
+    }
+  }
 }
