@@ -52,4 +52,38 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** ROW-LOCAL Gopher-style quality flags — the same four rules (and
+    * thresholds) as the batch t17 query, computed per row from array
+    * expressions instead of a token-explode + groupBy. That makes the
+    * gate usable where a shuffle is not: streaming ingest admission,
+    * map-side pre-filters before an expensive operator. Returns a
+    * struct `(n_tok, r_len, r_wlen, r_stop, r_rep, pass)`; parity
+    * with t17 is spec-pinned per doc (TextOpsSpec).
+    *
+    * Cost note: `r_rep`'s max token count is O(distinct · n_tok) per
+    * row — the row-local price of the relational `max(cnt)`; bounded
+    * by document length, independent of corpus size, and shuffle-free,
+    * which is the right trade for an admission gate.
+    */
+  def qualityFlags(
+      text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val nStop = size(filter(toks,
+      t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+    val maxCnt = coalesce(
+      array_max(transform(array_distinct(toks),
+        d => size(filter(toks, x => x === d)).cast("long"))),
+      lit(0L))
+    val rLen = when(nTok >= 40, 1L).otherwise(0L)
+    val rWlen = when(sumLen >= nTok * 3 && sumLen <= nTok * 10, 1L).otherwise(0L)
+    val rStop = when(nStop >= 2, 1L).otherwise(0L)
+    val rRep = when(maxCnt * 5 <= nTok, 1L).otherwise(0L)
+    struct(
+      nTok.as("n_tok"), rLen.as("r_len"), rWlen.as("r_wlen"),
+      rStop.as("r_stop"), rRep.as("r_rep"),
+      (rLen * rWlen * rStop * rRep).as("pass"))
+  }
 }

@@ -374,6 +374,43 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** st24: streaming quality-gate admission — every incoming document
+    * is scored by the ROW-LOCAL Gopher flags
+    * ([[graft.functions.TextFunctions.qualityFlags]]: no explode, no
+    * shuffle, pure codegen'd array expressions — a map-only pass per
+    * micro-batch) and routed to the pass or quarantine sink. Both
+    * sinks are batch-id-partitioned dynamic overwrites, so
+    * at-least-once foreachBatch replay is exactly-once by idempotence
+    * (st12's pattern). The flags flatten onto quarantine rows so
+    * triage sees WHICH rule rejected each doc; pass rows keep the
+    * input schema for the training pipeline. Batch-vs-stream flag
+    * parity with t17 is spec-pinned (TextOpsSpec / StreamingSpec).
+    */
+  def startQualityGateSink(
+      stream: DataFrame, textCol: String,
+      passPath: String, quarantinePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // scoring is map-only, so computing it once per route is
+        // cheaper than caching the scored batch
+        val scored = batch.withColumn("__q",
+          graft.functions.TextFunctions.qualityFlags(col(textCol)))
+        scored.where(col("__q.pass") === 1L).drop("__q")
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(passPath)
+        scored.where(col("__q.pass") =!= 1L)
+          .select(col("*"), col("__q.*")).drop("__q")
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(quarantinePath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** st21: streaming enrichment against a VERSIONED dimension — each
     * micro-batch broadcast-joins the manifested lake's snapshot that
     * is CURRENT when the batch processes (re-resolved per batch via

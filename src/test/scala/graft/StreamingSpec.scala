@@ -315,6 +315,47 @@ class StreamingSpec extends SparkSpec {
     assert(dirs.length > 1)
   }
 
+  test("st24: quality gate routes every doc by the row-local flags, pass/fail partition the corpus") {
+    val docsDir = Files.createTempDirectory("graft_qgate_in").toString
+    // plant a guaranteed-fail doc so the quarantine route is exercised
+    // even if every corpus doc passes
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((900001L, "tiny")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(docsDir)
+    val passDir = Files.createTempDirectory("graft_qgate_pass").toString
+    val quarDir = Files.createTempDirectory("graft_qgate_quar").toString
+    val ckpt = Files.createTempDirectory("graft_qgate_ckpt").toString
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(docsDir)
+    val q = LogStream.startQualityGateSink(stream, "text", passDir, quarDir, ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    // expected routing from the batch flags on the same input
+    val flags = spark.read.parquet(docsDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityFlags(col("text")).as("q"))
+      .localCheckpoint()
+    val expPass = flags.where(col("q.pass") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expQuar = flags.where(col("q.pass") =!= 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expQuar.contains(900001L))
+    val gotPass = spark.read.parquet(passDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotQuar = spark.read.parquet(quarDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotPass === expPass)
+    assert(gotQuar === expQuar)
+    // pass rows keep the input schema (+ the idempotence partition);
+    // quarantine rows carry the per-rule flags for triage
+    assert(spark.read.parquet(passDir).columns.toSet ===
+      Set("doc_id", "text", "batch_id"))
+    assert(Set("n_tok", "r_len", "r_wlen", "r_stop", "r_rep", "pass")
+      .subsetOf(spark.read.parquet(quarDir).columns.toSet))
+  }
+
   private def st8Body(tag: String): Unit = {
     import org.apache.spark.sql.{Dataset, SaveMode}
     val dir = Files.createTempDirectory("graft_stream_expire").toString

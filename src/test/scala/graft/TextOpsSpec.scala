@@ -226,4 +226,41 @@ class TextOpsSpec extends SparkSpec {
     assert(rs.getLong(0) === n && rs.getLong(1) === n &&
       rs.getLong(2) === 1L && rs.getLong(3) === n)
   }
+
+  test("qualityFlags: row-local flags match t17's explode+groupBy on every doc") {
+    import graft.functions.{TextFunctions => T}
+    // edge docs the corpus may not contain: empty, whitespace-only,
+    // a single repeated token, a just-under-threshold length
+    import spark.implicits._
+    val edge = Seq(
+      (100001L, ""), (100002L, "   "),
+      (100003L, Seq.fill(50)("dup").mkString(" ")),
+      (100004L, "the a short doc")).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").unionByName(edge)
+    val local = docs
+      .select(col("doc_id"), T.qualityFlags(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_tok"), col("q.r_len"), col("q.r_wlen"),
+        col("q.r_stop"), col("q.r_rep"), col("q.pass"))
+    // t17's relational form, applied to the same augmented corpus
+    val tc = docs
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+    val relational = tc.groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_tok"),
+        sum(col("cnt") * length(col("t"))).as("sum_len"),
+        sum(when(col("t").isin("the", "a"), col("cnt")).otherwise(lit(0L))).as("n_stop"),
+        max("cnt").as("max_cnt"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        when(col("n_tok") >= 40, 1L).otherwise(0L).as("r_len"),
+        when(col("sum_len") >= col("n_tok") * 3 &&
+          col("sum_len") <= col("n_tok") * 10, 1L).otherwise(0L).as("r_wlen"),
+        when(col("n_stop") >= 2, 1L).otherwise(0L).as("r_stop"),
+        when(col("max_cnt") * 5 <= col("n_tok"), 1L).otherwise(0L).as("r_rep"))
+      .withColumn("pass", col("r_len") * col("r_wlen") * col("r_stop") * col("r_rep"))
+    assert(local.collect().map(_.toString).sorted.toSeq ===
+      relational.collect().map(_.toString).sorted.toSeq)
+  }
 }
