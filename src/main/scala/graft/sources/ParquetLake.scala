@@ -1179,7 +1179,8 @@ object ParquetLake {
     // which files hold a matching row? One pushed-down scan, file names
     // only — the same bounded-collect class as the manifest listing
     val rootPath = fs.makeQualified(root).toUri.getPath
-    val affected = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
+    val snapshot = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
+    val affected = snapshot
       .where(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect()
@@ -1192,11 +1193,15 @@ object ParquetLake {
     // per-file rewrite: keep the non-matching rows; partition-column
     // values come from the directory layout (basePath), and are
     // dropped again on write because the target directory name IS the
-    // partition value
+    // partition value. The read is pinned to the SNAPSHOT's union
+    // schema: under additive evolution a predicate may reference a
+    // column a pre-evolution file lacks (`newcol IS NULL` matches its
+    // every row) — the aligned read null-fills it instead of failing,
+    // and the rewrite carries the evolved column like compaction would
     val rewritten = inParallel(affected, 8) { rel =>
       val dirRel = rel.split('/').dropRight(1)
       val partCols = dirRel.filter(_.contains('=')).map(_.split('=')(0))
-      val keep = spark.read.option("basePath", path)
+      val keep = spark.read.schema(snapshot.schema).option("basePath", path)
         .parquet(new Path(root, rel).toString)
         .where(!predicate)
         .drop(partCols.toSeq: _*)
@@ -1291,7 +1296,10 @@ object ParquetLake {
       require(illegal.isEmpty,
         s"cannot UPDATE partition column(s) ${illegal.mkString(",")}: partition values " +
           "are the directory layout — use mergeManifested to move rows")
-      val src = spark.read.option("basePath", path)
+      // snapshot-schema-aligned read, same reason as deleteAttempt:
+      // predicates (and SETs) may reference evolved columns a
+      // pre-evolution file lacks; the aligned read null-fills them
+      val src = spark.read.schema(snapshot.schema).option("basePath", path)
         .parquet(new Path(root, rel).toString)
       val updated = src.select(src.schema.fields.map { f =>
         set.get(f.name)

@@ -268,4 +268,41 @@ class ChangeFeedSpec extends SparkSpec {
         spark, dir, lit(true), Map("no_such_col" -> lit(1)))
     }
   }
+
+  test("lk25 x lk17: evolved-column predicate/SET rewrites pre-evolution files via the aligned read") {
+    val dir = freshLake("graft_upd_evo")
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir).localCheckpoint()
+    val nBase = base.count()
+    val maxId = base.agg(max("event_id")).head().getLong(0)
+    // additive evolution: a fresh partition whose files carry schema_rev
+    val pdir = new java.io.File(dir, "p_date=2031-01-01")
+    base.orderBy("event_id").limit(5)
+      .withColumn("event_id", col("event_id") + lit(maxId + 1))
+      .withColumn("schema_rev", lit(2L))
+      .drop("p_date")
+      .coalesce(1).write.parquet(pdir.toString)
+    val newFiles = pdir.listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => s"p_date=2031-01-01/${f.getName}").toSeq
+    ParquetLake.commitManifest(
+      spark, dir, ParquetLake.readManifest(spark, dir, Some(v1)).get ++ newFiles)
+
+    // `schema_rev IS NULL` matches exactly the pre-evolution rows; the
+    // update backfills it — every pre-evolution file rewrites through
+    // the snapshot-aligned read instead of failing on a column the
+    // file doesn't physically have
+    val v3 = ParquetLake.updateManifested(
+      spark, dir, col("schema_rev").isNull, Map("schema_rev" -> lit(1L)))
+    val after = ParquetLake.readManifested(spark, dir, Some(v3), mergeSchema = true)
+    assert(after.count() === nBase + 5)
+    assert(after.where(col("schema_rev").isNull).count() === 0)
+    assert(after.where(col("schema_rev") === 1L).count() === nBase)
+    assert(after.where(col("schema_rev") === 2L).count() === 5)
+
+    // the delete twin: an evolved-column predicate drops the
+    // backfilled rows without touching the evolved partition
+    val v4 = ParquetLake.deleteManifested(spark, dir, col("schema_rev") === 1L)
+    assert(ParquetLake.readManifested(spark, dir, Some(v4), mergeSchema = true)
+      .count() === 5)
+  }
 }
