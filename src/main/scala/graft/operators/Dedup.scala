@@ -31,6 +31,39 @@ object Dedup {
     df.groupBy(T.contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: the daily-crawl admission check, the
+    * exact sibling of [[minhashCandidatesIncremental]] and the batch
+    * twin of LogStream's st13 history gate. Each NEW doc learns
+    * whether its normalized-content fingerprint already exists in the
+    * CORPUS (`corpus_keep_id`, null when unseen) and whether it is the
+    * first holder of that fingerprint WITHIN the increment — `admit`
+    * is true for exactly the rows a dedup-preserving ingest appends.
+    *
+    * Scale: the corpus side reduces to its fingerprint→min-id index
+    * before the join (at 100 TB this index lives in the lake and is
+    * ~bytes-per-distinct-doc, not corpus bytes); the join and the
+    * within-increment groupBy both shuffle fingerprint+id only, never
+    * text, and old×old pairs are never re-examined.
+    */
+  def incrementalExact(
+      corpus: DataFrame, increment: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val corpusIdx = corpus
+      .groupBy(T.contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("corpus_keep_id"))
+    val inc = increment.select(
+      col(idCol).as("doc_id"),
+      T.contentFingerprint(col(textCol)).as("fingerprint"))
+    val incFirst = inc.groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("inc_keep_id"))
+    inc.join(incFirst, Seq("fingerprint"))
+      .join(corpusIdx, Seq("fingerprint"), "left")
+      .select(
+        col("doc_id"), col("fingerprint"), col("corpus_keep_id"),
+        (col("corpus_keep_id").isNull && col("doc_id") === col("inc_keep_id"))
+          .as("admit"))
+  }
+
   /** MinHash permutation constants: perm p of a 28-bit base hash b is
     * (PermA(p)*b + PermB(p)) mod PermMod — affine "permutations" over
     * one md5-derived base per shingle, so each shingle is hashed once

@@ -61,6 +61,20 @@ object DedupQueries {
         .orderBy("id_new", "id_old")
     }),
 
+    // incremental EXACT dedup — the daily-crawl admission check, the
+    // exact sibling of d11 and the batch twin of st13's history gate:
+    // new docs (doc_id % 10 == 0) probe the corpus fingerprint index;
+    // admit = unseen in the corpus AND first within the increment
+    "d19_incremental_exact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = table(s, dir, "documents")
+      Dedup.incrementalExact(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // cross-doc exact substring dedup (Lee et al. 2022 ExactSubstr):
     // drop every token covered by a repeated 5-gram span, keeping
     // each gram's globally-first occurrence
@@ -256,6 +270,23 @@ object DedupQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
         |FROM keys a JOIN keys b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // corpus index = min-id per fingerprint over old docs; increment
+    // rows left-join it and take the within-increment min separately
+    "d19_incremental_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT fingerprint, min(doc_id) AS corpus_keep_id FROM fp WHERE doc_id % 10 <> 0 GROUP BY 1
+        |), inc AS (
+        |  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 10 = 0
+        |), incmin AS (
+        |  SELECT fingerprint, min(doc_id) AS inc_keep_id FROM inc GROUP BY 1
+        |)
+        |SELECT i.doc_id, i.fingerprint, c.corpus_keep_id,
+        |(c.corpus_keep_id IS NULL AND i.doc_id = m.inc_keep_id) AS admit
+        |FROM inc i JOIN incmin m USING (fingerprint) LEFT JOIN corpus c USING (fingerprint)
+        |ORDER BY i.doc_id""".stripMargin,
     // same signature/band replay as d2, but the pair join is
     // restricted to new (doc_id % 10 = 0) × old — keys are per-doc,
     // so filtering keys ≡ splitting the corpus before signing

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** §2.4 — similarity search over `embeddings`. The first 5 vectors
   * act as the query set.
@@ -82,6 +82,26 @@ object SimilarityQueries {
         table(s, dir, "embeddings"), "embedding", "vec_id", "label")
         .orderBy("cell_id")),
 
+    // pair-similarity histogram — the threshold-sweep report a
+    // pipeline runs BEFORE picking a near-dup cosine cut (d5/d8's
+    // config chooser, the embedding twin of d17): exact pair cosines
+    // over a deterministic md5-sampled 50% vector slice (the 100 TB
+    // mode — pair work scales with p²), banded at 0.05 grain. The
+    // N²/8 compares flow through d5's triangle block join straight
+    // into a ≤41-row map-side-combined aggregate — pairs never
+    // materialize. Banding floors the 4-dp-rounded cosine × 20: both
+    // engines floor the same IEEE double, so bands are engine-stable.
+    "s10_sim_histogram" -> ((s, dir) => {
+      val sample = table(s, dir, "embeddings").where(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100 < 50)
+      Dedup.embeddingPairs(sample, "embedding", "vec_id", -1.0)
+        .groupBy(floor(col("cos_sim") * 20).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("band"), (col("band") / 20.0).as("band_lo"), col("n_pairs"))
+        .orderBy("band")
+    }),
+
     // similarity range search: every neighbor within cos ≥ 0.25 of
     // each query — no top-k, pure map-side scan filter.
     "s5_range_search" -> ((s, dir) =>
@@ -123,6 +143,23 @@ object SimilarityQueries {
       .map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // d5's pair replay on the md5-sampled slice, banded: floor of the
+    // same rounded-double × 20 product on both engines
+    "s10_sim_histogram" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 100 < 50
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |), r AS (
+        |  SELECT round(c, 4) AS cs FROM p WHERE c >= -1.0
+        |)
+        |SELECT CAST(floor(cs * 20) AS BIGINT) AS band,
+        |CAST(floor(cs * 20) AS BIGINT) / 20.0 AS band_lo, count(*) AS n_pairs
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "s9_ann_recall" -> {
       def bit(p: Int): String =
         s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1 << p} ELSE 0 END)"

@@ -339,6 +339,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // bigram LM doc scoring — t13's conditional upgrade (the stronger
+    // perplexity-filter shape): P(cur|prev) with add-one smoothing
+    // over the corpus-fitted bigram table, (c2+1)/(c1+V). Bigrams are
+    // derived narrowly from the token array (no window, no per-doc
+    // shuffle); the count table attaches c1 to the vocab²-sized c2
+    // relation FIRST, so the corpus-sized bigram stream shuffles
+    // twice total (count join + doc re-agg), not three times; V is a
+    // broadcast one-row total. All counts are exact longs; the only
+    // fp is the final ln and its 4-dp-rounded mean (t13's posture).
+    "t26_bigram_lm" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      val big = toks
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(2, size(t)), i -> struct(element_at(t, i - 1) AS prev, element_at(t, i) AS cur))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val c2 = big.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("prev").agg(count(lit(1)).as("c1"))
+      val vocab = toks
+        .select(explode(col("t")).as("token"))
+        .agg(count_distinct(col("token")).as("v"))
+      val counts = c2.join(c1, "prev").crossJoin(broadcast(vocab))
+      big.join(counts, Seq("prev", "cur"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_big"),
+          sum(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("lp"))
+        .select(
+          col("doc_id"), col("n_big"),
+          round(col("lp") / col("n_big"), 4).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // training-window chunking: split each doc into 64-token windows
     // with stride 48 (16-token overlap) — the seq-len shaping step
     // before packing. Narrow explode per doc, no shuffle.
@@ -901,6 +935,28 @@ object TextQueries {
         |SELECT source, cum_before // 2048 AS bin, count(*) AS n_docs,
         |sum(n_tok)::BIGINT AS n_tokens, min(doc_id) AS first_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // bigram replay: t[i-1]/t[i] via an index unnest; (c2+1.0)/(c1+v)
+    // is the same double division on the same exact longs both sides
+    "t26_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, unnest(generate_series(2, len(t))) AS i, t FROM toks
+        |), big AS (
+        |  SELECT doc_id, t[i-1] AS prev, t[i] AS cur FROM ex
+        |), c2 AS (
+        |  SELECT prev, cur, count(*) AS c2 FROM big GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT prev, count(*) AS c1 FROM big GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT token) AS v
+        |  FROM (SELECT unnest(t) AS token FROM toks)
+        |)
+        |SELECT doc_id, count(*) AS n_big,
+        |round(sum(ln((c2 + 1.0) / (c1 + v))) / count(*), 4) AS avg_logprob
+        |FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t13_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
