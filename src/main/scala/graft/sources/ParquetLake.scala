@@ -506,6 +506,229 @@ object ParquetLake {
   }
 
   // ---------------------------------------------------------------
+  // lk26: restore — roll the lake back to an earlier snapshot as a
+  // NEW commit.
+
+  /** Restore the lake to the state of `toVersion` by committing that
+    * snapshot's exact file list as a new version — the undo button
+    * after a bad merge/delete/compaction. History is never rewritten:
+    * the bad versions stay readable (and auditable via [[changeFeed]],
+    * which sees the restore as the inverse of what it undid) until
+    * [[vacuum]] ages them out, and re-referencing the old files
+    * protects them from vacuum for as long as the restore commit is
+    * retained. Pure metadata — zero data files are read, written, or
+    * moved. CAS at the current head, so a concurrent writer's commit
+    * fails the restore loudly rather than being silently discarded.
+    */
+  def restoreManifested(spark: SparkSession, path: String, toVersion: Int): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val latest = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    if (toVersion == latest) return latest
+    val files = readManifest(spark, path, Some(toVersion)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot restore: version $toVersion is not a committed manifest " +
+          s"under $path (vacuumed or never committed)"))
+    commitManifest(spark, path, files, Some(latest))
+  }
+
+  // ---------------------------------------------------------------
+  // lk27: write-audit-publish — stage data files invisibly, audit
+  // the would-be snapshot, publish (or abandon) atomically.
+
+  private val StagedPrefix = "._graft_staged."
+
+  private def stagedRefPath(root: org.apache.hadoop.fs.Path, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"stage name must be [A-Za-z0-9._-]+, got '$name'")
+    new org.apache.hadoop.fs.Path(root, s"$StagedPrefix$name")
+  }
+
+  /** All staged (written-but-unpublished) appends: name → new files. */
+  def stagedManifests(spark: SparkSession, path: String): Map[String, Seq[String]] = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(StagedPrefix))
+      .map { s =>
+        s.getPath.getName.stripPrefix(StagedPrefix) ->
+          manifestLines(fs, s.getPath).filterNot(_.startsWith("#"))
+      }.toMap
+  }
+
+  /** Stage an append WITHOUT publishing it — the W of
+    * write-audit-publish. The rows are written into the live lake
+    * layout (aside-then-rename, like a merge's rewrite), but no
+    * manifest references them, so every reader — [[readManifested]],
+    * time travel, streams pinned to a snapshot — is untouched: the
+    * manifest gate IS the staging mechanism, no second storage tier.
+    * The staging ref records only the NEW files (a delta, not a
+    * snapshot), which is what makes [[publishStaged]] compose with
+    * any number of commits that land between stage and publish.
+    * Staged files are protected from [[vacuum]] by their ref (and
+    * flagged by name in [[fsck]]'s accounting via the same set).
+    * Fails if a stage of this name already exists — audit loops
+    * re-stage under a fresh name or [[abandonStaged]] first.
+    */
+  def stageAppend(
+      spark: SparkSession, path: String, df: DataFrame, stage: String,
+      partCol: Option[String] = None): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val ref = stagedRefPath(root, stage)
+    if (fs.exists(ref))
+      throw new IllegalStateException(
+        s"stage '$stage' already exists under $path; publish or abandon it first")
+    val aside = new Path(root, s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
+    val moved: Seq[String] = partCol match {
+      case Some(pc) =>
+        df.repartition(col(pc))
+          .write.mode("overwrite").partitionBy(pc).parquet(aside.toString)
+        val m = fs.listStatus(aside)
+          .filter(isPartitionDir)
+          .flatMap { d =>
+            val dst = new Path(root, d.getPath.getName)
+            if (!fs.exists(dst)) fs.mkdirs(dst)
+            fs.listStatus(d.getPath)
+              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              .map { f =>
+                renameOrThrow(fs, f.getPath, new Path(dst, f.getPath.getName))
+                s"${d.getPath.getName}/${f.getPath.getName}"
+              }
+          }.toSeq
+        fs.delete(aside, true)
+        m
+      case None =>
+        df.write.mode("overwrite").parquet(aside.toString)
+        val m = fs.listStatus(aside)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map { f =>
+            renameOrThrow(fs, f.getPath, new Path(root, f.getPath.getName))
+            f.getPath.getName
+          }.toSeq
+        fs.delete(aside, true)
+        m
+    }
+    writeAtomic(fs, ref, moved.sorted.mkString("", "\n", "\n"))
+    moved.sorted
+  }
+
+  /** Audit view: the snapshot [[publishStaged]] WOULD commit right
+    * now — the current head's files plus the stage's new files. This
+    * is where the quality gates run (row counts, t17-style rules,
+    * schema checks) before any reader can observe the rows.
+    */
+  def readStaged(
+      spark: SparkSession, path: String, stage: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val staged = stagedManifests(spark, path).getOrElse(stage,
+      throw new IllegalArgumentException(s"no stage '$stage' under $path"))
+    val base = readManifest(spark, path, None).getOrElse(Seq.empty)
+    spark.read.option("basePath", path)
+      .option("mergeSchema", mergeSchema)
+      .parquet((base ++ staged).map(f => s"$path/$f"): _*)
+  }
+
+  /** Publish a staged append atomically — the P of
+    * write-audit-publish. One CAS manifest commit makes head + staged
+    * files the new snapshot; readers flip from seeing none of the
+    * staged rows to all of them. Because the stage recorded a DELTA,
+    * a concurrent commit landing between stage and publish just means
+    * rebase-and-retry on the new head — append-only staging composes
+    * with any interleaving, nothing is lost on either side. The
+    * staging ref is deleted after the commit (publish is idempotent
+    * in effect: a crash between commit and ref-delete leaves a stale
+    * ref whose re-publish would double-reference the same files —
+    * guarded by dropping already-referenced files from the delta).
+    */
+  def publishStaged(
+      spark: SparkSession, path: String, stage: String,
+      maxRetries: Int = 5): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val ref = stagedRefPath(root, stage)
+    val staged = stagedManifests(spark, path).getOrElse(stage,
+      throw new IllegalArgumentException(s"no stage '$stage' under $path"))
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      val latest = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(0)
+      val base = if (latest == 0) Seq.empty[String]
+        else readManifest(spark, path, Some(latest)).getOrElse(Seq.empty)
+      val delta = staged.filterNot(base.toSet) // crash-replay guard
+      try committed =
+        if (delta.isEmpty) latest
+        else commitManifest(spark, path, base ++ delta, Some(latest))
+      catch {
+        case e: ManifestConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    fs.delete(ref, false)
+    committed
+  }
+
+  /** Drop a staged append without publishing: deletes the staged data
+    * files (they were never visible) and the ref. The A-said-no path.
+    */
+  def abandonStaged(spark: SparkSession, path: String, stage: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val staged = stagedManifests(spark, path).getOrElse(stage, Seq.empty)
+    // only delete files no committed manifest references (a crashed
+    // publish may have committed before deleting the ref)
+    val referenced = manifestVersions(fs, root).flatMap { case (v, _) =>
+      readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
+    }.toSet
+    val doomed = staged.filterNot(referenced)
+    doomed.foreach(f => fs.delete(new Path(root, f), false))
+    fs.delete(stagedRefPath(root, stage), false)
+    doomed
+  }
+
+  // ---------------------------------------------------------------
+  // lk28: lake health report — the compaction planner's input.
+
+  /** Read-only lake health report over the CURRENT snapshot: one row
+    * per partition directory (`"<root>"` for unpartitioned files)
+    * with file count, byte totals, small-file count/share, and a
+    * `needs_compaction` flag (≥ 2 files under `smallFileBytes`). All
+    * inputs are the manifest listing plus one `getFileStatus` per
+    * referenced file — metadata reads only, zero data scanned, cost
+    * bounded by the manifest, not the lake. This is the report that
+    * decides WHERE [[compactManifested]] is worth running (small
+    * files are the #1 silent scan-cost multiplier at 100 TB: each
+    * carries footer/open overhead and breaks row-group-sized reads).
+    */
+  def lakeHealth(
+      spark: SparkSession, path: String,
+      smallFileBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val files = readManifest(spark, path, None).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val rows = files.map { f =>
+      val part = f.split('/') match {
+        case Array(dir, _) => dir
+        case _ => "<root>"
+      }
+      (part, fs.getFileStatus(new Path(root, f)).getLen)
+    }
+    import spark.implicits._
+    rows.toDF("partition", "bytes")
+      .groupBy("partition")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        sum(when(col("bytes") < smallFileBytes, 1L).otherwise(0L)).as("small_files"),
+        (sum(col("bytes")) / count(lit(1))).cast("long").as("avg_bytes"))
+      .withColumn("needs_compaction", col("small_files") >= 2)
+      .orderBy("partition")
+  }
+
+  // ---------------------------------------------------------------
   // lk21: file-level min/max stats + data-skipping manifested reads.
   //
   // A stats sidecar `_graft_stats.v<N>` (TSV: file, column, type,
@@ -1415,9 +1638,10 @@ object ParquetLake {
     */
   def fsck(spark: SparkSession, path: String): FsckReport = {
     val (fs, root) = fsFor(spark, path)
-    val referenced: Set[String] = manifestVersions(fs, root).flatMap { case (v, _) =>
+    // staged-but-unpublished WAP files are intentional, not orphans
+    val referenced: Set[String] = (manifestVersions(fs, root).flatMap { case (v, _) =>
       readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
-    }.toSet
+    } ++ stagedManifests(spark, path).values.flatten).toSet
     val onDisk: Set[String] = fs.listStatus(root)
       .filter(isPartitionDir)
       .flatMap(d => fs.listStatus(d.getPath))
@@ -1479,9 +1703,11 @@ object ParquetLake {
       fs.delete(new Path(root, s"$StatsPrefix$v"), false)
     }
     val kept = versions.filter(v => retained(v._1) || pinned(v._1))
-    val referenced = kept.flatMap { case (v, _) =>
+    // a staged-but-unpublished WAP append's files are referenced by
+    // its staging ref — deleting them would tear a later publish
+    val referenced = (kept.flatMap { case (v, _) =>
       readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
-    }.toSet
+    } ++ stagedManifests(spark, path).values.flatten).toSet
     val horizon = System.currentTimeMillis() - math.max(0L, retainMillis)
     val dataOrphans = fs.listStatus(root)
       .filter(isPartitionDir)

@@ -796,6 +796,104 @@ class ParquetLakeSpec extends SparkSpec {
     }
   }
 
+  test("lk26: restore rolls back a bad delete as a NEW commit; history intact, files survive vacuum") {
+    val dir = fragmentedLake()
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val golden = ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    // the "bad" commit: delete a slice
+    val v2 = ParquetLake.deleteManifested(spark, dir, col("event_id") % 7 === 0)
+    assert(v2 === v1 + 1)
+    assert(ParquetLake.readManifested(spark, dir).count() < golden.size)
+    // restore = pure-metadata undo, committed on top
+    val v3 = ParquetLake.restoreManifested(spark, dir, v1)
+    assert(v3 === v2 + 1)
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === golden)
+    // history never rewritten: the bad version is still readable
+    assert(ParquetLake.readManifested(spark, dir, Some(v2)).count() < golden.size)
+    // the restore re-references v1's files, so retention that drops
+    // v1 itself cannot reclaim them out from under the head
+    ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === golden)
+    // restoring to the current head is a no-op commit
+    assert(ParquetLake.restoreManifested(spark, dir, v3) === v3)
+    // restoring to a vacuumed/never-committed version fails loudly
+    intercept[IllegalArgumentException] {
+      ParquetLake.restoreManifested(spark, dir, 999)
+    }
+  }
+
+  test("lk27: write-audit-publish — staged rows invisible, vacuum-safe, audit-readable, publish atomic with rebase") {
+    val dir = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir)
+    val baseRows = base.collect().map(_.toString).sorted.toSeq
+    // the staged batch: fresh ids, same schema (incl. partition col)
+    val staged = base.where(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val stagedCount = staged.count()
+    assert(stagedCount > 0)
+    val newFiles = ParquetLake.stageAppend(spark, dir, staged, "wap-1", Some("p_date"))
+    assert(newFiles.nonEmpty)
+    // W: no reader sees staged rows — the manifest gate IS the stage
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === baseRows)
+    // staged files are neither fsck orphans nor vacuum prey
+    assert(ParquetLake.fsck(spark, dir).orphans.isEmpty)
+    ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(ParquetLake.stagedManifests(spark, dir)("wap-1").sorted === newFiles)
+    // A: the audit view = head + staged, without publishing
+    assert(ParquetLake.readStaged(spark, dir, "wap-1").count()
+      === baseRows.size + stagedCount)
+    // a concurrent commit lands between stage and publish…
+    ParquetLake.deleteManifested(spark, dir, col("event_id") % 7 === 0)
+    val headAfterDelete = ParquetLake.readManifested(spark, dir).count()
+    // …and P rebases onto it: delta composes, nothing lost either side
+    ParquetLake.publishStaged(spark, dir, "wap-1")
+    assert(ParquetLake.readManifested(spark, dir).count()
+      === headAfterDelete + stagedCount)
+    assert(ParquetLake.stagedManifests(spark, dir).isEmpty)
+    // duplicate stage names are rejected; abandon deletes invisibly
+    val staged2 = base.withColumn("event_id", col("event_id") + 20000000L)
+    ParquetLake.stageAppend(spark, dir, staged2, "wap-2", Some("p_date"))
+    intercept[IllegalStateException] {
+      ParquetLake.stageAppend(spark, dir, staged2, "wap-2", Some("p_date"))
+    }
+    val before = ParquetLake.readManifested(spark, dir).count()
+    val dropped = ParquetLake.abandonStaged(spark, dir, "wap-2")
+    assert(dropped.nonEmpty)
+    assert(ParquetLake.readManifested(spark, dir).count() === before)
+    assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
+  }
+
+  test("lk28: lake health report flags fragmented partitions from metadata only; compaction clears them") {
+    val dir = fragmentedLake() // 4 appends × repartition(2) per date
+    ParquetLake.snapshotManifest(spark, dir)
+    val report = ParquetLake.lakeHealth(spark, dir).collect()
+    assert(report.nonEmpty)
+    // every partition is fragmented small files → all flagged
+    assert(report.forall(_.getAs[Long]("n_files") >= 2))
+    assert(report.forall(r => r.getAs[Long]("small_files") === r.getAs[Long]("n_files")))
+    assert(report.forall(_.getAs[Boolean]("needs_compaction")))
+    // byte accounting matches the filesystem exactly
+    val fsBytes = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+      .map(_.length()).sum
+    assert(report.map(_.getAs[Long]("total_bytes")).sum === fsBytes)
+    // partition names are the real directory names
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("p_date=")).map(_.getName).toSet
+    assert(report.map(_.getAs[String]("partition")).toSet === dirs)
+    // after compaction the report goes quiet
+    ParquetLake.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    val after = ParquetLake.lakeHealth(spark, dir).collect()
+    assert(after.forall(_.getAs[Long]("n_files") === 1L))
+    assert(after.forall(!_.getAs[Boolean]("needs_compaction")))
+  }
+
   test("lk19: optimistic commit — a stale expectedVersion fails loudly, never last-writer-wins") {
     val dir = Files.createTempDirectory("graft_cas").toString
     ParquetLake.writePartitioned(
