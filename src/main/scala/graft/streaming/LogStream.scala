@@ -535,6 +535,12 @@ object LogStream {
       .outputMode("append")
       .start()
 
+  case class ValueIn(userId: Long, tsNs: Long, value: Double)
+  case class WelfordState(n: Long, mean: Double, m2: Double)
+  case class AnomalyOut(
+      userId: Long, tsNs: Long, value: Double, nSeen: Long,
+      zscore: Double, anomalous: Boolean)
+
   case class EventIn(userId: Long, tsNs: Long)
   case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
   case class OpenSession(startNs: Long, endNs: Long, n: Long)
@@ -620,6 +626,51 @@ object LogStream {
             SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n))
           merged.lastOption.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** st25: streaming per-key anomaly gate — online z-score flags via
+    * Welford's one-pass mean/variance recurrence (Welford 1962; the
+    * numerically-stable update Knuth TAOCP vol. 2 popularized). The
+    * metric-QC admission check a continuous ingest runs on a value
+    * column: each point is scored against its key's running
+    * statistics BEFORE it folds in (a spike never dampens its own
+    * flag), flagged when |z| ≥ `zThreshold` after a `minSeen` warmup.
+    *
+    * Scale shape: state per key is THREE numbers (n, mean, M2) — the
+    * per-key state is O(1) in stream length, total state O(distinct
+    * keys), and the only shuffle is the groupByKey on the key. No
+    * window buffering, no value history.
+    *
+    * Determinism contract: the fold order is event order as
+    * delivered (batch-local tsNs sort, batches in arrival order), so
+    * replay is exact when per-key delivery is time-ordered across
+    * batches — the ingest-gate shape. Running the SAME operator on a
+    * static Dataset gives the exact batch twin (one "batch", one
+    * sorted fold), which the spec pins streaming output against.
+    */
+  def anomalyFlags(
+      events: Dataset[ValueIn], zThreshold: Double = 3.0,
+      minSeen: Long = 10): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[WelfordState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[ValueIn], state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = it.toArray.sortBy(_.tsNs).map { e =>
+            val sd = if (st.n >= 2) math.sqrt(st.m2 / (st.n - 1)) else 0.0
+            val z = if (st.n >= minSeen && sd > 0) (e.value - st.mean) / sd else 0.0
+            val flagged = st.n >= minSeen && sd > 0 && math.abs(z) >= zThreshold
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (e.value - mean1))
+            AnomalyOut(uid, e.tsNs, e.value, st.n, z, flagged)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

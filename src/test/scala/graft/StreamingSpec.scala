@@ -822,6 +822,55 @@ class StreamingSpec extends SparkSpec {
     assert(emitted === batchSessions - nUsers)
   }
 
+  private def st25Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_anom_in").toString
+    // deterministic per-user baseline (period-7 ramp, sd ≈ 1.1) plus
+    // one planted 100.0 spike for user 1 in the second delivery
+    def rows(is: Range): Seq[(Long, Long, Double)] =
+      for { u <- 1L to 3L; i <- is } yield
+        (u, i.toLong * 1000L + u, if (u == 1L && i == 29) 100.0 else (i % 7) * 0.5)
+    def writeIn(is: Range, mode: SaveMode): Unit =
+      rows(is).toDF("userId", "tsNs", "value").write.mode(mode).parquet(inDir)
+    writeIn(0 until 20, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsNs", LongType),
+        StructField("value", DoubleType))))
+      .parquet(inDir)
+      .as[LogStream.ValueIn]
+    val q = LogStream.anomalyFlags(stream)
+      .writeStream.format("memory").queryName(s"st25_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(20 until 30, SaveMode.Append) // second micro-batch: state carries
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(s"st25_out$tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // every point emitted exactly once, every key's count sequential
+    assert(out.length === 90)
+    assert(out.filter(_._1 == 1L).map(_._4).sorted.toSeq === (1L to 30L))
+    // exactly the planted spike flags; scored against PRE-spike stats
+    val flagged = out.filter(_._6)
+    assert(flagged.map(t => (t._1, t._3)).toSeq === Seq((1L, 100.0)))
+    assert(flagged.head._5 > 3.0)
+    // exact parity with the batch twin: same operator, one sorted fold
+    val batch = LogStream.anomalyFlags(
+      spark.read.parquet(inDir).as[LogStream.ValueIn]).collect()
+      .map(r => (r.userId, r.tsNs, r.value, r.nSeen, r.zscore, r.anomalous))
+    assert(out.sortBy(t => (t._1, t._2)).toSeq === batch.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("st25: streaming Welford z-score gate flags the planted spike; exact batch parity across micro-batches") {
+    st25Body("")
+  }
+
+  test("st25 (rocksdb): Welford anomaly gate under the RocksDB state store") {
+    withRocksDb(st25Body("_rdb"))
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     st3Body("")
   }
