@@ -446,13 +446,41 @@ object Similarity {
   def ivfKnn(
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      lloydIters: Int = 1): DataFrame = {
+      lloydIters: Int = 1): DataFrame =
+    ivfKnnWith(
+      ivfIndexBuild(corpus, vecCol, idCol, nlist, lloydIters),
+      queries, k, nprobe)
+
+  /** A built IVF index: the `nlist` coarse centroids (c_id, c_vec)
+    * and the inverted cells (c_id, n_id, n_vec). Build once, serve
+    * many — [[ivfIndexSave]]/[[ivfIndexLoad]] round-trip it through
+    * manifested lakes so query jobs skip the k-means + assignment
+    * pass entirely (s11).
+    */
+  case class IvfIndex(centroids: DataFrame, cells: DataFrame)
+
+  /** One Lloyd fit + one assignment pass over the corpus — the
+    * expensive half of [[ivfKnn]], factored out so it can be paid
+    * once and persisted.
+    */
+  def ivfIndexBuild(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 16, lloydIters: Int = 1): IvfIndex = {
     val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val cents = kmeansCentroids(data, nlist, lloydIters)
-    val assigned = assignNearest(data, cents)
+    IvfIndex(cents, assignNearest(data, cents))
+  }
+
+  /** Serve top-k from a built (or loaded) index: probe lists from the
+    * broadcast centroid relation, exact cosine over the probed cells
+    * only — identical semantics to [[ivfKnn]], minus the build.
+    */
+  def ivfKnnWith(
+      index: IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
     // top-nprobe lists per query via the bounded-heap aggregate
     // (same tie semantics as the old window: sim desc, c_id asc)
-    val probes = queries.crossJoin(broadcast(cents))
+    val probes = queries.crossJoin(broadcast(index.centroids))
       .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))
       .groupBy("q_id")
       .agg(
@@ -460,10 +488,53 @@ object Similarity {
         first(col("q_vec")).as("q_vec"))
       .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
       .select(col("e.id").as("c_id"), col("q_id"), col("q_vec"))
-    val scored = assigned.join(broadcast(probes), Seq("c_id"))
+    val scored = index.cells.join(broadcast(probes), Seq("c_id"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
     topKOut(scored, k)
+  }
+
+  /** Persist an IVF index as two manifested lakes (`<path>/centroids`,
+    * `<path>/cells`) — the build-once/serve-many contract a 100 TB
+    * deployment needs: the k-means fit and the corpus-wide assignment
+    * are paid by ONE indexing job, every query job reads the
+    * manifest-pinned relations (atomic swap on re-index via the
+    * manifest commit; old versions stay replayable until vacuum; lk22
+    * tags can pin a serving release). Returns the committed
+    * (centroids, cells) manifest versions.
+    */
+  def ivfIndexSave(index: IvfIndex, path: String): (Int, Int) =
+    (replaceSnapshot(index.centroids, s"$path/centroids"),
+      replaceSnapshot(index.cells, s"$path/cells"))
+
+  /** Full-replace commit through the WAP machinery: stage the new
+    * files invisibly beside the old ones, then commit a manifest of
+    * ONLY the new files. A plain overwrite would delete the previous
+    * snapshot's data out from under its manifest; this keeps every
+    * prior index version replayable until vacuum.
+    */
+  private def replaceSnapshot(df: DataFrame, path: String): Int = {
+    import graft.sources.ParquetLake
+    val spark = df.sparkSession
+    val stage = s"ivfsave_${java.util.UUID.randomUUID().toString.take(8)}"
+    val files = ParquetLake.stageAppend(spark, path, df, stage)
+    val v = ParquetLake.commitManifest(spark, path, files)
+    // the files are now manifest-referenced, so this only drops the ref
+    ParquetLake.abandonStaged(spark, path, stage)
+    v
+  }
+
+  /** Load a persisted IVF index (latest snapshot, or pinned versions
+    * for bit-exact replay of a serving release).
+    */
+  def ivfIndexLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroidsVersion: Option[Int] = None,
+      cellsVersion: Option[Int] = None): IvfIndex = {
+    import graft.sources.ParquetLake
+    IvfIndex(
+      ParquetLake.readManifested(spark, s"$path/centroids", centroidsVersion),
+      ParquetLake.readManifested(spark, s"$path/cells", cellsVersion))
   }
 
   /** IVF+PQ composite ANN — the FAISS-style index shape an actual

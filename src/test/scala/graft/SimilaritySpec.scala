@@ -60,6 +60,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size === 50)
   }
 
+  test("s11: persisted IVF index round-trips and serves bit-identical results to the fresh index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val fresh = Similarity.ivfIndexBuild(emb, "embedding", "vec_id")
+    val (cv, lv) = Similarity.ivfIndexSave(fresh, dir)
+    assert(cv === 1 && lv === 1)
+    val loaded = Similarity.ivfIndexLoad(spark, dir)
+    def run(ix: Similarity.IvfIndex) =
+      Similarity.ivfKnnWith(ix, queries, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+    // serving from the lake ≡ serving from the in-session build: the
+    // floats round-trip parquet exactly, scoring/tie-breaks follow
+    val servedFresh = run(fresh)
+    assert(run(loaded) === servedFresh)
+    // and ≡ the one-shot ivfKnn composition
+    assert(Similarity.ivfKnn(emb, "embedding", "vec_id", queries, 10)
+      .collect().map(_.toString).sorted.toSeq === servedFresh)
+    // re-index = a new atomic snapshot; the old serving release stays
+    // pinned and replayable by version
+    val (cv2, lv2) = Similarity.ivfIndexSave(
+      Similarity.ivfIndexBuild(emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id"), dir)
+    assert(cv2 === 2 && lv2 === 2)
+    assert(run(Similarity.ivfIndexLoad(spark, dir, Some(1), Some(1))) === servedFresh)
+    assert(Similarity.ivfIndexLoad(spark, dir).cells.count() === emb.count() / 2)
+  }
+
   test("s4: PQ ANN achieves reasonable recall, exact scores on survivors") {
     val exactDf = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     val exact = exactDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
