@@ -351,15 +351,24 @@ object TextQueries {
     "t26_bigram_lm" -> ((s, dir) => {
       val toks = table(s, dir, "documents")
         .select(col("doc_id"), T.tokens(col("text")).as("t"))
+      // materialized once (the d2 shingle pattern): the count table,
+      // the smoothing denominator, and the probe side all read this
+      // relation — without the checkpoint each consumer re-explodes
+      // the corpus (4 scan+tokenize passes measured in the plan)
       val big = toks
         .select(col("doc_id"), explode(expr(
           "transform(sequence(2, size(t)), i -> struct(element_at(t, i - 1) AS prev, element_at(t, i) AS cur))"))
           .as("b"))
         .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+        .localCheckpoint(eager = false)
       val c2 = big.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-      val c1 = big.groupBy("prev").agg(count(lit(1)).as("c1"))
-      val vocab = toks
-        .select(explode(col("t")).as("token"))
+      // c1 folds from the vocab²-sized c2 relation, not a third
+      // corpus-wide explode: sum over cur of c2(prev,·) ≡ count(prev)
+      val c1 = c2.groupBy("prev").agg(sum(col("c2")).as("c1"))
+      // V = the bigram model's own vocabulary (distinct prev ∪ cur),
+      // folded from the vocab²-sized count table — no extra corpus pass
+      val vocab = c2
+        .select(explode(array(col("prev"), col("cur"))).as("token"))
         .agg(count_distinct(col("token")).as("v"))
       val counts = c2.join(c1, "prev").crossJoin(broadcast(vocab))
       big.join(counts, Seq("prev", "cur"))
@@ -948,10 +957,10 @@ object TextQueries {
         |), c2 AS (
         |  SELECT prev, cur, count(*) AS c2 FROM big GROUP BY 1, 2
         |), c1 AS (
-        |  SELECT prev, count(*) AS c1 FROM big GROUP BY 1
+        |  SELECT prev, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1
         |), v AS (
-        |  SELECT count(DISTINCT token) AS v
-        |  FROM (SELECT unnest(t) AS token FROM toks)
+        |  SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT prev AS t FROM c2 UNION ALL SELECT cur FROM c2)
         |)
         |SELECT doc_id, count(*) AS n_big,
         |round(sum(ln((c2 + 1.0) / (c1 + v))) / count(*), 4) AS avg_logprob
