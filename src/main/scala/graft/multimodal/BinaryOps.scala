@@ -97,6 +97,52 @@ object BinaryOps {
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("shared_chunks"))
   }
 
+  /** m8: blob near-dup PAIRS via shared content-defined chunks — the
+    * pairing refinement of [[cdcDedupReport]]'s per-doc counters: two
+    * payloads that share ≥ `pct`% of the smaller side's distinct
+    * chunk fingerprints are a near-copy pair (an edited image, a
+    * re-encoded header + same body, a v2 re-crawl), even though
+    * document-grain exact dedup sees distinct payloads. The d20
+    * containment measure applied at the chunk grain.
+    *
+    * Scale shape: bytes never shuffle — the chunk expression folds
+    * each payload to its fingerprint list in one codegen'd pass, and
+    * everything downstream is (fp, id) longs. Candidates come from
+    * the chunk inverted index; `maxOcc` drops fingerprints present in
+    * more payloads than that (boilerplate chunks — every posting list
+    * of length n yields n² pair rows, and a chunk in half the corpus
+    * is evidence of a TEMPLATE, not a near-copy). The cap is
+    * conservative: it can only lower a pair's measured containment,
+    * never invent a pair.
+    */
+  def cdcNearDupPairs(
+      df: DataFrame, binCol: String, idCol: String, pct: Int,
+      minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096,
+      maxOcc: Int = 64): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
+      .distinct() // set semantics: a repeated chunk counts once
+      .localCheckpoint(eager = false) // feeds sizes, occurrence cap, and the pair join
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n_ch"))
+    val rare = sets.join(
+      sets.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+        .where(col("n_occ") <= maxOcc),
+      "fp")
+    val common = rare.select(col("id").as("id_a"), col("fp"))
+      .join(rare.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .where(lit(100L) * col("n_common") >= lit(pct.toLong) * least(col("n_a"), col("n_b")))
+      .select(
+        col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common").cast("double") / col("n_a"), 4).as("cont_a"),
+        round(col("n_common").cast("double") / col("n_b"), 4).as("cont_b"))
+  }
+
   def routeByModality(df: DataFrame, binCol: String, idCol: String, outPath: String): Unit =
     withMeta(df, binCol)
       .select(col(idCol).as("id"), col(binCol).as("payload"),

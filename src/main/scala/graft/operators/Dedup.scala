@@ -342,6 +342,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** d20: exact containment pairs — the subset/quote duplicate
+    * detector Jaccard-based dedup structurally misses (Broder 1997's
+    * second resemblance measure): containment(A→B) = |A∩B| / |A| is
+    * ~1 when a short doc sits verbatim inside a long one even though
+    * their Jaccard is tiny, the shape of quoted articles, boilerplate
+    * wrappers, and chunk-of-a-book training dups. Candidates come
+    * from the complete inverted shingle index (any pair with
+    * containment ≥ τ > 0 shares a shingle — no LSH recall gap, which
+    * matters precisely because these pairs are the ones MinHash
+    * banding is least likely to catch); the cut keeps a pair when its
+    * larger containment side crosses `pct`/100, tested in exact
+    * integer arithmetic (100·common ≥ pct·min(nA,nB) — no fp
+    * boundary). Truth-side cost is posting-list-quadratic like
+    * [[exactJaccardPairs]]; `samplePct` runs the evaluation on a
+    * deterministic md5 doc sample (d16's 100 TB mode, pair work ~p²).
+    */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String, pct: Int,
+      samplePct: Int = 100): DataFrame = {
+    val base =
+      if (samplePct >= 100) df
+      else df.where(
+        conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100 < samplePct)
+    val sh = spread(base).select(
+      col(idCol).as("id"),
+      T.wordShingles(T.tokens(col(textCol))).as("s"))
+      .localCheckpoint(eager = false) // feeds the index AND the sizes
+    val sizes = sh.select(col("id"), size(col("s")).cast("long").as("n_sh"))
+    val inv = sh.select(col("id"), explode(col("s")).as("sng"))
+    val common = inv.toDF("id_a", "sng")
+      .join(inv.toDF("id_b", "sng"), Seq("sng"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .where(lit(100L) * col("n_common") >= lit(pct.toLong) * least(col("n_a"), col("n_b")))
+      .select(
+        col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"),
+        round(col("n_common").cast("double") / col("n_a"), 4).as("cont_a"),
+        round(col("n_common").cast("double") / col("n_b"), 4).as("cont_b"))
+  }
+
   /** d17: analytic LSH band planner — the S-curve arithmetic that
     * chooses a (bands, rowsPerBand) split of a `numPerms` MinHash
     * budget BEFORE any data is touched; d16's empirical evaluation

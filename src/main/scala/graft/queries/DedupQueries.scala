@@ -61,6 +61,13 @@ object DedupQueries {
         .orderBy("id_new", "id_old")
     }),
 
+    // exact containment pairs — the subset/quote dup detector Jaccard
+    // misses (short doc inside long one); complete inverted-index
+    // candidates, integer-exact max-containment ≥ 0.8 cut
+    "d20_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(table(s, dir, "documents"), "text", "doc_id", 80)
+        .orderBy("id_a", "id_b")),
+
     // incremental EXACT dedup — the daily-crawl admission check, the
     // exact sibling of d11 and the batch twin of st13's history gate:
     // new docs (doc_id % 10 == 0) probe the corpus fingerprint index;
@@ -270,6 +277,21 @@ object DedupQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
         |FROM keys a JOIN keys b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // full-pairwise containment replay (complete ≡ the inverted-index
+    // candidates for any positive threshold)
+    "d20_containment" -> (shingleCtes +
+      """
+        |SELECT id_a, id_b, n_common, n_a, n_b,
+        |round(n_common * 1.0 / n_a, 4) AS cont_a,
+        |round(n_common * 1.0 / n_b, 4) AS cont_b
+        |FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+        |  len(a.s)::BIGINT AS n_a, len(b.s)::BIGINT AS n_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |WHERE 100 * n_common >= 80 * least(n_a, n_b)
+        |ORDER BY 1, 2""".stripMargin),
     // corpus index = min-id per fingerprint over old docs; increment
     // rows left-join it and take the within-increment min separately
     "d19_incremental_exact" ->

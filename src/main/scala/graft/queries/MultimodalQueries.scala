@@ -99,6 +99,23 @@ object MultimodalQueries {
           docs.unionAll(copies), "payload", "doc_id",
           minLen = 16, maskBits = 6, maxLen = 512)
         .orderBy("id")
+    }),
+
+    // blob near-dup pairs over m7's fixture: each v2 near-copy must
+    // pair with its original at high containment (rows-only: the
+    // rolling gear hash has no SQL replay, like m7; spec'd)
+    "m8_cdc_neardup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val copies = docs.where(col("doc_id") >= 450)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("v2-header: ").cast("binary"), col("payload")).as("payload"))
+      // finer grain than m7 (≈32-byte chunks): the fixture docs are a
+      // few hundred bytes, and pairing needs several chunks per doc
+      BinaryOps.cdcNearDupPairs(
+          docs.unionAll(copies), "payload", "doc_id", pct = 60,
+          minLen = 8, maskBits = 4, maxLen = 128)
+        .orderBy("id_a", "id_b")
     }))
 
   val oracleSql: Map[String, String] = Map(

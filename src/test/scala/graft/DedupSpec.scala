@@ -295,6 +295,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d20: containment catches a quoted-inside dup that Jaccard-threshold dedup misses") {
+    // doc 2 = doc 1 verbatim + a long unrelated tail: containment(1→2)
+    // ≈ 1 while Jaccard is far below any near-dup threshold
+    val short = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val tail = (1 to 60).map(i => s"omega$i").mkString(" ")
+    val fix = Seq(
+      (1L, short),
+      (2L, s"$short $tail"),
+      (3L, (1 to 40).map(i => s"gamma$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(fix, "text", "doc_id", 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(pairs.head._3 === 1.0) // every shingle of the short doc is inside
+    assert(pairs.head._4 < 0.5)
+    // the same pair is invisible to Jaccard-verified dedup at τ=0.5
+    assert(Dedup.jaccardVerified(fix, "text", "doc_id", 0.5).count() === 0)
+    // sampled mode is a deterministic subset of the full run
+    val full = Dedup.containmentPairs(docs, "text", "doc_id", 80)
+      .collect().map(_.toString).toSet
+    val sampled = Dedup.containmentPairs(docs, "text", "doc_id", 80, samplePct = 50)
+      .collect().map(_.toString).toSet
+    assert(sampled.subsetOf(full))
+    assert(Dedup.containmentPairs(docs, "text", "doc_id", 80, samplePct = 50)
+      .collect().map(_.toString).toSet === sampled)
+  }
+
   test("d18: dup weights conserve the corpus — sum(weight) = N, planted dups weigh 2") {
     val out = Dedup
       .dedupCorpusByQuality(withDups, "text", "doc_id", 0.5, col("n_chars"))

@@ -134,4 +134,42 @@ class MultimodalSpec extends SparkSpec {
     val empty = Seq((1L, Array.empty[Byte])).toDF("doc_id", "payload")
     assert(fps(empty)(1L).isEmpty)
   }
+
+  test("m8: CDC near-dup pairs link every v2 re-crawl to its original, and only those") {
+    val pairs = SparkEntry.queries("m8_cdc_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // every original ≥450 with enough chunks to survive a front edit
+    // (≥6: at most 2 disturbed → ≥4/6 ≈ 67% shared clears the 60% cut)
+    // must pair with its +10000 copy
+    import graft.functions.cdcChunks
+    val eligible = docs.where(col("doc_id") >= 450)
+      .select(col("doc_id"),
+        size(cdcChunks(col("payload"), 8, 4, 128)).as("nc"))
+      .collect().filter(_.getInt(1) >= 6).map(_.getLong(0)).toSet
+    assert(eligible.size >= 10, s"fixture too small: ${eligible.size} eligible docs")
+    val copyPairs = pairs.filter(p => p._2 === p._1 + 10000)
+    assert(eligible.subsetOf(copyPairs.map(_._1).toSet),
+      s"missing pairs for ${(eligible -- copyPairs.map(_._1)).take(5)}")
+    // each such pair shares (almost) the whole original: a front edit
+    // disturbs at most the first couple of chunks
+    copyPairs.foreach { case (a, b, common, na, nb, _, _) =>
+      assert(common >= math.min(na, nb) - 2, s"pair ($a,$b): $common of min($na,$nb)")
+    }
+    // every emitted pair is containment-valid at the declared cut
+    // (cross-document pairs DO appear — the synthetic corpus plants
+    // real near-dups, which d1/d4 also find at the text grain)
+    pairs.foreach { case (a, b, common, na, nb, ca, cb) =>
+      assert(common <= math.min(na, nb), s"($a,$b): common $common > min($na,$nb)")
+      assert(100L * common >= 60L * math.min(na, nb), s"($a,$b) below the cut")
+      assert(ca > 0 && ca <= 1.0 && cb > 0 && cb <= 1.0)
+    }
+    // deterministic across runs (value-level)
+    val run1 = SparkEntry.queries("m8_cdc_neardup")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val run2 = SparkEntry.queries("m8_cdc_neardup")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(run1 === run2)
+  }
 }
