@@ -63,9 +63,12 @@ object DedupQueries {
 
     // exact containment pairs — the subset/quote dup detector Jaccard
     // misses (short doc inside long one); complete inverted-index
-    // candidates, integer-exact max-containment ≥ 0.8 cut
+    // candidates, integer-exact max-containment ≥ 0.8 cut. Runs in
+    // the md5-sampled 50% mode (the 100 TB posture — posting-list
+    // pair work ~p²; full-vs-sampled agreement spec'd in DedupSpec)
     "d20_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(table(s, dir, "documents"), "text", "doc_id", 80)
+      Dedup.containmentPairs(table(s, dir, "documents"), "text", "doc_id", 80,
+        samplePct = 50)
         .orderBy("id_a", "id_b")),
 
     // incremental EXACT dedup — the daily-crawl admission check, the
@@ -277,9 +280,11 @@ object DedupQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
         |FROM keys a JOIN keys b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    // full-pairwise containment replay (complete ≡ the inverted-index
-    // candidates for any positive threshold)
-    "d20_containment" -> (shingleCtes +
+    // full-pairwise containment replay over the same md5 doc sample
+    // (complete ≡ the inverted-index candidates at any positive τ)
+    "d20_containment" -> (shingleCtes.replace(
+      "FROM documents",
+      "FROM documents WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 50") +
       """
         |SELECT id_a, id_b, n_common, n_a, n_b,
         |round(n_common * 1.0 / n_a, 4) AS cont_a,
