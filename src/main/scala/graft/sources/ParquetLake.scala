@@ -994,6 +994,122 @@ object ParquetLake {
       .where(predicate)
   }
 
+  // ---------------------------------------------------------------
+  // lk29: per-file bloom sidecars — point-lookup file skipping for
+  // high-cardinality keys, where min/max ranges (lk21) prune nothing
+  // because every file's range spans the whole key space.
+
+  private val BloomPrefix = "_graft_bloom.v"
+
+  /** Build per-file bloom filters for `cols` of a committed snapshot
+    * and publish them as a version-stamped parquet sidecar
+    * (`_graft_bloom.v<N>/`, rows: file, col, bloom). The build is ONE
+    * distributed aggregation per column — rows group by
+    * `input_file_name`, fold into a bloom via the runtime-filter
+    * aggregate, and only (file, bloom) rows are written, straight
+    * from the executors (the sidecar never routes through the
+    * driver — at 10^5 files × ~100 KB of bloom each that matters).
+    *
+    * Values hash through `xxhash64` with integrals CAST TO LONG
+    * first, so INT32 and INT64 columns probe identically; supported
+    * column types are integrals and strings (the point-lookup keys —
+    * user ids, request ids, session tokens). `expectedItems` sizes
+    * each per-file bloom for its expected distinct values; `numBits`
+    * fixes the filter size (fpp falls as bits/item grows).
+    */
+  def buildFileBlooms(
+      spark: SparkSession, path: String, cols: Seq[String],
+      expectedItems: Long = 100000L, numBits: Long = 1000000L,
+      version: Option[Int] = None): Unit = {
+    graft.GraftSession.ensureRegistered(spark) // graft_bloom_agg
+    val (fs, root) = fsFor(spark, path)
+    val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    val files = readManifest(spark, path, Some(v)).get
+    val full = spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+    val hashed = cols.map { c =>
+      val dt = full.schema(c).dataType
+      val keyExpr = dt match {
+        case _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.ByteType => s"xxhash64(CAST(`$c` AS BIGINT))"
+        case _: org.apache.spark.sql.types.StringType => s"xxhash64(`$c`)"
+        case other => throw new IllegalArgumentException(
+          s"buildFileBlooms supports integral and string columns; '$c' is $other")
+      }
+      full
+        .where(col(c).isNotNull)
+        .select(
+          // manifest-relative name: optional one k=v partition dir + file
+          regexp_extract(input_file_name(), "([^/]+=[^/]*/)?[^/]+$", 0).as("file"),
+          expr(keyExpr).as("__h"))
+        .groupBy("file")
+        .agg(expr(s"graft_bloom_agg(__h, ${expectedItems}L, ${numBits}L)").as("bloom"))
+        .select(col("file"), lit(c).as("col"), col("bloom"))
+    }
+    hashed.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$path/$BloomPrefix$v")
+  }
+
+  /** Point-lookup read with bloom file skipping over an integral
+    * column: only the files whose bloom might contain `value` are
+    * scanned (files without a bloom row are conservatively kept; the
+    * filter is still applied, so skipping shrinks the file list,
+    * never changes results — a bloom can only say "definitely not
+    * here"). The probe is DISTRIBUTED: each sidecar row deserializes
+    * and tests on an executor, only rejected file NAMES return to the
+    * driver (manifest-bounded).
+    */
+  def readManifestedBloomEqLong(
+      spark: SparkSession, path: String, c: String, value: Long,
+      version: Option[Int] = None): DataFrame =
+    bloomEqRead(spark, path, c, xxhash64(lit(value)),
+      org.apache.spark.sql.functions.col(c) === lit(value), version)
+
+  /** String variant of [[readManifestedBloomEqLong]]. */
+  def readManifestedBloomEqString(
+      spark: SparkSession, path: String, c: String, value: String,
+      version: Option[Int] = None): DataFrame =
+    bloomEqRead(spark, path, c, xxhash64(lit(value)),
+      org.apache.spark.sql.functions.col(c) === lit(value), version)
+
+  private def bloomEqRead(
+      spark: SparkSession, path: String, c: String,
+      hashCol: org.apache.spark.sql.Column,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Int]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    val sidecar = new Path(root, s"$BloomPrefix$v")
+    if (!fs.exists(sidecar))
+      throw new IllegalStateException(
+        s"no bloom sidecar for version $v under $path — run buildFileBlooms first")
+    // one tiny job pins the probe hash to the exact executor-side
+    // xxhash64 the build used (same type, same seed)
+    val hash = spark.range(1).select(hashCol.as("h")).head().getLong(0)
+    import spark.implicits._
+    val rejected = spark.read.parquet(sidecar.toString)
+      .where(col("col") === c)
+      .select("file", "bloom").as[(String, Array[Byte])]
+      .mapPartitions(_.collect {
+        case (f, b) if !org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b)).mightContainLong(hash) => f
+      })
+      .collect().toSet
+    val files = readManifest(spark, path, Some(v)).get
+    val kept = files.filterNot(rejected)
+    val reader = spark.read.option("basePath", path)
+    val all = reader.parquet(files.map(f => s"$path/$f"): _*)
+    if (kept.isEmpty) all.where(lit(false)).where(predicate)
+    else spark.read.schema(all.schema).option("basePath", path)
+      .parquet(kept.map(f => s"$path/$f"): _*)
+      .where(predicate)
+  }
+
   /** Thrown when an optimistic commit loses the race: the expected
     * version is no longer the latest, or another writer published the
     * target version first. The snapshot the loser computed from is
@@ -1699,8 +1815,9 @@ object ParquetLake {
       retained(v._1) || pinned(v._1))
     oldManifests.foreach { case (v, p) =>
       fs.delete(p, false)
-      // a dropped version's stats sidecar goes with it
+      // a dropped version's stats/bloom sidecars go with it
       fs.delete(new Path(root, s"$StatsPrefix$v"), false)
+      fs.delete(new Path(root, s"$BloomPrefix$v"), true)
     }
     val kept = versions.filter(v => retained(v._1) || pinned(v._1))
     // a staged-but-unpublished WAP append's files are referenced by

@@ -894,6 +894,49 @@ class ParquetLakeSpec extends SparkSpec {
     assert(after.forall(!_.getAs[Boolean]("needs_compaction")))
   }
 
+  test("lk29: bloom sidecars skip files on point lookups; results identical; absent key reads nothing") {
+    // value-local layout: each append holds one user-id residue class,
+    // so a point lookup should touch ~1/4 of the files
+    val dir = Files.createTempDirectory("graft_bloom_lake").toString
+    val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
+      .withColumn("p_date", to_date(timestamp_millis(col("ts_ms"))).cast("string"))
+    (0 until 4).foreach { w =>
+      ev.where(col("user_id") % 4 === w)
+        .repartition(2)
+        .write.mode("append").partitionBy("p_date").parquet(dir)
+    }
+    ParquetLake.snapshotManifest(spark, dir)
+    // generous bits → negligible fp at the fixture's cardinality
+    ParquetLake.buildFileBlooms(spark, dir, Seq("user_id", "event_type"),
+      expectedItems = 10000L, numBits = 400000L)
+    val probeUser = ev.select("user_id").where(col("user_id") % 4 === 2)
+      .head().getLong(0)
+    val pruned = ParquetLake.readManifestedBloomEqLong(spark, dir, "user_id", probeUser)
+    val expected = ParquetLake.readManifested(spark, dir)
+      .where(col("user_id") === probeUser)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty)
+    assert(pruned.collect().map(_.toString).sorted.toSeq === expected)
+    // the pruned plan reads ONLY the matching residue class's files
+    val total = ParquetLake.readManifest(spark, dir, None).get.size
+    val prunedFiles = pruned.inputFiles.length
+    assert(prunedFiles <= total / 2, s"$prunedFiles of $total files read")
+    // absent key: every bloom rejects → zero-file read, still correct
+    val none = ParquetLake.readManifestedBloomEqLong(spark, dir, "user_id", 999999999L)
+    assert(none.count() === 0)
+    // string column probe: only files holding that event_type remain ≥
+    // correct (here types spread across files, so just value parity)
+    val t = "error"
+    assert(ParquetLake.readManifestedBloomEqString(spark, dir, "event_type", t)
+      .count() === ParquetLake.readManifested(spark, dir)
+        .where(col("event_type") === t).count())
+    // vacuum drops the sidecar with its version
+    intercept[IllegalStateException] {
+      ParquetLake.readManifestedBloomEqLong(spark, dir, "user_id", probeUser,
+        version = Some(99))
+    }
+  }
+
   test("lk19: optimistic commit — a stale expectedVersion fails loudly, never last-writer-wins") {
     val dir = Files.createTempDirectory("graft_cas").toString
     ParquetLake.writePartitioned(
