@@ -775,24 +775,7 @@ object ParquetLake {
     val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path")))
     val files = readManifest(spark, path, Some(v)).get
-    // Hadoop Configuration is not Serializable (and Spark's wrapper is
-    // private[spark]) — ship the entries and rebuild per partition
-    val confEntries = {
-      import scala.jdk.CollectionConverters._
-      spark.sessionState.newHadoopConf().asScala
-        .map(e => e.getKey -> e.getValue).toArray
-    }
-    val rootStr = root.toString
-    val colSet = cols.toSet
-    val slices = math.max(1, math.min(files.size,
-      spark.sparkContext.defaultParallelism * 4))
-    val rows = spark.sparkContext.parallelize(files, slices)
-      .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, vl) => conf.set(k, vl) }
-        it.flatMap(f => footerStats(rootStr, f, colSet, conf))
-      }
-      .collect().toSeq
+    val rows = harvestFooterStats(spark, root.toString, files, cols.toSet)
     val target = new Path(root, s"$StatsPrefix$v")
     // merge with an existing sidecar: this call's columns replace
     // their old rows, other columns' stats survive
@@ -802,6 +785,83 @@ object ParquetLake {
         .filterNot(l => cols.contains(l.split('\t')(1)))
     writeAtomic(fs, target, (carried ++ rows).mkString("", "\n", "\n"))
     rows.size
+  }
+
+  /** Distributed footer harvest over an explicit file list: the list
+    * parallelizes, each task reads only its files' footers (KBs of
+    * metadata), and only finished stat rows return to the driver.
+    */
+  private def harvestFooterStats(
+      spark: SparkSession, rootStr: String, files: Seq[String],
+      colSet: Set[String]): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    // Hadoop Configuration is not Serializable (and Spark's wrapper is
+    // private[spark]) — ship the entries and rebuild per partition
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, vl) => conf.set(k, vl) }
+        it.flatMap(f => footerStats(rootStr, f, colSet, conf))
+      }
+      .collect().toSeq
+  }
+
+  /** lk30: INCREMENTAL stats harvest — the maintenance-cost fix for a
+    * lake that commits often: a copy-on-write commit (merge, delete,
+    * compaction, append) carries most files byte-identical, and a
+    * carried file's footer stats are immutable, so re-reading its
+    * footer is pure waste — at 10^5 files and a daily merge touching
+    * one partition, a full [[buildFileStats]] re-reads ~10^5 footers
+    * to learn ~10 new rows. This variant copies the previous
+    * sidecar's rows for files still present in the target snapshot
+    * and harvests footers ONLY for files with no carried row —
+    * maintenance cost proportional to CHURN, not lake size, the same
+    * contract [[readIncremental]]/[[changeFeed]] give readers.
+    * Returns the number of freshly harvested rows.
+    */
+  def buildFileStatsIncremental(
+      spark: SparkSession, path: String, cols: Seq[String],
+      version: Option[Int] = None): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    val files = readManifest(spark, path, Some(v)).get.toSet
+    // newest older version that still has a sidecar to inherit from
+    val prev = manifestVersions(fs, root).map(_._1)
+      .filter(_ < v).sorted.reverse
+      .find(pv => fs.exists(new Path(root, s"$StatsPrefix$pv")))
+    val inherited = prev.toSeq.flatMap { pv =>
+      manifestLines(fs, new Path(root, s"$StatsPrefix$pv"))
+        .filter { l =>
+          val p = l.split('\t')
+          files.contains(p(0)) && cols.contains(p(1))
+        }
+    }
+    // churn = the manifest diff (readIncremental's contract): a file
+    // in the previous snapshot inherits its rows — including the
+    // legitimate absence of a row for a stats-less column, which a
+    // re-harvest would just re-discover
+    val prevFiles = prev.map(pv =>
+      readManifest(spark, path, Some(pv)).getOrElse(Seq.empty).toSet)
+      .getOrElse(Set.empty[String])
+    val fresh = harvestFooterStats(
+      spark, root.toString, (files -- prevFiles).toSeq.sorted, cols.toSet)
+    val target = new Path(root, s"$StatsPrefix$v")
+    val carried =
+      if (!fs.exists(target)) Seq.empty
+      else manifestLines(fs, target)
+        .filterNot(l => cols.contains(l.split('\t')(1)))
+    writeAtomic(fs, target,
+      (carried ++ inherited ++ fresh).mkString("", "\n", "\n"))
+    fresh.size
   }
 
   /** Executor-side footer harvest for one file: (file, col, type,

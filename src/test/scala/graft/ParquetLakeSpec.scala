@@ -697,6 +697,47 @@ class ParquetLakeSpec extends SparkSpec {
     }
   }
 
+  test("lk30: incremental stats harvest reads only churned footers; sidecar equals a full rebuild") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_inc_stats").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("ts_ms"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    ParquetLake.buildFileStats(spark, dir, Seq("ts_ms"))
+    // a merge touching ONE partition: most files carry verbatim
+    val one = ParquetLake.readManifested(spark, dir).limit(1)
+      .select("event_id", "user_id", "event_type", "ts_ms", "p_date").collect().head
+    val changes = Seq((one.getLong(0), one.getLong(1), "merged", one.getLong(3)))
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+      .withColumn("p_date", lit(one.getAs[Any]("p_date")))
+    val v2 = ParquetLake.mergeManifested(spark, dir, changes, keyCols = Seq("event_id"))
+    assert(v2 === v1 + 1)
+    val filesV2 = ParquetLake.readManifest(spark, dir, Some(v2)).get
+    val filesV1 = ParquetLake.readManifest(spark, dir, Some(v1)).get
+    val churn = filesV2.toSet -- filesV1.toSet
+    // incremental harvest touches exactly the churned files
+    val harvested = ParquetLake.buildFileStatsIncremental(spark, dir, Seq("ts_ms"))
+    assert(harvested === churn.size)
+    assert(harvested < filesV2.size)
+    // the incremental sidecar is indistinguishable from a full rebuild
+    val incrementalRead = ParquetLake.readManifestedPruned(
+      spark, dir, "ts_ms", Double.MinValue, Double.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    val incLines = scala.io.Source.fromFile(s"$dir/_graft_stats.v$v2").getLines().toSet
+    ParquetLake.buildFileStats(spark, dir, Seq("ts_ms"), version = Some(v2))
+    val fullLines = scala.io.Source.fromFile(s"$dir/_graft_stats.v$v2").getLines().toSet
+    assert(incLines === fullLines)
+    assert(incrementalRead === ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq)
+    // skipping still works through the incremental sidecar: rebuild it
+    // incrementally again and range-prune
+    ParquetLake.buildFileStatsIncremental(spark, dir, Seq("ts_ms"), version = Some(v2))
+    val lo = events(spark, sf).agg(min("ts_ms")).head().getLong(0) + 3L * 86400000L
+    val pruned = ParquetLake.readManifestedPruned(spark, dir, "ts_ms", lo, lo + 86400000L)
+    assert(pruned.inputFiles.length < filesV2.size)
+  }
+
   test("lk21: long stats stay exact above 2^53 — no Double-rounding skip of a matching file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stats_long").toString
