@@ -537,6 +537,32 @@ object Similarity {
       ParquetLake.readManifested(spark, s"$path/cells", cellsVersion))
   }
 
+  /** s12: IVF cell-balance report — the index-quality QC run before a
+    * serving release (pairs with [[ivfIndexSave]]): skewed cells mean
+    * probe cost varies wildly per query and a collapsed k-means fit
+    * (many empty cells, one giant cell) silently degrades recall at
+    * fixed nprobe. One aggregate over the nlist-sized occupancy
+    * relation — never the corpus: cells groupBy folds map-side, the
+    * summary is a single row. `imbalance` = max occupancy / ideal
+    * (n_vectors / nlist); 1.0 is perfect, ≥ nlist means collapse.
+    */
+  def cellBalance(index: IvfIndex): DataFrame = {
+    val nlist = index.centroids.count() // nlist-sized relation, bounded
+    index.cells.groupBy("c_id").agg(count(lit(1)).as("n"))
+      .agg(
+        lit(nlist).as("nlist"),
+        count(lit(1)).as("cells_used"),
+        (lit(nlist) - count(lit(1))).as("cells_empty"),
+        sum(col("n")).as("n_vectors"),
+        min(col("n")).as("min_occ"),
+        max(col("n")).as("max_occ"))
+      .select(
+        col("nlist"), col("cells_used"), col("cells_empty"),
+        col("n_vectors"), col("min_occ"), col("max_occ"),
+        round(col("max_occ") /
+          (col("n_vectors").cast("double") / col("nlist")), 4).as("imbalance"))
+  }
+
   /** IVF+PQ composite ANN — the FAISS-style index shape an actual
     * 100 TB deployment runs: an IVF coarse quantizer prunes the
     * corpus to each query's `nprobe` nearest cells (~nprobe/nlist of

@@ -73,6 +73,12 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // IVF index-quality QC: cell-occupancy balance summary over the
+    // nlist-sized relation (no oracle: Lloyd fp averaging, like s3)
+    "s12_cell_balance" -> ((s, dir) =>
+      Similarity.cellBalance(
+        Similarity.ivfIndexBuild(table(s, dir, "embeddings"), "embedding", "vec_id"))),
+
     // embedding-space label diagnostics: k-means cells scored against
     // the ground-truth label column — members, majority label, purity
     // per cell (no oracle: Lloyd fp averaging, like s3/s4; the

@@ -85,6 +85,36 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfIndexLoad(spark, dir).cells.count() === emb.count() / 2)
   }
 
+  test("s12: cell-balance report is consistent, deterministic, and detects a collapsed index") {
+    val ix = Similarity.ivfIndexBuild(emb, "embedding", "vec_id")
+    val r = Similarity.cellBalance(ix).collect().head
+    val (nlist, used, empty, nVec, minOcc, maxOcc, imb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    assert(nVec === emb.count())
+    assert(used + empty === nlist)
+    assert(minOcc >= 1 && maxOcc >= minOcc)
+    assert(imb >= 1.0 - 1e-9)
+    // deterministic across runs (same seeding, same fold)
+    val again = Similarity.cellBalance(
+      Similarity.ivfIndexBuild(emb, "embedding", "vec_id")).collect().head
+    assert(again.toString === r.toString)
+    // a degenerate corpus (every vector identical) collapses into one
+    // cell and the report says so loudly
+    val oneVec = emb.limit(1).select(col("embedding")).head.getSeq[Float](0)
+    val clones = spark.range(0, 64).select(
+      col("id").as("vec_id"),
+      typedLit(oneVec).as("embedding"))
+    val deg = Similarity.cellBalance(
+      Similarity.ivfIndexBuild(clones, "embedding", "vec_id", nlist = 8))
+      .collect().head
+    // collapse is loud either way: one live cell holding everything,
+    // and the centroid fit itself shrank far below the requested 8
+    assert(deg.getLong(1) === 1L) // one cell used
+    assert(deg.getLong(5) === 64L) // ...holding every vector
+    assert(deg.getLong(0) < 8L) // requested nlist not even reachable
+  }
+
   test("s4: PQ ANN achieves reasonable recall, exact scores on survivors") {
     val exactDf = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     val exact = exactDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
