@@ -287,4 +287,51 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("d19: incremental exact dedup reads only (doc_id, text); no cartesian; equi-joins on fingerprint") {
+    val p = plan("d19_incremental_exact")
+    // both scans prune to the two referenced columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // text never crosses a shuffle: no Exchange carries the text column
+    val exchanges = exchangeSections(p)
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n---\n"))
+  }
+
+  /** FormattedMode node sections for shuffle Exchanges: "(k) Exchange"
+    * through the next node header — the Input line lists the carried
+    * columns.
+    */
+  private def exchangeSections(p: String): Seq[String] =
+    p.split("\n\\(").toSeq
+      .filter(s => s.matches("(?s)\\d+\\) Exchange\\n.*") &&
+        s.contains("hashpartitioning"))
+
+  test("t26: bigram relation materializes once — no tokenization in the visible plan; no cartesian join") {
+    val p = plan("t26_bigram_lm")
+    // the checkpointed bigram leaf replaces every re-explode: the
+    // tokenize pipeline (regexp_replace) must not appear anywhere
+    assert(p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.toLowerCase.contains("regexp_replace"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("s10: the pair histogram is the d5 block join feeding a tiny aggregate — no cartesian, no window") {
+    val p = plan("s10_sim_histogram")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // the histogram aggregate partial-combines map-side
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("m8: chunk near-dup pairs shuffle fingerprints only — payload bytes never cross an exchange") {
+    val p = plan("m8_cdc_neardup")
+    val exchanges = exchangeSections(p)
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload#")), exchanges.mkString("\n---\n"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
