@@ -222,6 +222,21 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // forward as-of join: each error's NEXT click at/after it — the
+    // time-to-next-action / lead-time-label primitive; q13's mirror
+    // (same single-shuffle union+window, descending traversal)
+    "q48_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts_ns", "ts_ms")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin
+        .firstAfter(errors, clicks, "user_id", "ts_ns", "ts_ns", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("click_id").as("next_click_id"))
+        .orderBy("event_id")
+    }),
+
     // band (interval) join with NO equi key: clicks within the 60s
     // before each error — bucketized to a shuffle equi-join (see
     // RangeJoin) instead of the O(L×R) nested-loop a naive plan runs
@@ -1437,6 +1452,17 @@ object AnalyticsQueries {
         |)
         |SELECT l.event_id, l.user_id, l.ts_ms, r.click_id AS last_click_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tns >= r.tns
+        |ORDER BY l.event_id""".stripMargin,
+    "q48_asof_forward" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS tns, epoch_ms(ts::TIMESTAMP) AS ts_ms
+        |  FROM events WHERE event_type = 'error'
+        |), r AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, min(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.ts_ms, r.click_id AS next_click_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tns <= r.tns
         |ORDER BY l.event_id""".stripMargin,
     "q14_range_join" ->
       """WITH e AS (

@@ -382,6 +382,43 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // skip-gram co-occurrence + PMI: the word2vec-style association
+    // table (forward window ±2) — top-pairs-by-PMI is the
+    // collocation/templating QC a corpus report runs (boilerplate
+    // shows as impossibly-high-PMI pairs). Pair derivation is narrow
+    // (two shifted transforms per doc, no window function); counts
+    // are exact longs; PMI's doubles are the same IEEE expression
+    // both engines; the top-40 cut is orderBy+limit
+    // (TakeOrderedAndProject — map-side partial top-k, the a6 shape).
+    "t27_pmi_cooc" -> ((s, dir) => {
+      val toks = table(s, dir, "documents").select(T.tokens(col("text")).as("t"))
+      def shifted(d: Int) = toks.where(size(col("t")) > d)
+        .select(explode(expr(
+          s"transform(sequence(1, size(t) - $d), i -> struct(element_at(t, i) AS w1, element_at(t, i + $d) AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pairs = shifted(1).unionAll(shifted(2)).localCheckpoint(eager = false)
+      val uni = table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val totals = broadcast(
+        uni.agg(sum(col("c")).as("n_tok"))
+          .crossJoin(pairs.agg(count(lit(1)).as("n_pair"))))
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 30)
+        .join(uni.toDF("w1", "c1"), Seq("w1"))
+        .join(uni.toDF("w2", "c2"), Seq("w2"))
+        .crossJoin(totals)
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(
+            (col("c12") * lit(1.0) / col("n_pair")) /
+              ((col("c1") * lit(1.0) / col("n_tok")) *
+                (col("c2") * lit(1.0) / col("n_tok")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(40)
+    }),
+
     // training-window chunking: split each doc into 64-token windows
     // with stride 48 (16-token overlap) — the seq-len shaping step
     // before packing. Narrow explode per doc, no shuffle.
@@ -944,6 +981,31 @@ object TextQueries {
         |SELECT source, cum_before // 2048 AS bin, count(*) AS n_docs,
         |sum(n_tok)::BIGINT AS n_tokens, min(doc_id) AS first_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same two shifted pair derivations; PMI written as the identical
+    // double expression; top-40 by (pmi DESC, w1, w2)
+    "t27_pmi_cooc" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |), p1 AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks WHERE len(t) > 1)
+        |), p2 AS (
+        |  SELECT t[i] AS w1, t[i+2] AS w2
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks WHERE len(t) > 2)
+        |), pairs AS (
+        |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT sum(c)::BIGINT FROM uni) AS n_tok, (SELECT count(*) FROM pairs) AS n_pair
+        |), cp AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2 HAVING count(*) >= 30
+        |)
+        |SELECT w1, w2, c12,
+        |round(ln((c12 * 1.0 / n_pair) / ((u1.c * 1.0 / n_tok) * (u2.c * 1.0 / n_tok))), 4) AS pmi
+        |FROM cp JOIN uni u1 ON cp.w1 = u1.w JOIN uni u2 ON cp.w2 = u2.w CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
     // bigram replay: t[i-1]/t[i] via an index unnest; (c2+1.0)/(c1+v)
     // is the same double division on the same exact longs both sides
     "t26_bigram_lm" ->
