@@ -864,6 +864,45 @@ object ParquetLake {
     fresh.size
   }
 
+  /** lk31: exact row count from parquet FOOTERS only — `count(*)`
+    * answered without touching a single data page. Every parquet
+    * footer records its row-group row counts, and a manifested
+    * snapshot is an exact file list, so the count is the distributed
+    * sum of per-file footer totals: ~KBs of metadata per file instead
+    * of a lake scan, and it works for any retained version (the
+    * audit/report query a 100 TB lake answers hourly). The same
+    * distributed-harvest shape as [[buildFileStats]].
+    */
+  def countManifested(
+      spark: SparkSession, path: String, version: Option[Int] = None): Long = {
+    val (fs, root) = fsFor(spark, path)
+    val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    val files = readManifest(spark, path, Some(v)).get
+    if (files.isEmpty) return 0L
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val rootStr = root.toString
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { it =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, vl) => conf.set(k, vl) }
+        it.map { f =>
+          val p = new org.apache.hadoop.fs.Path(rootStr, f)
+          val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+          try rd.getRecordCount finally rd.close()
+        }
+      }
+      .sum().toLong
+  }
+
   /** Executor-side footer harvest for one file: (file, col, type,
     * min, max) TSV rows for the requested columns. Row-group chunk
     * stats aggregate to one per-file range; a column whose chunks

@@ -535,6 +535,10 @@ object LogStream {
       .outputMode("append")
       .start()
 
+  case class AsOfIn(userId: Long, tsNs: Long, side: Int, id: Long)
+  case class LatestRight(tsNs: Long, id: Long)
+  case class AsOfOut(userId: Long, tsNs: Long, eventId: Long, lastRightId: Option[Long])
+
   case class ValueIn(userId: Long, tsNs: Long, value: Double)
   case class WelfordState(n: Long, mean: Double, m2: Double)
   case class AnomalyOut(
@@ -626,6 +630,48 @@ object LogStream {
             SessionOut(uid, s.startNs / 1000000L, s.endNs / 1000000L, s.n))
           merged.lastOption.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** st26: streaming as-of enrichment — the stateful latest-value
+    * join, q13's streaming twin: probe events (side 1) and reference
+    * updates (side 0) arrive as ONE keyed stream, each key's state is
+    * the single latest reference row seen, and every probe emits with
+    * the reference value current as of its time (equal timestamps:
+    * reference first, ties to the max id — exactly
+    * AsOfJoin.lastBefore's reduction). The feature-store lookup shape:
+    * state per key is O(1) — one (ts, id) pair — not a buffered
+    * window of history, so total state is bounded by the keyspace the
+    * way st5's broadcast dim never is by a CHANGING dimension.
+    *
+    * Determinism contract (st25's): batch-local event-time sort,
+    * batches in arrival order — exact replay under per-key
+    * time-ordered delivery, and running the SAME operator on the
+    * static union is the batch twin (the spec pins it to
+    * q13_asof_join's output row-for-row).
+    */
+  def streamAsOf(events: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LatestRight, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AsOfIn], state: GroupState[LatestRight]) =>
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          // reference (side 0) sorts before probes at equal ts →
+          // inclusive as-of; equal-ts references resolve to max id
+          it.toArray.sortBy(e => (e.tsNs, e.side, e.id)).foreach { e =>
+            if (e.side == 0) {
+              if (cur == null || e.tsNs > cur.tsNs ||
+                  (e.tsNs == cur.tsNs && e.id >= cur.id))
+                cur = LatestRight(e.tsNs, e.id)
+            } else {
+              out += AsOfOut(uid, e.tsNs, e.id, Option(cur).map(_.id))
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
       }
   }
 

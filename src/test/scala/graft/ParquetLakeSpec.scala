@@ -738,6 +738,22 @@ class ParquetLakeSpec extends SparkSpec {
     assert(pruned.inputFiles.length < filesV2.size)
   }
 
+  test("lk31: footer-only count matches the scan count for every retained version") {
+    val dir = fragmentedLake()
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    assert(ParquetLake.countManifested(spark, dir)
+      === ParquetLake.readManifested(spark, dir).count())
+    // a delete changes the head count; the old version still counts
+    val v2 = ParquetLake.deleteManifested(spark, dir, col("event_id") % 3 === 0)
+    assert(v2 === v1 + 1)
+    assert(ParquetLake.countManifested(spark, dir)
+      === ParquetLake.readManifested(spark, dir).count())
+    assert(ParquetLake.countManifested(spark, dir, Some(v1))
+      === ParquetLake.readManifested(spark, dir, Some(v1)).count())
+    assert(ParquetLake.countManifested(spark, dir, Some(v1))
+      > ParquetLake.countManifested(spark, dir, Some(v2)))
+  }
+
   test("lk21: long stats stay exact above 2^53 — no Double-rounding skip of a matching file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stats_long").toString

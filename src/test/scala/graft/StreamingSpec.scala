@@ -863,6 +863,55 @@ class StreamingSpec extends SparkSpec {
     assert(out.sortBy(t => (t._1, t._2)).toSeq === batch.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  private def st26Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_asof_in").toString
+    // the q13 fixture as one keyed stream: clicks = reference side 0,
+    // errors = probe side 1; split into two batches at the median ts
+    // (per-key time-ordered delivery, the operator's replay contract)
+    val ev = events(spark, sf)
+      .where(col("event_type").isin("click", "error"))
+      .select(col("user_id").as("userId"), col("ts_ns").as("tsNs"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        col("event_id").as("id"))
+    val cut = ev.agg(expr("percentile_approx(tsNs, 0.5)")).head().getLong(0)
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      ev.where(f).write.mode(mode).parquet(inDir)
+    writeIn(col("tsNs") <= cut, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsNs", LongType),
+        StructField("side", IntegerType), StructField("id", LongType))))
+      .parquet(inDir)
+      .as[LogStream.AsOfIn]
+    val q = LogStream.streamAsOf(stream)
+      .writeStream.format("memory").queryName(s"st26_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("tsNs") > cut, SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(s"st26_out$tag")
+      .select("eventId", "lastRightId")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    // row-for-row parity with the oracle-checked batch as-of join
+    val batch = SparkEntry.queries("q13_asof_join")(spark, sf)
+      .select("event_id", "last_click_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(out.size === batch.size)
+    assert(out === batch)
+  }
+
+  test("st26: streaming as-of enrichment matches batch q13 row-for-row across micro-batches") {
+    st26Body("")
+  }
+
+  test("st26 (rocksdb): streaming as-of under the RocksDB state store") {
+    withRocksDb(st26Body("_rdb"))
+  }
+
   test("st25: streaming Welford z-score gate flags the planted spike; exact batch parity across micro-batches") {
     st25Body("")
   }
