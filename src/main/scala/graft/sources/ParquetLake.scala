@@ -689,6 +689,40 @@ object ParquetLake {
   }
 
   // ---------------------------------------------------------------
+  // lk32: partition-spec evolution.
+
+  /** Rewrite the CURRENT snapshot under a NEW partition column as one
+    * atomic commit — partition-spec evolution, the fix when the
+    * original layout stops matching the dominant query key (a lake
+    * partitioned by ingest date being range-read by tenant, say).
+    * `partCol` must be a column of the snapshot (partition columns of
+    * the OLD layout materialize into the data files, so nothing is
+    * lost). The rewrite stages through the WAP machinery — new files
+    * land invisibly under `partCol=...` directories — and one CAS
+    * full-replace manifest commit flips the snapshot; concurrent
+    * commits conflict loudly (a full rewrite cannot rebase a
+    * concurrent delta — re-run against the new head). Every older
+    * version keeps reading its own layout: the manifest's relative
+    * paths make mixed layouts across versions a non-event, and
+    * directory pruning on the new column starts working for every
+    * reader of the new head.
+    */
+  def repartitionManifested(
+      spark: SparkSession, path: String, partCol: String): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val base = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val snap = readManifested(spark, path, Some(base))
+    require(snap.columns.contains(partCol),
+      s"partition-evolution column '$partCol' is not a column of the snapshot " +
+        s"(${snap.columns.mkString(", ")})")
+    val stage = s"evolve_${java.util.UUID.randomUUID().toString.take(8)}"
+    val files = stageAppend(spark, path, snap, stage, Some(partCol))
+    try commitManifest(spark, path, files, Some(base))
+    finally abandonStaged(spark, path, stage)
+  }
+
+  // ---------------------------------------------------------------
   // lk28: lake health report — the compaction planner's input.
 
   /** Read-only lake health report over the CURRENT snapshot: one row

@@ -738,6 +738,37 @@ class ParquetLakeSpec extends SparkSpec {
     assert(pruned.inputFiles.length < filesV2.size)
   }
 
+  test("lk32: partition evolution rewrites the head under a new key atomically; old versions keep their layout") {
+    val dir = fragmentedLake() // partitioned by p_date
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val cols = ParquetLake.readManifested(spark, dir).columns.sorted
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted.toSeq
+    val golden = rows(ParquetLake.readManifested(spark, dir))
+    val v2 = ParquetLake.repartitionManifested(spark, dir, "event_type")
+    assert(v2 === v1 + 1)
+    // same rows, including the OLD partition column's values
+    assert(rows(ParquetLake.readManifested(spark, dir)) === golden)
+    // the new head lives entirely under event_type= directories
+    val headFiles = ParquetLake.readManifest(spark, dir, Some(v2)).get
+    assert(headFiles.forall(_.startsWith("event_type=")), headFiles.take(3).mkString(","))
+    // the old version still reads its own p_date layout
+    assert(rows(ParquetLake.readManifested(spark, dir, Some(v1))) === golden)
+    assert(ParquetLake.readManifest(spark, dir, Some(v1)).get
+      .forall(_.startsWith("p_date=")))
+    // directory pruning now works on the NEW key
+    val pruned = ParquetLake.readManifested(spark, dir)
+      .where(col("event_type") === "error")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(1500))
+    assert(pruned.count() ===
+      ParquetLake.readManifested(spark, dir, Some(v1))
+        .where(col("event_type") === "error").count())
+    // no stray staging refs or orphans left behind
+    assert(ParquetLake.stagedManifests(spark, dir).isEmpty)
+    assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
+  }
+
   test("lk31: footer-only count matches the scan count for every retained version") {
     val dir = fragmentedLake()
     val v1 = ParquetLake.snapshotManifest(spark, dir)
