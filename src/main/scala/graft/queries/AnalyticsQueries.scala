@@ -222,6 +222,21 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // multiple exact count-distincts in one result WITHOUT Expand:
+    // Spark's native multi-distinct plan multiplies every fact row by
+    // the number of distinct aggregates (Expand) before the shuffle —
+    // at 100 TB that's k× the shuffle bytes. Decomposed: each
+    // distinct is its own pre-deduped aggregate (map-side partial
+    // dedup on (group, key)), joined on the group-sized result.
+    "q49_multi_distinct" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def dc(c: String, as: String) = li.select(col("l_returnflag"), col(c))
+        .distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      dc("l_suppkey", "n_supp").join(dc("l_partkey", "n_part"), "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
+
     // forward as-of join: each error's NEXT click at/after it — the
     // time-to-next-action / lead-time-label primitive; q13's mirror
     // (same single-shuffle union+window, descending traversal)
@@ -1453,6 +1468,10 @@ object AnalyticsQueries {
         |SELECT l.event_id, l.user_id, l.ts_ms, r.click_id AS last_click_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tns >= r.tns
         |ORDER BY l.event_id""".stripMargin,
+    "q49_multi_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q48_asof_forward" ->
       """WITH l AS (
         |  SELECT event_id, user_id, epoch_ns(ts) AS tns, epoch_ms(ts::TIMESTAMP) AS ts_ms

@@ -26,6 +26,21 @@ object MultimodalQueries {
         .withColumn("frame_len", col("frame_len").cast("long"))
         .orderBy("id", "frame_idx")),
 
+    // frame-grain exact dedup: repeated fixed-size frames across the
+    // whole binary corpus (m2's frames × d1's fingerprint groupBy) —
+    // the storage/compute saving scan before re-encoding a video
+    // corpus; only frame hashes shuffle, never bytes
+    "m9_frame_dedup" -> ((s, dir) =>
+      BinaryOps.sampleFrames(
+        table(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "payload", "doc_id", stride = 1)
+        .groupBy("frame_feature")
+        .agg(count(lit(1)).as("n_occ"),
+          count_distinct(col("id")).as("n_docs"),
+          min(col("id")).as("first_doc"))
+        .where(col("n_occ") > 1)
+        .orderBy("frame_feature")),
+
     // binary near-dup fingerprints: SimHash over byte-4-grams of the
     // payload (engine-specific hash → rows-only + MultimodalSpec m4)
     "m4_binary_simhash" -> ((s, dir) =>
@@ -163,6 +178,16 @@ object MultimodalQueries {
         |list_sum(ql)::BIGINT AS q_sum,
         |md5(array_to_string(list_transform(ql, x -> x::VARCHAR), ',')) AS q_md5
         |FROM q ORDER BY vec_id""".stripMargin,
+    "m9_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id, text, (octet_length(text::BLOB) + 255) // 256 AS n_frames FROM documents
+        |), fr AS (
+        |  SELECT id, unnest(generate_series(0, n_frames - 1, 1)) AS frame_idx, text FROM f
+        |), fx AS (
+        |  SELECT id, md5(substring(text, (frame_idx * 256 + 1)::INT, 256)) AS frame_feature FROM fr
+        |)
+        |SELECT frame_feature, count(*) AS n_occ, count(DISTINCT id) AS n_docs, min(id) AS first_doc
+        |FROM fx GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
     "m2_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id AS id, text, (octet_length(text::BLOB) + 255) // 256 AS n_frames FROM documents
