@@ -92,4 +92,68 @@ class ConcurrencySpec extends SparkSpec {
       ()
     }
   }
+
+  test("lk27 stress: racing staged publishes and a concurrent merge all land; nothing lost, nothing torn") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    import graft.sources.ParquetLake
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap_stress").toString
+    ParquetLake.writePartitioned(
+      graft.queries.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir)
+    val baseCount = base.count()
+    val pdType = base.schema("p_date").dataType
+    // three stagers write disjoint batches invisibly
+    val stagedCounts = (1 to 3).map { w =>
+      val batch = base.where(col("event_id") % 3 === w - 1)
+        .withColumn("event_id", col("event_id") + w * 10000000L)
+      ParquetLake.stageAppend(spark, dir, batch, s"wap-$w", Some("p_date"))
+      w -> batch.count()
+    }.toMap
+    assert(ParquetLake.readManifested(spark, dir).count() === baseCount)
+    // all three publish concurrently while a merge races them
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val pubs = (1 to 3).map { w =>
+        pool.submit(new Callable[Int] {
+          override def call(): Int = {
+            gate.await()
+            ParquetLake.publishStaged(spark, dir, s"wap-$w", maxRetries = 32)
+          }
+        })
+      }
+      val merger = pool.submit(new Callable[Int] {
+        override def call(): Int = {
+          gate.await()
+          val one = base.limit(1)
+            .select("event_id", "user_id", "event_type", "ts_ms", "p_date").collect().head
+          val change = Seq((one.getLong(0), one.getLong(1), "merged", one.getLong(3)))
+            .toDF("event_id", "user_id", "event_type", "ts_ms")
+            .withColumn("p_date", lit(one.getAs[Any]("p_date")).cast(pdType))
+          ParquetLake.mergeManifested(spark, dir, change,
+            keyCols = Seq("event_id"), maxRetries = 32)
+        }
+      })
+      gate.countDown()
+      val versions = pubs.map(_.get(180, TimeUnit.SECONDS)) :+ merger.get(180, TimeUnit.SECONDS)
+      assert(versions.toSet.size === 4, s"versions: $versions")
+      // every staged batch landed in full, the merge's edit too
+      val finalDf = ParquetLake.readManifested(spark, dir)
+      assert(finalDf.count() === baseCount + stagedCounts.values.sum)
+      (1 to 3).foreach { w =>
+        assert(finalDf.where(col("event_id") >= w * 10000000L &&
+          col("event_id") < (w + 1) * 10000000L).count() === stagedCounts(w))
+      }
+      assert(finalDf.where(col("event_type") === "merged").count() === 1)
+      assert(ParquetLake.stagedManifests(spark, dir).isEmpty)
+      assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
+    } finally {
+      pool.shutdownNow()
+      ()
+    }
+  }
 }
