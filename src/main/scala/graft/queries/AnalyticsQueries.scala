@@ -1142,6 +1142,9 @@ object AnalyticsQueries {
       val med = graft.operators.Percentiles
         .exact(li, "l_extendedprice", Seq("l_returnflag"), Seq(0.5))
         .select(col("l_returnflag"), col("p50").as("med"))
+      // NOT checkpointed: the narrow scan+broadcast-join recompute is
+      // cheaper than materializing the fact-sized dev relation
+      // (measured 4.2s recompute vs 5.2s checkpointed at sf0.1)
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("adev", abs(col("l_extendedprice") - col("med")))
       val mad = graft.operators.Percentiles
