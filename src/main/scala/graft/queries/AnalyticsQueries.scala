@@ -222,6 +222,23 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // exact per-group MODE with a deterministic tie-break (highest
+    // count, then lowest value) — two map-side-combined aggregates,
+    // no window over fact rows: the value-count relation is
+    // group×distinct-value-sized, and the argmax is a lexicographic
+    // struct max over it
+    "q50_group_mode" -> ((s, dir) => {
+      val cnt = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy("l_returnflag")
+        .agg(max(struct(col("n"), (col("l_quantity") * -1).as("negq"))).as("m"))
+        .select(col("l_returnflag"),
+          (col("m.negq") * -1).as("mode_qty"),
+          col("m.n").as("n_occ"))
+        .orderBy("l_returnflag")
+    }),
+
     // multiple exact count-distincts in one result WITHOUT Expand:
     // Spark's native multi-distinct plan multiplies every fact row by
     // the number of distinct aggregates (Expand) before the shuffle —
@@ -1471,6 +1488,13 @@ object AnalyticsQueries {
         |SELECT l.event_id, l.user_id, l.ts_ms, r.click_id AS last_click_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tns >= r.tns
         |ORDER BY l.event_id""".stripMargin,
+    "q50_group_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occ FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn FROM c
+        |) WHERE rn = 1 ORDER BY 1""".stripMargin,
     "q49_multi_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |count(DISTINCT l_partkey) AS n_part

@@ -17,9 +17,12 @@ class ConcurrencySpec extends SparkSpec {
     // encoder with per-partition digest state; s6 a salted
     // checkpointed self-join
     "d9_decontaminate_bloom", "q26_retention_cohorts", "d10_semdedup",
-    "t18_dsir_sample", "m5_embed_batched", "s6_knn_join")
+    "t18_dsir_sample", "m5_embed_batched", "s6_knn_join",
+    // session-2 additions: t26's checkpointed bigram relation, d20's
+    // inverted-index pair join, s10's sampled block-matrix histogram
+    "t26_bigram_lm", "d20_containment", "s10_sim_histogram")
 
-  test("twelve queries running concurrently match their serial results") {
+  test("fifteen queries running concurrently match their serial results") {
     import java.util.concurrent.{Callable, Executors, TimeUnit}
     val serial = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq).toMap
