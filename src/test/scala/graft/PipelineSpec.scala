@@ -80,4 +80,60 @@ class PipelineSpec extends SparkSpec {
     val reread = spark.read.parquet(exportDir)
     assert(reread.select("doc_id").distinct().count() === counts.getOrElse("train", 0L))
   }
+
+  test("pipeline_wap: stage → audit-reject → re-stage → publish → incremental stats → pruned reads → health → incremental consume") {
+    import java.nio.file.Files
+    import graft.sources.ParquetLake
+    import graft.queries.events
+    // the running lake: one committed snapshot with footer stats
+    val dir = Files.createTempDirectory("graft_pipe_lake").toString
+    ParquetLake.writePartitioned(
+      events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Seq("ts_ms"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    ParquetLake.buildFileStats(spark, dir, Seq("ts_ms"))
+    val baseCount = ParquetLake.countManifested(spark, dir)
+    // W: tonight's batch arrives with corrupt rows (negative ts)
+    val base = ParquetLake.readManifested(spark, dir)
+    val good = base.where(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + 50000000L)
+    val bad = good.limit(7).withColumn("ts_ms", lit(-1L))
+    ParquetLake.stageAppend(spark, dir, good.unionByName(bad), "nightly", Some("p_date"))
+    // A: the audit catches the corrupt rows while readers see nothing
+    val audited = ParquetLake.readStaged(spark, dir, "nightly")
+    assert(audited.where(col("ts_ms") < 0).count() === 7)
+    assert(ParquetLake.countManifested(spark, dir) === baseCount)
+    // reject: abandon, re-stage the cleaned batch, audit passes
+    ParquetLake.abandonStaged(spark, dir, "nightly")
+    ParquetLake.stageAppend(spark, dir, good, "nightly", Some("p_date"))
+    assert(ParquetLake.readStaged(spark, dir, "nightly")
+      .where(col("ts_ms") < 0).count() === 0)
+    // P: one atomic flip
+    val v2 = ParquetLake.publishStaged(spark, dir, "nightly")
+    assert(v2 > v1)
+    val goodCount = good.count()
+    assert(ParquetLake.countManifested(spark, dir) === baseCount + goodCount)
+    // maintenance proportional to churn: only the staged files harvest
+    val churn = (ParquetLake.readManifest(spark, dir, Some(v2)).get.toSet --
+      ParquetLake.readManifest(spark, dir, Some(v1)).get.toSet).size
+    assert(ParquetLake.buildFileStatsIncremental(spark, dir, Seq("ts_ms")) === churn)
+    // reads keep their contracts through the new version
+    val lo = events(spark, sf).agg(min("ts_ms")).head().getLong(0) + 3L * 86400000L
+    val hi = lo + 2L * 86400000L
+    val pruned = ParquetLake.readManifestedPruned(spark, dir, "ts_ms", lo, hi)
+    assert(pruned.collect().map(_.toString).sorted.toSeq ===
+      ParquetLake.readManifested(spark, dir)
+        .where(col("ts_ms").between(lo, hi))
+        .collect().map(_.toString).sorted.toSeq)
+    // the health report drives compaction; contracts survive it
+    val flagged = ParquetLake.lakeHealth(spark, dir)
+      .where(col("needs_compaction")).count()
+    assert(flagged > 0) // the append fragmented partitions
+    ParquetLake.compactManifested(spark, dir, targetFileBytes = 1L << 30)
+    assert(ParquetLake.countManifested(spark, dir) === baseCount + goodCount)
+    assert(ParquetLake.lakeHealth(spark, dir)
+      .where(col("needs_compaction")).count() === 0)
+    // a downstream incremental consumer sees exactly the nightly rows
+    assert(ParquetLake.readIncremental(spark, dir, v1, Some(v2)).count() === goodCount)
+  }
 }
