@@ -573,7 +573,8 @@ object ParquetLake {
     */
   def stageAppend(
       spark: SparkSession, path: String, df: DataFrame, stage: String,
-      partCol: Option[String] = None): Seq[String] = {
+      partCol: Option[String] = None,
+      allowEvolution: Boolean = false): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -581,6 +582,40 @@ object ParquetLake {
     if (fs.exists(ref))
       throw new IllegalStateException(
         s"stage '$stage' already exists under $path; publish or abandon it first")
+    // lk33: schema ENFORCEMENT at the append gate — a lake that
+    // accepts any shape eventually can't read itself. Against the
+    // current snapshot: every existing column must arrive with the
+    // SAME type (a type flip would poison mixed-file reads), no
+    // existing column may be silently dropped (a default
+    // readManifested samples one footer — files missing columns make
+    // the visible schema depend on which file Spark sampled), and
+    // NEW columns are additive evolution, which must be asked for
+    // (`allowEvolution = true`, read back via mergeSchema — lk17).
+    readManifest(spark, path, None).filter(_.nonEmpty).foreach { files =>
+      val current = spark.read.option("basePath", path)
+        .option("mergeSchema", true)
+        .parquet(files.map(f => s"$path/$f"): _*).schema
+      val incoming = df.schema
+      current.fields.foreach { f =>
+        incoming.fields.find(_.name == f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"stageAppend schema violation: column '${f.name}' of the snapshot " +
+              s"is missing from the staged batch (files missing columns make " +
+              s"reads sample-dependent); supply it, null-filled if needed")
+          case Some(in) if in.dataType != f.dataType =>
+            throw new IllegalArgumentException(
+              s"stageAppend schema violation: column '${f.name}' is " +
+                s"${f.dataType.simpleString} in the snapshot but " +
+                s"${in.dataType.simpleString} in the staged batch")
+          case _ => ()
+        }
+      }
+      val extras = incoming.fields.map(_.name).toSet -- current.fields.map(_.name).toSet
+      if (extras.nonEmpty && !allowEvolution)
+        throw new IllegalArgumentException(
+          s"stageAppend schema violation: new column(s) ${extras.mkString(", ")} " +
+            "need allowEvolution = true (additive schema evolution, lk17)")
+    }
     val aside = new Path(root, s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
     val moved: Seq[String] = partCol match {
       case Some(pc) =>

@@ -956,6 +956,40 @@ class ParquetLakeSpec extends SparkSpec {
     assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
   }
 
+  test("lk33: the append gate enforces the snapshot schema; evolution is explicit opt-in") {
+    val dir = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir)
+    val batch = base.where(col("event_id") % 9 === 0)
+      .withColumn("event_id", col("event_id") + 30000000L)
+    // a type flip on an existing column is rejected loudly
+    val flipped = batch.withColumn("event_type", lit(7))
+    val e1 = intercept[IllegalArgumentException] {
+      ParquetLake.stageAppend(spark, dir, flipped, "bad-type", Some("p_date"))
+    }
+    assert(e1.getMessage.contains("event_type"))
+    // dropping a snapshot column is rejected (sample-dependent reads)
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetLake.stageAppend(spark, dir, batch.drop("user_id"), "bad-drop", Some("p_date"))
+    }
+    assert(e2.getMessage.contains("user_id"))
+    // a new column needs the explicit evolution flag…
+    val widened = batch.withColumn("source", lit("crawl-7"))
+    val e3 = intercept[IllegalArgumentException] {
+      ParquetLake.stageAppend(spark, dir, widened, "bad-extra", Some("p_date"))
+    }
+    assert(e3.getMessage.contains("allowEvolution"))
+    // …and with it, the lake evolves additively (lk17 semantics)
+    assert(ParquetLake.stagedManifests(spark, dir).isEmpty) // nothing leaked
+    ParquetLake.stageAppend(spark, dir, widened, "evolve", Some("p_date"),
+      allowEvolution = true)
+    ParquetLake.publishStaged(spark, dir, "evolve")
+    val evolved = ParquetLake.readManifested(spark, dir, mergeSchema = true)
+    assert(evolved.columns.contains("source"))
+    assert(evolved.where(col("source").isNull).count() === base.count())
+    assert(evolved.where(col("source") === "crawl-7").count() === widened.count())
+  }
+
   test("lk28: lake health report flags fragmented partitions from metadata only; compaction clears them") {
     val dir = fragmentedLake() // 4 appends × repartition(2) per date
     ParquetLake.snapshotManifest(spark, dir)
