@@ -633,6 +633,20 @@ object LogStream {
       }
   }
 
+  /** st27: streaming deterministic mixture sampling — the continuous
+    * face of the batch t7 gate: each row keeps iff its id's md5
+    * bucket (0–99) falls under `keepPct` (any per-row expression —
+    * per-source weights, quality-tiered rates). Stateless and
+    * map-side: no RNG, no state store, no shuffle — a doc meets the
+    * same fate in a batch job, a streaming gate, or a replay, which
+    * is what makes downstream mixture ratios reproducible when the
+    * same corpus arrives through different paths.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, keepPct: Column): DataFrame =
+    df.where(
+      conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100 < keepPct)
+
   /** st26: streaming as-of enrichment — the stateful latest-value
     * join, q13's streaming twin: probe events (side 1) and reference
     * updates (side 0) arrive as ONE keyed stream, each key's state is

@@ -904,6 +904,42 @@ class StreamingSpec extends SparkSpec {
     assert(out === batch)
   }
 
+  test("st27: streaming mixture sampling keeps exactly the batch gate's docs across micro-batches") {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_mix_in").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source")
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      docs.where(f).write.mode(mode).parquet(inDir)
+    writeIn(col("doc_id") < 250, SaveMode.Overwrite)
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    val keepPct = when(srcNum % 2 === 0, 30L).otherwise(70L)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType))))
+      .parquet(inDir)
+    val q = LogStream.mixtureSample(stream, "doc_id", keepPct)
+      .writeStream.format("memory").queryName("st27_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("doc_id") >= 250, SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st27_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // identical keep set to the batch gate (same operator, batch df)
+    val batchKept = LogStream.mixtureSample(docs, "doc_id", keepPct)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batchKept)
+    // and per-source counts equal the oracle-checked t7 accounting
+    val t7 = SparkEntry.queries("t7_mixture_sample")(spark, sf)
+      .select("source", "n_kept")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = spark.table("st27_out").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource === t7.filter(_._2 > 0))
+  }
+
   test("st26: streaming as-of enrichment matches batch q13 row-for-row across micro-batches") {
     st26Body("")
   }
