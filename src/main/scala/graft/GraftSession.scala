@@ -15,34 +15,38 @@ import graft.functions.{CosineSimilarity, DotProduct, GunzipBytes, GzipBytes, Si
   * [[ensureRegistered]] so a plain driver-created SparkSession works.
   */
 object GraftSession {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** The SQL surface: name → expression builder. One list feeds both
+    * registration paths — [[ensureRegistered]] (operators self-register
+    * into whatever session they run in) and [[GraftExtensions]] (the
+    * `spark.sql.extensions` deployment hook).
+    *
+    * The bloom pair exposes Spark's runtime-filter expressions, which
+    * are not in the public registry, for explicit bloom prefilters
+    * (d9, st19, lk29). The agg takes xxhash64(value) longs;
+    * might_contain probes the serialized sketch with the same hash.
+    */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_gzip" -> ((es: Seq[Expression]) => GzipBytes(es.head)),
+    "graft_gunzip" -> ((es: Seq[Expression]) => GunzipBytes(es.head)),
+    "graft_zstd" -> ((es: Seq[Expression]) => ZstdBytes(es.head)),
+    "graft_unzstd" -> ((es: Seq[Expression]) => UnzstdBytes(es.head)),
+    "graft_cosine" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    "graft_simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
+    "graft_bloom_agg" -> ((es: Seq[Expression]) => es match {
+      case Seq(child) => new BloomFilterAggregate(child)
+      case Seq(child, n) => new BloomFilterAggregate(child, n)
+      case _ => new BloomFilterAggregate(es(0), es(1), es(2))
+    }),
+    "graft_might_contain" -> ((es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_gzip", es => GzipBytes(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_gunzip", es => GunzipBytes(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_zstd", es => ZstdBytes(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_unzstd", es => UnzstdBytes(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_dot", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash64", es => SimHash64(es.head), "built-in")
-    // Spark's runtime-filter bloom expressions are not in the public
-    // registry; expose them for explicit bloom prefilters (d9). The
-    // agg takes xxhash64(value) longs; might_contain probes the
-    // serialized sketch with the same hash.
-    reg.createOrReplaceTempFunction(
-      "graft_bloom_agg", {
-        case Seq(child) => new BloomFilterAggregate(child)
-        case Seq(child, n) => new BloomFilterAggregate(child, n)
-        case es => new BloomFilterAggregate(es(0), es(1), es(2))
-      }, "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_might_contain", es => BloomFilterMightContain(es(0), es(1)), "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Local-mode builder with scale-appropriate defaults (AQE on,
