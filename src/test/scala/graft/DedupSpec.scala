@@ -322,6 +322,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.toString).toSet === sampled)
   }
 
+  test("d13 fixpoint: a deduped corpus re-dedups to itself — the pipeline is idempotent") {
+    // run the one-call dedup on the dup-planted corpus, keep survivors
+    val first = Dedup.dedupCorpus(withDups, "text", "doc_id", 0.5)
+    val keepIds = first.where(col("keep")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keepIds.size < withDups.count()) // something was actually removed
+    val survivors = withDups.where(col("doc_id").isin(keepIds.toSeq: _*))
+    // second pass: nothing left to dedup — every survivor keeps itself
+    val second = Dedup.dedupCorpus(survivors, "text", "doc_id", 0.5)
+    assert(second.where(!col("keep")).count() === 0)
+    assert(second.count() === keepIds.size)
+  }
+
   test("d18: dup weights conserve the corpus — sum(weight) = N, planted dups weigh 2") {
     val out = Dedup
       .dedupCorpusByQuality(withDups, "text", "doc_id", 0.5, col("n_chars"))
