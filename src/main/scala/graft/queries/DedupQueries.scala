@@ -71,6 +71,28 @@ object DedupQueries {
         samplePct = 50)
         .orderBy("id_a", "id_b")),
 
+    // cross-source duplication matrix — the provenance report behind
+    // a dedup decision: WHICH sources copy from which (mirror sites,
+    // syndication, re-crawls). d4's verified near-dup pairs decorated
+    // with both sides' source labels and aggregated to the
+    // source×source grain; the matrix is |sources|²-bounded no matter
+    // the corpus, and sources are ordered within a pair so each
+    // unordered source pair counts once
+    "d21_source_dup_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.jaccardVerified(docs, "text", "doc_id", 0.5)
+        .join(src.toDF("id_a", "src_a"), Seq("id_a"))
+        .join(src.toDF("id_b", "src_b"), Seq("id_b"))
+        .select(
+          least(col("src_a"), col("src_b")).as("source_1"),
+          greatest(col("src_a"), col("src_b")).as("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_1", "source_2")
+    }),
+
     // incremental EXACT dedup — the daily-crawl admission check, the
     // exact sibling of d11 and the batch twin of st13's history gate:
     // new docs (doc_id % 10 == 0) probe the corpus fingerprint index;
@@ -254,6 +276,22 @@ object DedupQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // d4's full-pairwise truth (LSH-complete at J≥0.5 near-dups)
+    // decorated with sources, unordered-pair normalized
+    "d21_source_dup_matrix" -> (shingleCtes +
+      """
+        |, pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |)
+        |SELECT least(da.source, db.source) AS source_1,
+        |greatest(da.source, db.source) AS source_2, count(*) AS n_pairs
+        |FROM pr JOIN documents da ON pr.id_a = da.doc_id
+        |JOIN documents db ON pr.id_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "d17_lsh_band_plan" -> bandPlanSql,
     "d1_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
