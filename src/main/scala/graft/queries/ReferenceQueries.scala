@@ -162,7 +162,61 @@ object ReferenceQueries {
         col("timestamp_ms").as("ts_ms"))
       .orderBy("event_id")
 
+  // ---- r8: permissive-ingest accounting -------------------------------
+  // The reference silently skips nothing (a corrupt record raises);
+  // permissive mode drops corrupt payloads — at 100 TB some records
+  // are ALWAYS bad, and an ops pipeline needs the drop METRICS, not a
+  // silent shrink. Corruption is planted by chunk arithmetic
+  // (truncated gzip / gzip of non-JSON / CONTROL shard), so the
+  // DuckDB oracle predicts every class count from the same
+  // construction rules while Spark must EARN them through real
+  // decompression and parsing.
+  val r8IngestReport: Q = (s, dir) => {
+    GraftSession.ensureRegistered(s)
+    import graft.functions.{graft_gzip, graft_try_gunzip}
+    val pl = events(s, dir)
+      .select(
+        pmod(col("user_id"), lit(8)).as("shard_id"),
+        expr("event_id div 500").as("chunk"),
+        struct(
+          col("event_id").cast("string").as("id"),
+          col("ts_ms").as("timestamp"),
+          concat_ws(" ", col("event_id"), col("event_type"), col("value")).as("message"),
+          eventFields.as("extractedFields")
+        ).as("logEvent"))
+      .groupBy("shard_id", "chunk")
+      .agg(collect_list(col("logEvent")).as("logEvents"))
+      .select(col("shard_id"), col("chunk"),
+        CloudWatchLogs.encodePayload(
+          when(col("shard_id") === 7, lit(CloudWatchLogs.ControlMessage))
+            .otherwise(lit(CloudWatchLogs.DataMessage)),
+          col("logEvents")).as("data"))
+    val corrupted = pl.select(
+      when(pmod(col("chunk"), lit(7)) === 3, substring(col("data"), 1, 10))
+        .when(pmod(col("chunk"), lit(7)) === 5,
+          graft_gzip(lit("definitely not json").cast("binary")))
+        .otherwise(col("data")).as("data"))
+    val decoded = graft.functions.opaque(graft_try_gunzip(col("data")))
+    val parsed = graft.functions.opaque(
+      from_json(col("_dec").cast("string"), CloudWatchLogs.payloadSchema))
+    corrupted
+      .withColumn("_dec", decoded)
+      .withColumn("_p", parsed)
+      .agg(
+        count(lit(1)).as("n_payloads"),
+        sum(when(col("_dec").isNull, 1L).otherwise(0L)).as("n_corrupt_gzip"),
+        sum(when(col("_dec").isNotNull && col("_p.messageType").isNull, 1L)
+          .otherwise(0L)).as("n_bad_json"),
+        sum(when(col("_p.messageType") === CloudWatchLogs.ControlMessage, 1L)
+          .otherwise(0L)).as("n_control"),
+        sum(when(col("_p.messageType") === CloudWatchLogs.DataMessage, 1L)
+          .otherwise(0L)).as("n_ok_data"),
+        sum(when(col("_p.messageType") === CloudWatchLogs.DataMessage,
+          size(col("_p.logEvents")).cast("long")).otherwise(0L)).as("n_events_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "r8_ingest_report" -> r8IngestReport,
     "r1_cwl_parse" -> r1CwlParse,
     "r2_flowlog_typed" -> r2FlowlogTyped,
     "r3_control_filter" -> r3ControlFilter,
@@ -172,6 +226,28 @@ object ReferenceQueries {
     "r7_take_n" -> r7TakeN)
 
   val oracleSql: Map[String, String] = Map(
+    // pure construction arithmetic: the class of each (shard, chunk)
+    // payload is decided by the planting rules, so the oracle counts
+    // groups while Spark must classify via real gunzip + JSON parse
+    "r8_ingest_report" ->
+      """WITH g AS (
+        |  SELECT user_id % 8 AS shard_id, event_id // 500 AS chunk, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), cls AS (
+        |  SELECT shard_id, chunk, n,
+        |  CASE WHEN chunk % 7 = 3 THEN 'corrupt'
+        |       WHEN chunk % 7 = 5 THEN 'badjson'
+        |       WHEN shard_id = 7 THEN 'control'
+        |       ELSE 'data' END AS c
+        |  FROM g
+        |)
+        |SELECT count(*) AS n_payloads,
+        |sum(CASE WHEN c = 'corrupt' THEN 1 ELSE 0 END)::BIGINT AS n_corrupt_gzip,
+        |sum(CASE WHEN c = 'badjson' THEN 1 ELSE 0 END)::BIGINT AS n_bad_json,
+        |sum(CASE WHEN c = 'control' THEN 1 ELSE 0 END)::BIGINT AS n_control,
+        |sum(CASE WHEN c = 'data' THEN 1 ELSE 0 END)::BIGINT AS n_ok_data,
+        |sum(CASE WHEN c = 'data' THEN n ELSE 0 END)::BIGINT AS n_events_ok
+        |FROM cls""".stripMargin,
     "r1_cwl_parse" ->
       """SELECT event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, user_id, event_type,
         |round(value, 2) AS value FROM events ORDER BY event_id""".stripMargin,
