@@ -563,6 +563,67 @@ object Similarity {
           (col("n_vectors").cast("double") / col("nlist")), 4).as("imbalance"))
   }
 
+  /** s13: scalar-quantized ANN (SQ8, the FAISS ScalarQuantizer
+    * family): every corpus vector is stored as one BYTE per dimension
+    * — codes quantize each dimension's value into 256 levels of its
+    * corpus-wide [min, max] range — a 4× memory/IO cut against
+    * float32 with no codebook training at all (PQ's k-means step and
+    * its fp-averaging nondeterminism disappear, which is why this row
+    * CAN carry a DuckDB oracle while s4/s7 cannot). Queries score
+    * the dequantized vectors, take a k·`rerankFactor` shortlist by a
+    * bounded-heap aggregate, and re-rank under the exact cosine — so
+    * emitted scores are exact and quantization error only affects
+    * recall, the s4/s7 contract.
+    *
+    * Determinism: per-dimension min/max are exact; encode
+    * (least(floor((x−lo)·255/(hi−lo)), 255)) and decode
+    * (lo + q·(hi−lo)/255) are the same IEEE double ops in both
+    * engines; scoring accumulates doubles in array order.
+    */
+  def sq8Knn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val data = corpus.select(
+      col(idCol).as("n_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .localCheckpoint(eager = false) // feeds bounds, codes, and rerank
+    // per-dimension corpus bounds: a dims-sized relation, packed into
+    // two broadcast arrays ordered by dimension
+    val packed = broadcast(
+      data.select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("d").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("los"),
+          expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("his")))
+    // encode→decode in one pass: dv is what the int8 index SERVES
+    // (the byte codes themselves are the storage form; the oracle and
+    // the scoring both see their dequantized values)
+    val dv = data.crossJoin(packed)
+      .select(col("n_id"), expr(
+        """transform(sequence(1, size(v)), i ->
+          |  IF(element_at(his, i) = element_at(los, i),
+          |     element_at(los, i),
+          |     element_at(los, i) +
+          |       least(floor((element_at(v, i) - element_at(los, i)) * 255.0D /
+          |         (element_at(his, i) - element_at(los, i))), 255.0D) *
+          |       (element_at(his, i) - element_at(los, i)) / 255.0D))""".stripMargin)
+        .as("dv"))
+    val q = queries.select(col("q_id"),
+      transform(col("q_vec"), x => x.cast("double")).as("qv"))
+    val shortlist = dv.crossJoin(broadcast(q))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("qv"), col("dv")).as("c_sq"), col("n_id"))
+      .groupBy("q_id")
+      .agg(topk(col("c_sq"), col("n_id"), k * rerankFactor).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("n_id"))
+    val rerank = shortlist
+      .join(data, Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), cosine(col("qv"), col("v")).as("cos_exact"), col("n_id"))
+    topKOut(rerank, k)
+  }
+
   /** IVF+PQ composite ANN — the FAISS-style index shape an actual
     * 100 TB deployment runs: an IVF coarse quantizer prunes the
     * corpus to each query's `nprobe` nearest cells (~nprobe/nlist of

@@ -116,6 +116,16 @@ object SimilarityQueries {
         querySet(s, dir), minCos = 0.25)
         .orderBy("q_id", "n_id")),
 
+    // scalar-quantized ANN (SQ8): byte-per-dimension codes, exact
+    // rerank — no codebook training, so unlike s4/s7 the whole
+    // pipeline is IEEE-deterministic and carries a full DuckDB oracle
+    "s13_knn_sq8" -> ((s, dir) =>
+      Similarity.sq8Knn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
     // product-quantization ANN with exact rerank (no oracle: the
     // codebooks come from distributed fp averaging, same as s3 —
     // recall + determinism spec'd in SimilaritySpec)
@@ -149,6 +159,43 @@ object SimilarityQueries {
       .map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // full SQ8 replay: per-dim bounds → encode/decode → approx score
+    // → 4k shortlist (same desc-score, asc-id tie order as
+    // graft_topk) → exact-cosine rerank
+    "s13_knn_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), b AS (
+        |  SELECT i AS d, min(v[i]) AS lo, max(v[i]) AS hi
+        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) t GROUP BY 1
+        |), arrs AS (
+        |  SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM b
+        |), dq AS (
+        |  SELECT vec_id AS n_id, list_transform(generate_series(1, len(v)), i ->
+        |    CASE WHEN his[i] = los[i] THEN los[i]
+        |    ELSE los[i] + least(floor((v[i] - los[i]) * 255.0 / (his[i] - los[i])), 255.0)
+        |      * (his[i] - los[i]) / 255.0 END) AS dvv
+        |  FROM e CROSS JOIN arrs
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+        |), sq AS (
+        |  SELECT q_id, n_id,
+        |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * dvv[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(dvv, x -> x*x)))) AS c
+        |  FROM dq, q WHERE n_id <> q_id
+        |), short AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS r FROM sq
+        |  ) WHERE r <= 40
+        |), ex AS (
+        |  SELECT s.q_id, s.n_id,
+        |  list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * e.v[i]))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> x*x))) * sqrt(list_sum(list_transform(e.v, x -> x*x)))) AS c
+        |  FROM short s JOIN e ON e.vec_id = s.n_id JOIN q ON q.q_id = s.q_id
+        |)
+        |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim FROM (
+        |  SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM ex
+        |) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // d5's pair replay on the md5-sampled slice, banded: floor of the
     // same rounded-double × 20 product on both engines
     "s10_sim_histogram" ->

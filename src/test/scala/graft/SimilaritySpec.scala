@@ -165,6 +165,25 @@ class SimilaritySpec extends SparkSpec {
     assert(again === first)
   }
 
+  test("s13: SQ8 keeps high recall (quantization error only) and exact rerank scores") {
+    val exactDf = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
+    val exact = exactDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sqDf = Similarity.sq8Knn(emb, "embedding", "vec_id", queries, 10)
+    val sq = sqDf.select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    // 8-bit-per-dim error is tiny — recall should be near-perfect,
+    // far above the trained quantizers' floors
+    assert(recall >= 0.9, s"sq8 recall@10 = $recall")
+    assert(sq.size === 50)
+    // rerank emits the EXACT cosine: shared (q, n) pairs score equal
+    val exactScores = exactDf.select("q_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    sqDf.select("q_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().foreach { case (q, n, c) =>
+        exactScores.get((q, n)).foreach(e => assert(e === c, s"($q,$n)"))
+      }
+  }
+
   test("s4: PQ is deterministic across runs") {
     val a = Similarity.pqKnn(emb, "embedding", "vec_id", queries, 10)
       .select("q_id", "rank", "neighbor_id", "cos_sim")
