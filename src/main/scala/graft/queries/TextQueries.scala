@@ -21,6 +21,41 @@ object TextQueries {
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(x => x: Any): _*))).cast("long")
 
+  /** t2's per-doc quality signals (unrounded score; source retained)
+    * — shared by t2 and the t28 signal-agreement report.
+    */
+  private def qualityScores(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents")
+      .withColumn("toks", T.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("stop_cnt", markerCount(col("toks"), Seq("the", "a")))
+      .withColumn("sum_len", graft.functions.toklenSum(col("toks")))
+      .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tok"))
+      .withColumn("avg_len", col("sum_len").cast("double") / col("n_tok"))
+      .withColumn("score",
+        least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.5 +
+          col("stop_ratio") * 0.3 +
+          when(col("avg_len") >= 3.0 && col("avg_len") <= 8.0, 0.2).otherwise(0.0))
+
+  /** t13's per-doc unigram-LM mean log-prob — shared by t13 and t28. */
+  private def lmScores(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val toksAll = table(s, dir, "documents")
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+    val cc = toksAll.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = toksAll.agg(count(lit(1)).as("tot"))
+    toksAll.join(cc, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(log(col("c").cast("double") / col("tot"))).as("lp"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        round(col("lp") / col("n_tok"), 4).as("avg_logprob"))
+  }
+
   val queries: Map[String, Q] = Map(
     // stopword-profile language ID with a fixed priority order
     "t1_langid" -> ((s, dir) => {
@@ -63,25 +98,14 @@ object TextQueries {
     }),
 
     // doc quality: token count, stopword ratio, mean token length
-    "t2_quality" -> ((s, dir) => {
-      table(s, dir, "documents")
-        .withColumn("toks", T.tokens(col("text")))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
-        .withColumn("stop_cnt", markerCount(col("toks"), Seq("the", "a")))
-        .withColumn("sum_len", graft.functions.toklenSum(col("toks")))
-        .withColumn("stop_ratio", col("stop_cnt").cast("double") / col("n_tok"))
-        .withColumn("avg_len", col("sum_len").cast("double") / col("n_tok"))
-        .withColumn("score",
-          least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.5 +
-            col("stop_ratio") * 0.3 +
-            when(col("avg_len") >= 3.0 && col("avg_len") <= 8.0, 0.2).otherwise(0.0))
+    "t2_quality" -> ((s, dir) =>
+      qualityScores(s, dir)
         .select(
           col("doc_id"), col("n_tok"),
           round(col("stop_ratio"), 4).as("stop_ratio"),
           round(col("avg_len"), 4).as("avg_len"),
           round(col("score"), 4).as("score"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // per-source token accounting: whitespace tokens + 4-char subword units
     "t3_token_stats" -> ((s, dir) => {
@@ -322,21 +346,40 @@ object TextQueries {
     // unigram LM scoring (the shape of perplexity-based quality
     // filtering): corpus token frequencies → per-doc mean log-prob.
     // Corpus stats are one agg broadcast back over the token stream.
-    "t13_lm_score" -> ((s, dir) => {
-      val toksAll = table(s, dir, "documents")
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
-      val cc = toksAll.groupBy("token").agg(count(lit(1)).as("c"))
-      val tot = toksAll.agg(count(lit(1)).as("tot"))
-      toksAll.join(cc, "token")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
+    "t13_lm_score" -> ((s, dir) => lmScores(s, dir).orderBy("doc_id")),
+
+    // quality-signal agreement: per-source Pearson correlation between
+    // the t2 heuristic score and the t13 LM log-prob — the "do our
+    // filter signals agree, and where do they diverge" QC run before
+    // trusting either as a training-data gate. Both signals enter as
+    // their 4-dp-rounded values cast to exact decimals, so the five
+    // moment sums are order-independent; the closed-form r runs in
+    // IEEE doubles on bit-identical inputs (the t24 posture, grouped)
+    "t28_signal_corr" -> ((s, dir) => {
+      val x = qualityScores(s, dir)
+        .select(col("doc_id"), col("source"),
+          round(col("score"), 4).cast("decimal(18,6)").as("x"))
+      val y = lmScores(s, dir)
+        .select(col("doc_id"),
+          col("avg_logprob").cast("decimal(18,6)").as("y"))
+      val sums = x.join(y, "doc_id")
+        .groupBy("source")
         .agg(
-          count(lit(1)).as("n_tok"),
-          sum(log(col("c").cast("double") / col("tot"))).as("lp"))
-        .select(
-          col("doc_id"), col("n_tok"),
-          round(col("lp") / col("n_tok"), 4).as("avg_logprob"))
-        .orderBy("doc_id")
+          count(lit(1)).as("m"),
+          round(sum(col("x")), 6).cast("double").as("sx"),
+          round(sum(col("y")), 6).cast("double").as("sy"),
+          round(sum(col("x") * col("y")), 6).cast("double").as("sxy"),
+          round(sum(col("x") * col("x")), 6).cast("double").as("sxx"),
+          round(sum(col("y") * col("y")), 6).cast("double").as("syy"))
+      val md = col("m").cast("double")
+      val cov = md * col("sxy") - col("sx") * col("sy")
+      val varx = md * col("sxx") - col("sx") * col("sx")
+      val vary = md * col("syy") - col("sy") * col("sy")
+      sums.select(
+          col("source"), col("m"),
+          when(varx * vary <= 0.0, lit(null).cast("double"))
+            .otherwise(round(cov / sqrt(varx * vary), 6)).as("pearson_r"))
+        .orderBy("source")
     }),
 
     // bigram LM doc scoring — t13's conditional upgrade (the stronger
@@ -1028,6 +1071,42 @@ object TextQueries {
         |round(sum(ln((c2 + 1.0) / (c1 + v))) / count(*), 4) AS avg_logprob
         |FROM big JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t2 + t13 replayed, 4-dp values → exact decimal moment sums →
+    // closed-form r in doubles (the t24 posture, grouped by source)
+    "t28_signal_corr" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), qm AS (
+        |  SELECT doc_id, source, len(t) AS n_tok,
+        |  len(list_filter(t, w -> w IN ('the', 'a')))::DOUBLE / len(t) AS stop_ratio,
+        |  (list_sum(list_transform(t, s -> length(s)))::BIGINT)::DOUBLE / len(t) AS avg_len
+        |  FROM tk
+        |), xq AS (
+        |  SELECT doc_id, source,
+        |  round(least(n_tok, 100)::DOUBLE / 100.0 * 0.5 + stop_ratio * 0.3 +
+        |    (CASE WHEN avg_len >= 3.0 AND avg_len <= 8.0 THEN 0.2 ELSE 0.0 END), 4)::DECIMAL(18,6) AS x
+        |  FROM qm
+        |), toks AS (
+        |  SELECT doc_id, unnest(t) AS token FROM tk
+        |), cc AS (
+        |  SELECT token, count(*) AS c FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS tot FROM toks
+        |), yq AS (
+        |  SELECT doc_id, round(sum(ln(c::DOUBLE / tot)) / count(*), 4)::DECIMAL(18,6) AS y
+        |  FROM toks JOIN cc USING (token) CROSS JOIN tot GROUP BY 1
+        |), s AS (
+        |  SELECT source, count(*) AS m,
+        |  round(sum(x), 6)::DOUBLE AS sx, round(sum(y), 6)::DOUBLE AS sy,
+        |  round(sum(x * y), 6)::DOUBLE AS sxy,
+        |  round(sum(x * x), 6)::DOUBLE AS sxx,
+        |  round(sum(y * y), 6)::DOUBLE AS syy
+        |  FROM xq JOIN yq USING (doc_id) GROUP BY 1
+        |)
+        |SELECT source, m,
+        |CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) <= 0.0 THEN NULL
+        |ELSE round((m * sxy - sx * sy) / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) END AS pearson_r
+        |FROM s ORDER BY source""".stripMargin,
     "t13_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
