@@ -26,6 +26,29 @@ object MultimodalQueries {
         .withColumn("frame_len", col("frame_len").cast("long"))
         .orderBy("id", "frame_idx")),
 
+    // int8-quantization reconstruction-error QC — the check before
+    // shipping m3's quantized embeddings anywhere: per vector, the
+    // worst-dimension |x − decode(encode(x))| under the same
+    // per-vector [min,max]/255 grid m3 writes. Narrow per-row
+    // arithmetic (no shuffle until the final sort); identical IEEE
+    // expression both engines
+    "m10_quantize_error" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("vmin", array_min(col("v")))
+        .withColumn("vmax", array_max(col("v")))
+      e.withColumn("err", expr(
+          """array_max(transform(v, x ->
+            |  abs(x - (CASE WHEN vmax = vmin THEN x
+            |    ELSE vmin + least(floor((x - vmin) * 255.0D / (vmax - vmin)), 255.0D)
+            |      * (vmax - vmin) / 255.0D END))))""".stripMargin))
+        .select(
+          col("vec_id"),
+          round((col("vmax") - col("vmin")) / 255.0, 6).as("step"),
+          round(col("err"), 6).as("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+
     // frame-grain exact dedup: repeated fixed-size frames across the
     // whole binary corpus (m2's frames × d1's fingerprint groupBy) —
     // the storage/compute saving scan before re-encoding a video
@@ -178,6 +201,19 @@ object MultimodalQueries {
         |list_sum(ql)::BIGINT AS q_sum,
         |md5(array_to_string(list_transform(ql, x -> x::VARCHAR), ',')) AS q_md5
         |FROM q ORDER BY vec_id""".stripMargin,
+    // same grid arithmetic as m3's oracle, folded to the worst dim
+    "m10_quantize_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e
+        |)
+        |SELECT vec_id, round((vmax - vmin) / 255.0, 6) AS step,
+        |round(list_max(list_transform(v, x ->
+        |  abs(x - (CASE WHEN vmax = vmin THEN x
+        |    ELSE vmin + least(floor((x - vmin) * 255.0 / (vmax - vmin)), 255.0)
+        |      * (vmax - vmin) / 255.0 END)))), 6) AS max_abs_err
+        |FROM m ORDER BY vec_id""".stripMargin,
     "m9_frame_dedup" ->
       """WITH f AS (
         |  SELECT doc_id AS id, text, (octet_length(text::BLOB) + 255) // 256 AS n_frames FROM documents
