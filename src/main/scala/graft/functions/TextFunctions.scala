@@ -86,4 +86,21 @@ object TextFunctions {
       rStop.as("r_stop"), rRep.as("r_rep"),
       (rLen * rWlen * rStop * rRep).as("pass"))
   }
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** t8/st28: PII scrub — emails and IPv4 literals replaced by
+    * placeholders, with per-row match counts for the audit trail.
+    * Pure codegen'd regex built-ins, strictly ROW-LOCAL: cost is
+    * bounded by the row's text length, never corpus size, so the
+    * same expression is a map-only pass in a batch job (t8) or a
+    * stateless micro-batch gate (st28) — a doc scrubs identically on
+    * either path. Returns struct(n_emails, n_ips, scrubbed).
+    */
+  def piiScrub(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(c, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+      .as("scrubbed"))
 }

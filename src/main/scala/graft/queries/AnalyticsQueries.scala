@@ -239,6 +239,36 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // gaps-and-islands interval union: each event opens a VARYING-
+    // length interval [ts, ts + value·600 seconds); overlapping
+    // per user coalesce into islands (coverage spans). Unlike q8's
+    // fixed-gap sessionize, merging needs the RUNNING MAX of interval
+    // ends (a short interval inside a long one must not split the
+    // island). One shuffle on user_id (high-cardinality key — the
+    // per-user window parallelizes across the keyspace at any scale);
+    // island assignment is two frame-bounded window passes, then a
+    // map-side-combined aggregate per (user, island). All arithmetic
+    // is integer ms (explicit floor before the long cast — Spark's
+    // double→long cast truncates while DuckDB's rounds, so the floor
+    // is what keeps both engines on the same lattice).
+    "q51_interval_union" -> ((s, dir) => {
+      val iv = events(s, dir).select(
+        col("user_id"), col("event_id"),
+        col("ts_ms").as("start_ms"),
+        (col("ts_ms") + floor(col("value") * 600000).cast("long")).as("end_ms"))
+      val w = Window.partitionBy("user_id").orderBy("start_ms", "event_id")
+      val prevEnd = max(col("end_ms")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("ni", when(prevEnd.isNull || col("start_ms") > prevEnd, 1L).otherwise(0L))
+        .withColumn("island_idx", sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island_idx"))
+        .agg(
+          min("start_ms").as("cover_start_ms"),
+          max("end_ms").as("cover_end_ms"),
+          count(lit(1)).as("n_intervals"))
+        .withColumn("covered_ms", col("cover_end_ms") - col("cover_start_ms"))
+        .orderBy("user_id", "island_idx")
+    }),
+
     // multiple exact count-distincts in one result WITHOUT Expand:
     // Spark's native multi-distinct plan multiplies every fact row by
     // the number of distinct aggregates (Expand) before the shuffle —
@@ -527,6 +557,39 @@ object AnalyticsQueries {
     // recount alternative shuffles user_ids once per window offset.
     // HLL estimates are engine-specific → rows-only + AnalyticsSpec
     // tolerance check vs the exact rolling distinct.
+    // a1's evaluation twin — the QC report a pipeline runs BEFORE
+    // trusting an HLL cardinality at 100 TB (the d16/s9/m10/t23
+    // posture): per event_type, exact distinct users vs
+    // approx_count_distinct at three rsd settings, with the relative
+    // error per row. The exact side is a two-level aggregate
+    // (map-side dedup on (type, user), then count — no count-distinct
+    // Expand over fact rows, q49's shape) joined to the group-sized
+    // sketch relation by broadcast. No oracle (HLL registers are
+    // engine-specific); the spec pins every |rel_err| within ~3× its
+    // configured rsd, and the whole report is deterministic (fixed
+    // hash, no sampling).
+    "a8_hll_error_eval" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("exact"))
+      val approx = ev.groupBy("event_type").agg(
+        approx_count_distinct(col("user_id"), 0.01).as("e1"),
+        approx_count_distinct(col("user_id"), 0.05).as("e5"),
+        approx_count_distinct(col("user_id"), 0.15).as("e15"))
+      approx.join(broadcast(exact), "event_type")
+        .select(col("event_type"), col("exact"),
+          explode(array(
+            struct(lit(0.01).as("rsd"), col("e1").as("est")),
+            struct(lit(0.05).as("rsd"), col("e5").as("est")),
+            struct(lit(0.15).as("rsd"), col("e15").as("est")))).as("x"))
+        .select(
+          col("event_type"), col("x.rsd").as("rsd"), col("x.est").as("est"),
+          col("exact"),
+          round(abs(col("x.est") - col("exact")).cast("double") / col("exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type", "rsd")
+    }),
+
     "a7_rolling_distinct" -> ((s, dir) => {
       val perDay = events(s, dir)
         .groupBy(to_date(col("ts")).as("d"))
@@ -1495,6 +1558,24 @@ object AnalyticsQueries {
         |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occ FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn FROM c
         |) WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "q51_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS start_ms,
+        |    epoch_ms(ts::TIMESTAMP) + floor(value * 600000)::BIGINT AS end_ms
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN max(end_ms) OVER pw IS NULL OR start_ms > max(end_ms) OVER pw
+        |    THEN 1 ELSE 0 END AS ni
+        |  FROM iv WINDOW pw AS (PARTITION BY user_id ORDER BY start_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), g AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY start_ms, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS island_idx FROM m
+        |)
+        |SELECT user_id, island_idx, min(start_ms) AS cover_start_ms,
+        |  max(end_ms) AS cover_end_ms, count(*) AS n_intervals,
+        |  max(end_ms) - min(start_ms) AS covered_ms
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q49_multi_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |count(DISTINCT l_partkey) AS n_part

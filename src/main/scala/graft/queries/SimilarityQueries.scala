@@ -116,6 +116,34 @@ object SimilarityQueries {
         querySet(s, dir), minCos = 0.25)
         .orderBy("q_id", "n_id")),
 
+    // kNN majority-vote classification — label propagation from the
+    // corpus's ground-truth labels onto unlabeled queries (the
+    // weak-labeling / pseudo-labeling primitive of a training-data
+    // pipeline). Exact top-15 neighbors per query via the bounded-heap
+    // kNN (corpus scanned once, queries broadcast), then the Q·k-row
+    // result — query-set-sized, never corpus-sized — broadcasts back
+    // into one pass over the label relation; majority = lexicographic
+    // struct max over the per-(query,label) vote counts (highest
+    // votes, then lowest label — no window, fully deterministic).
+    "s14_knn_classify" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val labels = emb.select(
+        col("vec_id").as("neighbor_id"), col("label").cast("long").as("n_label"))
+      val knn = Similarity.bruteKnn(
+        emb, "embedding", "vec_id", querySet(s, dir), k = 15)
+      labels.join(broadcast(knn), "neighbor_id")
+        .groupBy(col("q_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"), max(col("cos_sim")).as("best_sim"))
+        .groupBy("q_id")
+        .agg(max(struct(
+          col("votes"), (col("n_label") * -1).as("negl"),
+          col("best_sim"))).as("m"))
+        .select(
+          col("q_id"), (col("m.negl") * -1).as("pred_label"),
+          col("m.votes").as("votes"), col("m.best_sim").as("best_sim"))
+        .orderBy("q_id")
+    }),
+
     // scalar-quantized ANN (SQ8): byte-per-dimension codes, exact
     // rerank — no codebook training, so unlike s4/s7 the whole
     // pipeline is IEEE-deterministic and carries a full DuckDB oracle
@@ -321,6 +349,27 @@ object SimilarityQueries {
         |)
         |SELECT q_id, n_id, cos_sim FROM sc WHERE cos_sim >= 0.25
         |ORDER BY q_id, n_id""".stripMargin,
+    "s14_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT q_id, a.vec_id AS n_id, a.label,
+        |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS c
+        |  FROM e a, q WHERE a.vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, label, round(c, 4) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM sc
+        |), v AS (
+        |  SELECT q_id, label::BIGINT AS n_label, count(*) AS votes, max(cos_sim) AS best_sim
+        |  FROM r WHERE rank <= 15 GROUP BY 1, 2
+        |), p AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rn FROM v
+        |)
+        |SELECT q_id, n_label AS pred_label, votes, best_sim
+        |FROM p WHERE rn = 1 ORDER BY q_id""".stripMargin,
     "s1_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

@@ -248,6 +248,33 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // temperature-flattened mixture resampling — the data-mixing knob
+    // between natural (α=1) and uniform (α=0) source shares
+    // (multilingual-LM standard: target p_s ∝ n_s^α). With the
+    // smallest source kept whole, the per-source keep probability is
+    // q_s = (n_min/n_s)^(1-α); at α = 1/2 the deterministic md5 gate
+    // bucket/10^6 < sqrt(n_min/n_s) is evaluated SQUARED —
+    // bucket²/10^12 < n_min/n_s — two IEEE divisions of exact
+    // integers, no transcendental, so Spark and DuckDB keep
+    // identical docs. Stateless map-side gate over one broadcast
+    // count relation: per-doc fate is replayable and batch≡stream
+    // (t7/st27's posture), and nothing corpus-sized shuffles.
+    "t30_temperature_mix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val nMin = counts.agg(min("n_src").as("n_min"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 1000000L
+      docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(nMin))
+        .withColumn("kept",
+          ((bucket * bucket).cast("double") / lit(1e12) <
+            col("n_min").cast("double") / col("n_src").cast("double")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
+        .orderBy("source")
+    }),
+
     // PII scrubbing: regex redaction of emails + IPv4s. The corpus is
     // synthetic, so deterministic PII is injected from doc_id first —
     // the scrub machinery (count, redact, fingerprint) is then fully
@@ -258,16 +285,13 @@ object TextQueries {
         lit("@example.com or admin@test.org from 10."),
         pmod(col("doc_id"), lit(256)), lit(".0."),
         pmod(col("doc_id"), lit(100)), lit(" port 8080"))
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
       table(s, dir, "documents")
-        .withColumn("t", injected)
+        .withColumn("p", graft.functions.TextFunctions.piiScrub(injected))
         .select(
           col("doc_id"),
-          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
-          size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
-          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
-            .as("scrubbed_md5"))
+          col("p.n_emails").as("n_emails"),
+          col("p.n_ips").as("n_ips"),
+          md5(col("p.scrubbed")).as("scrubbed_md5"))
         .orderBy("doc_id")
     }),
 
@@ -317,6 +341,31 @@ object TextQueries {
           count(lit(1)).as("n_total"),
           sum("kept").as("n_kept"))
         .orderBy("lang")
+    }),
+
+    // weight-proportional subsampling via PRIORITY SAMPLING
+    // (Duffield–Lund–Thorup, JACM 2007): each doc draws a
+    // deterministic pseudo-uniform u from its id's md5 and gets
+    // priority u/w (w = n_chars) — the n lowest-priority docs form a
+    // weighted sample without replacement whose inclusion odds scale
+    // with w (the quality-/length-weighted subsample a mixture
+    // schedule draws). Plans as TakeOrderedAndProject: every
+    // partition surrenders at most n rows map-side, nothing
+    // corpus-sized moves. The priority division is a single IEEE
+    // binary64 op on exact integers, so Spark and DuckDB order — and
+    // hash — identically; rounding is display-only, after the cut.
+    "t29_priority_sample" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"), col("source"), col("n_chars"),
+          (u.cast("double") / greatest(col("n_chars"), lit(1L)).cast("double"))
+            .as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)
+        .withColumn("priority", round(col("priority"), 6))
+        .orderBy("doc_id")
     }),
 
     // TF-IDF top terms per doc: term frequencies shuffle once on
@@ -1152,5 +1201,30 @@ object TextQueries {
         |  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tgt t
         |)
         |SELECT lang, count(*) AS n_total, sum(kept)::BIGINT AS n_kept
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t30_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT min(n_src) AS n_min FROM c
+        |), x AS (
+        |  SELECT d.source, c.n_src,
+        |    (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 7))::BIGINT % 1000000) AS b
+        |  FROM documents d JOIN c ON d.source = c.source
+        |)
+        |SELECT source, count(*) AS n_total,
+        |  sum(CASE WHEN (b * b)::DOUBLE / 1e12 < t.n_min::DOUBLE / n_src::DOUBLE
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM x CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t29_priority_sample" ->
+      """WITH x AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT::DOUBLE
+        |      / greatest(n_chars, 1)::DOUBLE AS priority
+        |  FROM documents
+        |), s AS (
+        |  SELECT * FROM x ORDER BY priority, doc_id LIMIT 50
+        |)
+        |SELECT doc_id, source, n_chars, round(priority, 6) AS priority
+        |FROM s ORDER BY doc_id""".stripMargin)
 }

@@ -655,6 +655,72 @@ object ParquetLake {
     * is where the quality gates run (row counts, t17-style rules,
     * schema checks) before any reader can observe the rows.
     */
+  /** lk35: declarative row-level constraint report over a staged
+    * delta — the audit half of write-audit-publish made a reusable
+    * contract instead of an ad-hoc query: NOT NULL columns, value
+    * ranges, and key uniqueness (both within the delta and against
+    * the committed head — history is admitted, only NEW violations
+    * block). Every check is a distributed map-side-combined count
+    * over the churn-sized delta (the head participates only through
+    * one key-projected semi-join); only (constraint, count) pairs
+    * reach the driver. Returns one row per configured constraint.
+    */
+  def constraintViolations(
+      delta: DataFrame, head: Option[DataFrame],
+      notNull: Seq[String], uniqueKey: Seq[String],
+      ranges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val checks = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    notNull.foreach { c =>
+      checks += s"not_null($c)" -> delta.where(col(c).isNull).count()
+    }
+    ranges.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+      checks += s"range($c in [$lo,$hi])" ->
+        delta.where(col(c).isNotNull && !col(c).between(lo, hi)).count()
+    }
+    if (uniqueKey.nonEmpty) {
+      val keyCols = uniqueKey.map(col)
+      val dupWithin = delta.groupBy(keyCols: _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).count()
+      checks += s"unique(${uniqueKey.mkString(",")}) within batch" -> dupWithin
+      head.foreach { h =>
+        val clash = delta.select(keyCols: _*).distinct()
+          .join(h.select(keyCols: _*), uniqueKey, "left_semi").count()
+        checks += s"unique(${uniqueKey.mkString(",")}) vs head" -> clash
+      }
+    }
+    checks.toSeq.toDF("constraint", "n_violations")
+  }
+
+  /** lk35: publish a staged batch only if it passes its constraints —
+    * [[publishStaged]] with [[constraintViolations]] as the gate. A
+    * violation refuses the publish LOUDLY, naming every failed
+    * constraint and its count; the stage stays intact for triage
+    * ([[readStaged]]) or [[abandonStaged]] — and because staging is
+    * invisible to readers, a refused batch never poisons a snapshot,
+    * which is the entire point of auditing before the CAS commit.
+    */
+  def publishStagedChecked(
+      spark: SparkSession, path: String, stage: String,
+      notNull: Seq[String] = Seq.empty, uniqueKey: Seq[String] = Seq.empty,
+      ranges: Map[String, (Double, Double)] = Map.empty,
+      maxRetries: Int = 5): Int = {
+    val staged = stagedManifests(spark, path).getOrElse(stage,
+      throw new IllegalArgumentException(s"no stage '$stage' under $path"))
+    val delta = spark.read.option("basePath", path)
+      .parquet(staged.map(f => s"$path/$f"): _*)
+    val head = readManifest(spark, path, None)
+      .filter(_.nonEmpty).map(_ => readManifested(spark, path))
+    val bad = constraintViolations(delta, head, notNull, uniqueKey, ranges)
+      .where(col("n_violations") > 0)
+      .collect().map(r => s"${r.getString(0)}: ${r.getLong(1)}")
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"publish of stage '$stage' refused — constraint violations: ${bad.mkString("; ")}")
+    publishStaged(spark, path, stage, maxRetries)
+  }
+
   def readStaged(
       spark: SparkSession, path: String, stage: String,
       mergeSchema: Boolean = false): DataFrame = {
@@ -970,6 +1036,76 @@ object ParquetLake {
         }
       }
       .sum().toLong
+  }
+
+  /** lk34: clustering-quality report for one column, computed from
+    * the version's stats sidecar ALONE — zero data reads, zero footer
+    * reads (the sidecar already paid those). The metric family is
+    * Iceberg/Snowflake-style "clustering depth": how many files'
+    * [min,max] ranges overlap each file's range, and the maximum
+    * number of files any single point value lands in (= the file
+    * count a perfectly-selective point/range predicate must still
+    * read). A freshly sorted or z-ordered layout reports near-zero
+    * overlaps; as merges/appends interleave ranges the depth climbs —
+    * this is the report that decides WHEN re-clustering
+    * (sort-compaction / [[zorderWrite]]) is worth its rewrite cost,
+    * the layout-side companion of [[lakeHealth]]'s file-size report.
+    * Cost: O(F log F) over the manifest-bounded stat rows (two sorted
+    * endpoint arrays + binary search per file — no F² pair loop), the
+    * same driver-side bound every manifest operation carries.
+    * Columns: n_files, n_with_stats, avg_file_overlaps,
+    * max_file_overlaps, overlap_free_share, max_depth.
+    */
+  def clusteringReport(
+      spark: SparkSession, path: String, column: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val v = version.getOrElse(manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path")))
+    val statsPath = new Path(root, s"$StatsPrefix$v")
+    if (!fs.exists(statsPath))
+      throw new IllegalStateException(
+        s"no stats sidecar for version $v under $path — run buildFileStats first")
+    val nFiles = readManifest(spark, path, Some(v)).get.size
+    // exact endpoints: long/date bounds never pass through Double
+    val ranges: Seq[(BigDecimal, BigDecimal)] = manifestLines(fs, statsPath)
+      .map(_.split('\t'))
+      .collect {
+        case Array(_, c, "long" | "date", mn, mx) if c == column =>
+          (BigDecimal(BigInt(mn.toLong)), BigDecimal(BigInt(mx.toLong)))
+        case Array(_, c, "num", mn, mx) if c == column =>
+          (BigDecimal(mn.toDouble), BigDecimal(mx.toDouble))
+      }
+    val mins = ranges.map(_._1).sorted.toArray
+    val maxes = ranges.map(_._2).sorted.toArray
+    def countLE(a: Array[BigDecimal], x: BigDecimal): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) <= x) lo = m + 1 else hi = m }
+      lo
+    }
+    def countLT(a: Array[BigDecimal], x: BigDecimal): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) < x) lo = m + 1 else hi = m }
+      lo
+    }
+    // overlaps(i) = #(mins <= mx_i) - #(maxes < mn_i) - 1 (self)
+    val overlaps = ranges.map { case (mn, mx) => countLE(mins, mx) - countLT(maxes, mn) - 1 }
+    // depth is piecewise-constant and only increases at interval mins,
+    // so its maximum is attained at one of them
+    val maxDepth =
+      if (ranges.isEmpty) 0
+      else ranges.map { case (mn, _) => countLE(mins, mn) - countLT(maxes, mn) }.max
+    val n = ranges.size
+    import spark.implicits._
+    Seq((
+      nFiles.toLong, n.toLong,
+      if (n == 0) 0.0 else math.round(overlaps.map(_.toLong).sum.toDouble / n * 100) / 100.0,
+      if (n == 0) 0L else overlaps.max.toLong,
+      if (n == 0) 0.0 else math.round(overlaps.count(_ == 0).toDouble / n * 10000) / 10000.0,
+      maxDepth.toLong))
+      .toDF("n_files", "n_with_stats", "avg_file_overlaps",
+        "max_file_overlaps", "overlap_free_share", "max_depth")
   }
 
   /** Executor-side footer harvest for one file: (file, col, type,

@@ -411,6 +411,38 @@ object LogStream {
       .outputMode("append")
       .start()
 
+  /** st28: streaming PII scrub at the ingest gate — every incoming
+    * row's text column is rewritten through the SAME row-local
+    * expression the batch pipeline uses
+    * ([[graft.functions.TextFunctions.piiScrub]]: emails and IPv4
+    * literals → placeholders), with per-row match counts kept as
+    * audit columns. Stateless and map-only per micro-batch (no
+    * shuffle, no state store — cost bounded by row text length), so a
+    * doc scrubs byte-identically whether it arrives by batch (t8),
+    * stream, or replay — which is what lets the privacy audit reason
+    * about ONE transform instead of two. Scrubbing at ingest matters
+    * at 100 TB: PII that reaches the lake is copied into every
+    * downstream snapshot, shard export, and checkpoint; here it never
+    * lands. Exactly-once from the idempotent batch-id sink (st12).
+    */
+  def startPiiScrubSink(
+      stream: DataFrame, textCol: String,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val scrubbed = batch
+          .withColumn("__p", graft.functions.TextFunctions.piiScrub(col(textCol)))
+          .withColumn(textCol, col("__p.scrubbed"))
+          .withColumn("n_emails", col("__p.n_emails"))
+          .withColumn("n_ips", col("__p.n_ips"))
+          .drop("__p")
+        idempotentBatchWriter(outPath)(scrubbed, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** st21: streaming enrichment against a VERSIONED dimension — each
     * micro-batch broadcast-joins the manifested lake's snapshot that
     * is CURRENT when the batch processes (re-resolved per batch via

@@ -160,4 +160,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(totalFromTypes === grand)
     assert(totalFromDays === grand)
   }
+
+  test("a8: HLL error report — exact side truly exact, every rel_err within ~3x its rsd, deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = AnalyticsQueries.queries("a8_hll_error_eval")(spark, sf).collect()
+    // 3 rsd rows per event_type
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length === types.length * 3)
+    // the exact column matches an independent exact count
+    val exact = graft.queries.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("e"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("e")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact") === exact(r.getAs[String]("event_type")))
+      // HLL's rsd is a standard deviation — 3x is the practical bound
+      val bound = 3.0 * r.getAs[Double]("rsd") + 1e-9
+      assert(r.getAs[Double]("rel_err") <= bound,
+        s"${r.getAs[String]("event_type")} rsd=${r.getAs[Double]("rsd")} rel_err=${r.getAs[Double]("rel_err")}")
+    }
+    // fixed hash, no sampling: the report is run-to-run deterministic
+    val again = AnalyticsQueries.queries("a8_hll_error_eval")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

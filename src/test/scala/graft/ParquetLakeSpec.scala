@@ -1116,4 +1116,101 @@ class ParquetLakeSpec extends SparkSpec {
     // and every other row is untouched
     assert(ParquetLake.readManifested(spark, dir).count() === tgt.count())
   }
+
+  test("lk35: constraint gate refuses a dirty staged batch naming every violation; clean batch publishes") {
+    val dir = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, dir)
+    val head = ParquetLake.readManifested(spark, dir)
+    val headCount = head.count()
+    val existingId = head.orderBy("event_id").limit(1)
+      .collect().head.getLong(0)
+    // dirty batch: a NULL user_id, a within-batch duplicate key, a
+    // key that clashes with the head, and an out-of-range ts_ms —
+    // rows templated off a head row so column types (incl. the
+    // inferred partition column) match the snapshot exactly
+    val tpl = head.orderBy(col("event_id").desc).limit(1).localCheckpoint()
+    def mk(id: org.apache.spark.sql.Column, uid: org.apache.spark.sql.Column,
+        et: String, ts: Long) =
+      tpl.select(id.as("event_id"), uid.as("user_id"), lit(et).as("event_type"),
+        lit(ts).as("ts_ms"), col("p_date"))
+    val dirty = mk(lit(90000001L), lit(null).cast("long"), "ok", 1704067200000L)
+      .unionByName(mk(lit(90000002L), lit(7L), "dup", 1704067200000L))
+      .unionByName(mk(lit(90000002L), lit(8L), "dup", 1704067201000L))
+      .unionByName(mk(lit(existingId), lit(9L), "clash", 1704067200000L))
+      .unionByName(mk(lit(90000003L), lit(10L), "neg", -5L))
+    ParquetLake.stageAppend(spark, dir, dirty, "audit-1", Some("p_date"))
+    val ex = intercept[IllegalStateException] {
+      ParquetLake.publishStagedChecked(spark, dir, "audit-1",
+        notNull = Seq("user_id"), uniqueKey = Seq("event_id"),
+        ranges = Map("ts_ms" -> (0.0, 4e12)))
+    }
+    // every violation is named with its count
+    assert(ex.getMessage.contains("not_null(user_id): 1"), ex.getMessage)
+    assert(ex.getMessage.contains("within batch: 1"), ex.getMessage)
+    assert(ex.getMessage.contains("vs head: 1"), ex.getMessage)
+    assert(ex.getMessage.contains("range(ts_ms"), ex.getMessage)
+    // the refusal left NOTHING published and the stage intact
+    assert(ParquetLake.readManifested(spark, dir).count() === headCount)
+    assert(ParquetLake.stagedManifests(spark, dir).contains("audit-1"))
+    ParquetLake.abandonStaged(spark, dir, "audit-1")
+    // the clean batch passes the same gate and lands atomically
+    val clean = head.orderBy(col("event_id").desc).limit(3)
+      .withColumn("event_id", col("event_id") + 91000000L)
+    ParquetLake.stageAppend(spark, dir, clean, "audit-2", Some("p_date"))
+    ParquetLake.publishStagedChecked(spark, dir, "audit-2",
+      notNull = Seq("user_id"), uniqueKey = Seq("event_id"),
+      ranges = Map("ts_ms" -> (0.0, 4e12)))
+    assert(ParquetLake.readManifested(spark, dir).count() === headCount + 3)
+  }
+
+  test("lk34: clustering report separates a sorted layout from an interleaved one, sidecar-only") {
+    val data = events(spark, sf).select("event_id", "user_id", "ts_ms")
+
+    // range-sorted layout: each file owns a compact ts_ms slice
+    val good = Files.createTempDirectory("graft_clustered").toString
+    data.repartitionByRange(8, col("ts_ms"))
+      .sortWithinPartitions("ts_ms")
+      .write.mode("overwrite").parquet(good)
+    ParquetLake.snapshotManifest(spark, good)
+    ParquetLake.buildFileStats(spark, good, Seq("ts_ms"))
+    val g = ParquetLake.clusteringReport(spark, good, "ts_ms").head()
+    assert(g.getAs[Long]("n_files") === g.getAs[Long]("n_with_stats"))
+    // adjacent slices may share a boundary value — depth stays ≤ 2
+    assert(g.getAs[Long]("max_depth") <= 2,
+      s"sorted layout should have depth ≤ 2, got ${g.getAs[Long]("max_depth")}")
+    assert(g.getAs[Long]("max_file_overlaps") <= 2)
+
+    // hash-interleaved layout over the SAME rows: every file spans
+    // the full ts range — the report must flag it from metadata alone
+    val bad = Files.createTempDirectory("graft_interleaved").toString
+    data.repartition(8).write.mode("overwrite").parquet(bad)
+    ParquetLake.snapshotManifest(spark, bad)
+    ParquetLake.buildFileStats(spark, bad, Seq("ts_ms"))
+    val b = ParquetLake.clusteringReport(spark, bad, "ts_ms").head()
+    val nb = b.getAs[Long]("n_with_stats")
+    assert(nb >= 8)
+    assert(b.getAs[Long]("max_depth") === nb, "every file should cover a common point")
+    assert(b.getAs[Long]("max_file_overlaps") === nb - 1)
+    assert(b.getAs[Double]("overlap_free_share") === 0.0)
+    assert(b.getAs[Double]("avg_file_overlaps") > g.getAs[Double]("avg_file_overlaps"))
+
+    // re-clustering (the fix the report recommends) restores depth ≤ 2
+    val fixed = Files.createTempDirectory("graft_reclustered").toString
+    spark.read.parquet(bad)
+      .repartitionByRange(8, col("ts_ms"))
+      .sortWithinPartitions("ts_ms")
+      .write.mode("overwrite").parquet(fixed)
+    ParquetLake.snapshotManifest(spark, fixed)
+    ParquetLake.buildFileStats(spark, fixed, Seq("ts_ms"))
+    assert(ParquetLake.clusteringReport(spark, fixed, "ts_ms")
+      .head().getAs[Long]("max_depth") <= 2)
+
+    // loud failure without a sidecar
+    val bare = Files.createTempDirectory("graft_nostats").toString
+    data.limit(10).write.mode("overwrite").parquet(bare)
+    ParquetLake.snapshotManifest(spark, bare)
+    intercept[IllegalStateException] {
+      ParquetLake.clusteringReport(spark, bare, "ts_ms")
+    }
+  }
 }

@@ -327,6 +327,35 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("t29: the priority-sample cut is TakeOrderedAndProject — no corpus-wide single-partition sort") {
+    val p = plan("t29_priority_sample")
+    // the n-row cut partial-combines map-side: each partition
+    // surrenders ≤ n rows, the full corpus never moves or sorts
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q51: island windows are partitioned by the user key — no unpartitioned window, one fact shuffle") {
+    val p = plan("q51_interval_union")
+    // every Window node must carry the user_id partition spec: an
+    // unpartitioned windowspec would serialize the whole events
+    // relation through one task (the a6 pathology)
+    val winArgs = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition")).toSeq
+    assert(winArgs.nonEmpty, p.take(3000))
+    assert(winArgs.forall(_.contains("user_id")), winArgs.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("s14: classify joins the query-sized kNN result by broadcast — no extra fact shuffle, no window") {
+    val p = plan("s14_knn_classify")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the label attach is a BroadcastHashJoin (Q·k build side)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("m8: chunk near-dup pairs shuffle fingerprints only — payload bytes never cross an exchange") {
     val p = plan("m8_cdc_neardup")
     val exchanges = exchangeSections(p)

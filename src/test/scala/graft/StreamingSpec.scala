@@ -356,6 +356,45 @@ class StreamingSpec extends SparkSpec {
       .subsetOf(spark.read.parquet(quarDir).columns.toSet))
   }
 
+  test("st28: streaming PII scrub matches the batch transform byte-for-byte across micro-batches") {
+    import graft.functions.TextFunctions
+    val inDir = Files.createTempDirectory("graft_pii_in").toString
+    val injected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" mail user"), col("doc_id"),
+          lit("@example.com from 10."), pmod(col("doc_id"), lit(256)),
+          lit(".0.1 ok")).as("text"))
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    injected.where(pmod(col("doc_id"), lit(2)) === 0)
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    injected.where(pmod(col("doc_id"), lit(2)) === 1)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val outDir = Files.createTempDirectory("graft_pii_out").toString
+    val ckpt = Files.createTempDirectory("graft_pii_ckpt").toString
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = LogStream.startPiiScrubSink(stream, "text", outDir, ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.select("batch_id").distinct().count() >= 2)
+    // row-for-row parity with the batch-side transform (t8's shape)
+    val exp = injected
+      .withColumn("p", TextFunctions.piiScrub(col("text")))
+      .select(col("doc_id"), col("p.scrubbed").as("text"),
+        col("p.n_emails").as("n_emails"), col("p.n_ips").as("n_ips"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.select("doc_id", "text", "n_emails", "n_ips")
+      .collect().map(_.toString).sorted.toSeq === exp)
+    // every row carried planted PII in, and none survives the gate
+    assert(got.agg(min("n_emails")).head().getLong(0) >= 1)
+    assert(got.agg(min("n_ips")).head().getLong(0) >= 1)
+    assert(got.where(col("text").rlike(TextFunctions.EmailRe)
+      || col("text").rlike(TextFunctions.Ipv4Re)).count() === 0)
+  }
+
   private def st8Body(tag: String): Unit = {
     import org.apache.spark.sql.{Dataset, SaveMode}
     val dir = Files.createTempDirectory("graft_stream_expire").toString
