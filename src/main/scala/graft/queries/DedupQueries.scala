@@ -207,6 +207,36 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // dup-MASS distribution — the policy report a pipeline reads
+    // BEFORE committing to a dedup strategy at 100 TB: how many docs
+    // sit in clusters of each size (giant clusters = boilerplate /
+    // templates, cheap bulk wins; a fat tail of pairs = near-dup
+    // noise that only pair-grain dedup removes). d7's verified-pair →
+    // connected-components machinery, then two group-sized aggregates;
+    // the singleton band is computed from one corpus count minus the
+    // clustered mass (docs with no qualifying pair never enter the
+    // component relation), so the report conserves the corpus:
+    // sum(n_docs) = N.
+    "d22_cluster_size_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup
+        .jaccardVerified(docs, "text", "doc_id", 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val sizes = graft.operators.ConnectedComponents.run(pairs)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      val hist = sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), sum("cluster_size").as("n_docs"))
+      val singleton = docs.agg(count(lit(1)).as("n_total"))
+        .crossJoin(sizes.agg(
+          coalesce(sum("cluster_size"), lit(0L)).as("n_clustered")))
+        .select(
+          lit(1L).as("cluster_size"),
+          (col("n_total") - col("n_clustered")).as("n_clusters"),
+          (col("n_total") - col("n_clustered")).as("n_docs"))
+      hist.unionByName(singleton).orderBy("cluster_size")
+    }),
+
     // d6's scale path: bloom-sketch prefilter instead of a broadcast
     // string join — bit-identical output (no false negatives; false
     // positives die in the exact verify join), so it shares d6's
@@ -531,6 +561,34 @@ object DedupQueries {
         |)
         |SELECT c.id, c.component, s2.cluster_size
         |FROM comp c JOIN sizes s2 USING (component) ORDER BY c.id""".stripMargin),
+    "d22_cluster_size_hist" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
+      """, pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |), ed AS (
+        |  SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM ed
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+        |), hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters,
+        |    sum(cluster_size)::BIGINT AS n_docs
+        |  FROM sizes GROUP BY 1
+        |), tot AS (SELECT count(*) AS n_total FROM documents),
+        |cl AS (SELECT coalesce(sum(cluster_size), 0)::BIGINT AS n_clustered FROM sizes)
+        |SELECT * FROM (
+        |  SELECT cluster_size, n_clusters, n_docs FROM hist
+        |  UNION ALL
+        |  SELECT 1, n_total - n_clustered, n_total - n_clustered FROM tot, cl
+        |) ORDER BY cluster_size""".stripMargin),
     // d9 is the bloom-prefiltered twin of d6 and must produce the
     // bit-identical relation — same oracle text
     "d9_decontaminate_bloom" -> (shingleCtes +

@@ -823,6 +823,40 @@ object ParquetLake {
     finally abandonStaged(spark, path, stage)
   }
 
+  /** lk36: re-cluster the CURRENT snapshot by a sort column as one
+    * atomic commit — the remedy [[clusteringReport]] recommends when
+    * interleaved writes have destroyed range locality (every file
+    * spanning the full key range means a selective predicate still
+    * reads every file, lk21/lk29 skipping included). The snapshot is
+    * rewritten range-partitioned + sorted on `sortCol` (each output
+    * file owns a compact slice), staged invisibly through the WAP
+    * machinery, and flipped by one CAS full-replace manifest commit —
+    * [[repartitionManifested]]'s sibling, sorting WITHIN a layout
+    * instead of changing the partition spec. Concurrent commits
+    * conflict loudly (a full rewrite cannot rebase a delta); every
+    * older version keeps reading its own layout; run
+    * [[buildFileStats]] on the new version and skipping starts
+    * working immediately.
+    */
+  def reclusterManifested(
+      spark: SparkSession, path: String, sortCol: String,
+      numFiles: Int): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val base = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val snap = readManifested(spark, path, Some(base))
+    require(snap.columns.contains(sortCol),
+      s"recluster column '$sortCol' is not a column of the snapshot " +
+        s"(${snap.columns.mkString(", ")})")
+    val sorted = snap
+      .repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+    val stage = s"recluster_${java.util.UUID.randomUUID().toString.take(8)}"
+    val files = stageAppend(spark, path, sorted, stage, None)
+    try commitManifest(spark, path, files, Some(base))
+    finally abandonStaged(spark, path, stage)
+  }
+
   // ---------------------------------------------------------------
   // lk28: lake health report — the compaction planner's input.
 

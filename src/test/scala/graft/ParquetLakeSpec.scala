@@ -1163,6 +1163,46 @@ class ParquetLakeSpec extends SparkSpec {
     assert(ParquetLake.readManifested(spark, dir).count() === headCount + 3)
   }
 
+  test("lk36: recluster rewrites the head sorted in one atomic commit; skipping starts working, history intact") {
+    val dir = Files.createTempDirectory("graft_recluster").toString
+    // interleaved manifested lake: every file spans the full ts range
+    events(spark, sf).select("event_id", "user_id", "ts_ms")
+      .repartition(6).write.mode("overwrite").parquet(dir)
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    ParquetLake.buildFileStats(spark, dir, Seq("ts_ms"))
+    val before = ParquetLake.clusteringReport(spark, dir, "ts_ms").head()
+    assert(before.getAs[Long]("max_depth") === before.getAs[Long]("n_with_stats"))
+    val rowsBefore = ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val v1Files = ParquetLake.readManifest(spark, dir, Some(v1)).get
+
+    val v2 = ParquetLake.reclusterManifested(spark, dir, "ts_ms", numFiles = 6)
+    assert(v2 === v1 + 1)
+    // same rows, new layout, depth restored
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === rowsBefore)
+    ParquetLake.buildFileStats(spark, dir, Seq("ts_ms"), version = Some(v2))
+    val after = ParquetLake.clusteringReport(spark, dir, "ts_ms").head()
+    assert(after.getAs[Long]("max_depth") <= 2,
+      s"recluster should restore depth, got ${after.getAs[Long]("max_depth")}")
+    // stats skipping now prunes a narrow range read, results identical
+    val lo = events(spark, sf).agg(min("ts_ms")).head().getLong(0) + 3L * 86400000L
+    val hi = lo + 2L * 86400000L
+    val pruned = ParquetLake.readManifestedPruned(spark, dir, "ts_ms", lo, hi)
+    assert(pruned.inputFiles.length < ParquetLake.readManifest(spark, dir, Some(v2)).get.size)
+    assert(pruned.collect().map(_.toString).sorted.toSeq ===
+      ParquetLake.readManifested(spark, dir)
+        .where(col("ts_ms").between(lo, hi))
+        .collect().map(_.toString).sorted.toSeq)
+    // history: the old version still reads its own interleaved layout
+    assert(ParquetLake.readManifest(spark, dir, Some(v1)).get === v1Files)
+    assert(ParquetLake.readManifested(spark, dir, Some(v1))
+      .collect().map(_.toString).sorted.toSeq === rowsBefore)
+    // no staging refs or orphans left behind
+    assert(ParquetLake.stagedManifests(spark, dir).isEmpty)
+    assert(ParquetLake.fsck(spark, dir).orphans.isEmpty)
+  }
+
   test("lk34: clustering report separates a sorted layout from an interleaved one, sidecar-only") {
     val data = events(spark, sf).select("event_id", "user_id", "ts_ms")
 
