@@ -645,6 +645,66 @@ object LogStream {
       }
   }
 
+  case class IntervalIn(
+      userId: Long, startMs: Long, endMs: Long,
+      eventTime: java.sql.Timestamp)
+  case class IslandOut(
+      userId: Long, coverStartMs: Long, coverEndMs: Long, nIntervals: Long)
+  case class OpenIsland(startMs: Long, endMs: Long, n: Long)
+
+  /** st29: streaming interval-union islands — batch q51's stateful
+    * twin. Each event carries its OWN varying-length interval
+    * [startMs, endMs); overlapping intervals per key coalesce into
+    * coverage islands, which fixed-gap sessionization cannot express
+    * (a short interval inside a long one must not split the island —
+    * the merge needs the island's running max end, and that is
+    * exactly the one number the state carries). State per key is ONE
+    * open island (3 longs) regardless of stream length; a closed
+    * island emits exactly once. Correct expiry falls out of the
+    * watermark contract: an island is extendable only by an event
+    * whose start ≤ island end, and events older than the watermark
+    * are dropped, so once the watermark passes the island's end no
+    * admissible event can ever extend it — the event-time timeout at
+    * end+1 is exact, not heuristic. Interval union is
+    * order-insensitive, so out-of-order arrivals within the
+    * watermark land in the same islands the batch window computes.
+    */
+  def intervalUnionExpiring(iv: Dataset[IntervalIn]): Dataset[IslandOut] = {
+    import iv.sparkSession.implicits._
+    iv.groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenIsland, IslandOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[IntervalIn], state: GroupState[OpenIsland]) =>
+          if (state.hasTimedOut) {
+            val expired = state.getOption.map(s =>
+              IslandOut(uid, s.startMs, s.endMs, s.n)).iterator
+            state.remove()
+            expired
+          } else {
+            val items =
+              (it.map(e => OpenIsland(e.startMs, e.endMs, 1L)).toSeq ++
+                state.getOption).sortBy(s => (s.startMs, s.endMs))
+            val out = scala.collection.mutable.ArrayBuffer.empty[OpenIsland]
+            items.foreach { s =>
+              out.lastOption match {
+                case Some(c) if s.startMs <= c.endMs =>
+                  out(out.length - 1) =
+                    OpenIsland(c.startMs, math.max(c.endMs, s.endMs), c.n + s.n)
+                case _ => out += s
+              }
+            }
+            val closed = out.dropRight(1).map(s =>
+              IslandOut(uid, s.startMs, s.endMs, s.n))
+            out.lastOption.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + 1, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Stateful gap sessionization: closed sessions are emitted, the
     * open tail lives in group state (bounded per key). The streaming
     * twin of the batch q8_sessionize window query.

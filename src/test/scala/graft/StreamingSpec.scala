@@ -430,8 +430,78 @@ class StreamingSpec extends SparkSpec {
     (1L to 3L).foreach(u => assert(out.get(u).contains(2L), s"user $u: $out"))
   }
 
+  private def st29Body(tag: String): Unit = {
+    import org.apache.spark.sql.{Dataset, SaveMode}
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft_stream_islands").toString
+    // real events, value-derived varying intervals — q51's exact shape
+    val src = events(spark, sf).where(col("user_id") < 20)
+      .select(col("user_id").as("userId"),
+        col("ts_ms").as("startMs"),
+        (col("ts_ms") + floor(col("value") * 600000).cast("long")).as("endMs"),
+        col("event_id"))
+      .localCheckpoint()
+    def toIn(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("userId"), col("startMs"), col("endMs"),
+        timestamp_millis(col("startMs")).as("eventTime"))
+    // two batches split at a mid-range instant (a later batch may not
+    // carry events older than the first batch's watermark — that's
+    // the stream contract, not a test artifact; islands spanning the
+    // split exercise the cross-batch state carry), then two
+    // watermark-advancing sentinels
+    val splitMs = src.agg(min("startMs")).head().getLong(0) + 18L * 86400000L
+    toIn(src.where(col("startMs") < splitMs)).write.mode(SaveMode.Overwrite).parquet(dir)
+    val in: Dataset[LogStream.IntervalIn] = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("startMs", LongType),
+        StructField("endMs", LongType), StructField("eventTime", TimestampType))))
+      .parquet(dir)
+      .withWatermark("eventTime", "1 second")
+      .as[LogStream.IntervalIn]
+    val q = LogStream.intervalUnionExpiring(in)
+      .writeStream.format("memory").queryName(s"st29_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      toIn(src.where(col("startMs") >= splitMs)).write.mode(SaveMode.Append).parquet(dir)
+      q.processAllAvailable()
+      // two successive sentinel batches push the watermark far past
+      // every island's end, firing the event-time timeouts
+      val far = src.agg(max("endMs")).head().getLong(0) + 1000000000L
+      Seq(far, far + 7200000L).foreach { f =>
+        toIn(Seq((99999L, f, f + 1L)).toDF("userId", "startMs", "endMs"))
+          .write.mode(SaveMode.Append).parquet(dir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table(s"st29_out$tag")
+      .where(col("userId") < 20)
+      .select("userId", "coverStartMs", "coverEndMs", "nIntervals")
+      .collect().map(_.toString).sorted.toSeq
+    // batch ground truth: q51's running-max window sweep on the same rows
+    val w = Window.partitionBy("userId").orderBy("startMs", "endMs", "event_id")
+    val prevEnd = max(col("endMs")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val expected = src
+      .withColumn("ni", when(prevEnd.isNull || col("startMs") > prevEnd, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("userId", "isl")
+      .agg(min("startMs").as("coverStartMs"), max("endMs").as("coverEndMs"),
+        count(lit(1)).as("nIntervals"))
+      .select("userId", "coverStartMs", "coverEndMs", "nIntervals")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("st8: event-time timeout expires idle sessions exactly once") {
     st8Body("")
+  }
+
+  test("st29: streaming interval-union islands equal the batch q51 sweep on closed islands") {
+    st29Body("")
+  }
+
+  test("st29 (rocksdb): interval-union islands under the RocksDB state store") {
+    withRocksDb(st29Body("_rdb"))
   }
 
   test("st8 (rocksdb): event-time session expiry under the RocksDB state store") {
