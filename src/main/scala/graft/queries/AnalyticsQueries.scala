@@ -239,6 +239,35 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // join-skew planning report — the diagnostic a pipeline reads
+    // BEFORE choosing q17's salting factor (or trusting AQE's skew
+    // split) for a 100 TB join: the fact side's per-join-key
+    // frequency profile — top-10 heaviest keys with their row share
+    // and skew-vs-average factor. Key counts are one map-side-
+    // combined aggregate; the top cut is orderBy+limit
+    // (TakeOrderedAndProject — ≤10 rows per partition move, the a6
+    // posture); the three corpus scalars ride in on one broadcast
+    // row. Both divisions are IEEE binary64 on exact integers, so
+    // the report hashes identically across engines.
+    "q52_skew_report" -> ((s, dir) => {
+      val cnt = table(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_rows"))
+      val stats = cnt.agg(
+        count(lit(1)).as("n_keys"),
+        sum("n_rows").as("n_total"),
+        max("n_rows").as("max_rows"))
+      cnt.orderBy(col("n_rows").desc, col("l_partkey")).limit(10)
+        .crossJoin(broadcast(stats))
+        .select(
+          col("l_partkey"), col("n_rows"), col("max_rows"),
+          round(col("n_rows").cast("double") /
+            (col("n_total").cast("double") / col("n_keys").cast("double")), 2)
+            .as("skew_vs_avg"),
+          round(col("n_rows").cast("double") * 100.0 / col("n_total").cast("double"), 4)
+            .as("pct_of_rows"))
+        .orderBy(col("n_rows").desc, col("l_partkey"))
+    }),
+
     // gaps-and-islands interval union: each event opens a VARYING-
     // length interval [ts, ts + value·600 seconds); overlapping
     // per user coalesce into islands (coverage spans). Unlike q8's
@@ -1558,6 +1587,19 @@ object AnalyticsQueries {
         |SELECT l_returnflag, l_quantity AS mode_qty, n AS n_occ FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn FROM c
         |) WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "q52_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n_keys, sum(n_rows)::BIGINT AS n_total,
+        |    max(n_rows) AS max_rows FROM c
+        |), top AS (
+        |  SELECT * FROM c ORDER BY n_rows DESC, l_partkey LIMIT 10
+        |)
+        |SELECT l_partkey, n_rows, st.max_rows,
+        |  round(n_rows::DOUBLE / (st.n_total::DOUBLE / st.n_keys::DOUBLE), 2) AS skew_vs_avg,
+        |  round(n_rows::DOUBLE * 100.0 / st.n_total::DOUBLE, 4) AS pct_of_rows
+        |FROM top CROSS JOIN st ORDER BY n_rows DESC, l_partkey""".stripMargin,
     "q51_interval_union" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS start_ms,
