@@ -250,8 +250,12 @@ object AnalyticsQueries {
     // row. Both divisions are IEEE binary64 on exact integers, so
     // the report hashes identically across engines.
     "q52_skew_report" -> ((s, dir) => {
+      // key-cardinality-sized relation feeding BOTH the top cut and
+      // the corpus scalars: materialized once (d2's posture) so the
+      // fact table is scanned once, not once per leg
       val cnt = table(s, dir, "lineitem")
         .groupBy("l_partkey").agg(count(lit(1)).as("n_rows"))
+        .localCheckpoint(eager = false)
       val stats = cnt.agg(
         count(lit(1)).as("n_keys"),
         sum("n_rows").as("n_total"),
