@@ -672,12 +672,22 @@ object ParquetLake {
     val spark = delta.sparkSession
     import spark.implicits._
     val checks = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    notNull.foreach { c =>
-      checks += s"not_null($c)" -> delta.where(col(c).isNull).count()
-    }
-    ranges.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-      checks += s"range($c in [$lo,$hi])" ->
-        delta.where(col(c).isNotNull && !col(c).between(lo, hi)).count()
+    // every scalar constraint folds into ONE aggregate pass over the
+    // delta (k constraints must not mean k delta scans)
+    val scalar: Seq[(String, Column)] =
+      notNull.map(c => s"not_null($c)" ->
+        sum(when(col(c).isNull, 1L).otherwise(0L))) ++
+      ranges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"range($c in [$lo,$hi])" ->
+          sum(when(col(c).isNotNull && !col(c).between(lo, hi), 1L).otherwise(0L))
+      }
+    if (scalar.nonEmpty) {
+      val row = delta.agg(scalar.head._2.as("c0"),
+        scalar.tail.zipWithIndex.map { case ((_, e), i) => e.as(s"c${i + 1}") }: _*)
+        .head()
+      scalar.zipWithIndex.foreach { case ((name, _), i) =>
+        checks += name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+      }
     }
     if (uniqueKey.nonEmpty) {
       val keyCols = uniqueKey.map(col)
