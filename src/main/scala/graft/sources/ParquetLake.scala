@@ -350,6 +350,13 @@ object ParquetLake {
 
   private val ManifestPrefix = "_graft_manifest.v"
 
+  // lk37: merge-on-read deletion vectors. Position files live under
+  // `.dv/` (dot-prefixed: invisible to parquet listing, fsck's orphan
+  // scan, and vacuum's partition-dir sweep); the manifest header key
+  // `dv` lists the vectors applying to that snapshot.
+  private val DvDir = ".dv"
+  private val DvHeaderKey = "dv"
+
   /** A `col=value` partition directory. The dot-prefix exclusion is
     * load-bearing: [[compact]]'s aside dirs are named
     * `.compact_p_date=...` — they CONTAIN '=', and treating one as a
@@ -416,6 +423,55 @@ object ParquetLake {
         .map(_.stripPrefix("# committed_ms=").trim.toLong)
       v -> header.getOrElse(fs.getFileStatus(p).getModificationTime)
     }
+  }
+
+  /** All `# key=value` header entries of a committed manifest (the
+    * latest by default) — commit metadata that rides the snapshot
+    * without being part of the file listing (`committed_ms`, the lk37
+    * `dv` deletion-vector list). Unknown keys are for readers to
+    * ignore.
+    */
+  def manifestHeaders(
+      spark: SparkSession, path: String,
+      version: Option[Int] = None): Map[String, String] = {
+    val (fs, root) = fsFor(spark, path)
+    val versions = manifestVersions(fs, root)
+    val chosen = version match {
+      case Some(v) => versions.find(_._1 == v).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest version $v not found under $path"))
+      case None => versions.lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $path"))
+    }
+    manifestLines(fs, chosen._2)
+      .filter(_.startsWith("# "))
+      .flatMap { l =>
+        val kv = l.stripPrefix("# ")
+        val i = kv.indexOf('=')
+        if (i > 0) Some(kv.take(i) -> kv.drop(i + 1)) else None
+      }.toMap
+  }
+
+  /** Lake-relative deletion-vector paths carried by a snapshot's
+    * manifest header (empty = no pending merge-on-read deletes).
+    */
+  private def dvList(
+      spark: SparkSession, path: String, version: Option[Int]): Seq[String] =
+    manifestHeaders(spark, path, version).get(DvHeaderKey).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+
+  /** Loud refusal for copy-on-write maintenance while deletion
+    * vectors are pending: such ops commit a fresh manifest without
+    * the `dv` header, which would silently RESURRECT the
+    * merge-on-read-deleted rows. [[materializeDeletes]] first.
+    */
+  private def requireNoPendingDv(
+      spark: SparkSession, path: String, version: Int, op: String): Unit = {
+    val dvs = dvList(spark, path, Some(version))
+    require(dvs.isEmpty,
+      s"$op on $path refused: snapshot v$version carries ${dvs.length} pending " +
+        "deletion vector(s); run materializeDeletes first (a copy-on-write " +
+        "rewrite would drop the dv header and resurrect deleted rows)")
   }
 
   /** Time travel by TIMESTAMP: read the snapshot that was current at
@@ -529,7 +585,12 @@ object ParquetLake {
       throw new IllegalArgumentException(
         s"cannot restore: version $toVersion is not a committed manifest " +
           s"under $path (vacuumed or never committed)"))
-    commitManifest(spark, path, files, Some(latest))
+    // the dv header is part of the restored snapshot's row-visibility
+    // contract — a restore that dropped it would resurrect rows
+    val dvs = dvList(spark, path, Some(toVersion))
+    commitManifest(spark, path, files, Some(latest),
+      headers = if (dvs.isEmpty) Map.empty
+        else Map(DvHeaderKey -> dvs.mkString(",")))
   }
 
   // ---------------------------------------------------------------
@@ -768,9 +829,16 @@ object ParquetLake {
       val base = if (latest == 0) Seq.empty[String]
         else readManifest(spark, path, Some(latest)).getOrElse(Seq.empty)
       val delta = staged.filterNot(base.toSet) // crash-replay guard
+      // an append changes no existing file, but the head's pending
+      // deletion vectors must ride along or MoR readers of the new
+      // head would see the deleted rows return
+      val dvs = if (latest == 0) Seq.empty[String]
+        else dvList(spark, path, Some(latest))
       try committed =
         if (delta.isEmpty) latest
-        else commitManifest(spark, path, base ++ delta, Some(latest))
+        else commitManifest(spark, path, base ++ delta, Some(latest),
+          headers = if (dvs.isEmpty) Map.empty[String, String]
+            else Map(DvHeaderKey -> dvs.mkString(",")))
       catch {
         case e: ManifestConflictException =>
           attempt += 1
@@ -823,6 +891,7 @@ object ParquetLake {
     val (fs, root) = fsFor(spark, path)
     val base = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
+    requireNoPendingDv(spark, path, base, "repartitionManifested")
     val snap = readManifested(spark, path, Some(base))
     require(snap.columns.contains(partCol),
       s"partition-evolution column '$partCol' is not a column of the snapshot " +
@@ -854,6 +923,7 @@ object ParquetLake {
     val (fs, root) = fsFor(spark, path)
     val base = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
+    requireNoPendingDv(spark, path, base, "reclusterManifested")
     val snap = readManifested(spark, path, Some(base))
     require(snap.columns.contains(sortCol),
       s"recluster column '$sortCol' is not a column of the snapshot " +
@@ -1489,7 +1559,8 @@ object ParquetLake {
     */
   def commitManifest(
       spark: SparkSession, path: String, files: Seq[String],
-      expectedVersion: Option[Int] = None): Int = {
+      expectedVersion: Option[Int] = None,
+      headers: Map[String, String] = Map.empty): Int = {
     import org.apache.hadoop.fs.Path
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -1504,8 +1575,21 @@ object ParquetLake {
       s"._graft_manifest.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
     val out = fs.create(tmp, true)
     // '#' header = commit metadata (readers drop '#' lines; legacy
-    // manifests without one still read — see manifestLog)
-    try out.write((s"# committed_ms=${System.currentTimeMillis()}\n" +
+    // manifests without one still read — see manifestLog). Extra
+    // `headers` entries (e.g. the lk37 deletion-vector list) ride the
+    // same mechanism: old readers skip them, header-aware readers
+    // parse `# key=value` via [[manifestHeaders]].
+    headers.keys.foreach { k =>
+      require(k.nonEmpty && k != "committed_ms" &&
+        k.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+        s"manifest header key must be [A-Za-z0-9_-]+ and not committed_ms, got '$k'")
+    }
+    require(headers.values.forall(v => !v.contains('\n')),
+      "manifest header values must be single-line")
+    val headerLines = (s"# committed_ms=${System.currentTimeMillis()}" +:
+      headers.toSeq.sortBy(_._1).map { case (k, v) => s"# $k=$v" })
+      .mkString("", "\n", "\n")
+    try out.write((headerLines +
       files.sorted.mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     val target = new Path(root, s"$ManifestPrefix$next")
@@ -1641,6 +1725,7 @@ object ParquetLake {
     val (fs, root) = fsFor(spark, path)
     val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
+    requireNoPendingDv(spark, path, currentVersion, "compactManifested")
     val current = readManifest(spark, path, Some(currentVersion)).get
     val byPartition = current.groupBy(_.split('/').head)
     val results = inParallel(byPartition.toSeq.sortBy(_._1), parallelism) {
@@ -1752,6 +1837,7 @@ object ParquetLake {
     val (fs, root) = fsFor(spark, path)
     val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
+    requireNoPendingDv(spark, path, currentVersion, "mergeManifested")
     val current = readManifest(spark, path, Some(currentVersion)).get
     val isDelete = deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
       .getOrElse(lit(false))
@@ -1862,6 +1948,7 @@ object ParquetLake {
     val (fs, root) = fsFor(spark, path)
     val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
+    requireNoPendingDv(spark, path, currentVersion, "deleteManifested")
     val current = readManifest(spark, path, Some(currentVersion)).get
     // which files hold a matching row? One pushed-down scan, file names
     // only — the same bounded-collect class as the manifest listing
@@ -1960,6 +2047,7 @@ object ParquetLake {
     val (fs, root) = fsFor(spark, path)
     val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
+    requireNoPendingDv(spark, path, currentVersion, "updateManifested")
     val current = readManifest(spark, path, Some(currentVersion)).get
     val rootPath = fs.makeQualified(root).toUri.getPath
     val snapshot = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
@@ -2100,6 +2188,210 @@ object ParquetLake {
     * orphans, recoverInterrupted finishes swaps) — fsck never
     * mutates.
     */
+  // ---------------------------------------------------------------
+  // lk37: merge-on-read DELETE via deletion vectors.
+
+  /** Lake-relative rel-path of a scanned row's file, derived from the
+    * `_metadata.file_path` URI — the join key between data rows and
+    * deletion-vector entries.
+    */
+  private def relFileCol(rootPath: String): Column =
+    regexp_replace(col("_metadata.file_path"),
+      "^.*" + java.util.regex.Pattern.quote(rootPath + "/"), "")
+
+  /** Merge-on-read DELETE: marks the matching rows of the CURRENT
+    * snapshot deleted by writing their `(file, position)` pairs as a
+    * deletion vector, committing a manifest whose FILE LIST IS
+    * UNCHANGED — no data file is rewritten. At 100 TB this is the
+    * difference between a GDPR erasure of one user rewriting a
+    * fingerprint-scattered third of the lake (copy-on-write
+    * [[deleteManifested]] rewrites every file holding a match) and
+    * writing a few KB of positions: delete cost is proportional to
+    * MATCHED ROWS, not to the bytes of the files they sit in. The
+    * rewrite is deferred to [[materializeDeletes]] (typically folded
+    * into scheduled compaction).
+    *
+    * Readers: [[readManifestedMoR]] applies pending vectors; the
+    * plain snapshot readers ([[readManifested]], pruned/bloom reads)
+    * see pre-delete data by design — they read a FILE listing, and
+    * the files are untouched. Deletes stack: each call appends a
+    * vector, all of which apply. Time travel holds: a pre-delete
+    * version has no `dv` header and reads in full.
+    *
+    * Copy-on-write maintenance (compaction, merge, recluster,
+    * repartition, COW delete/update) REFUSES while vectors are
+    * pending — it would commit a fresh header and resurrect the rows
+    * — so the lifecycle is deleteVectored* → materializeDeletes →
+    * maintenance. The file-grain [[changeFeed]]/[[readIncremental]]
+    * see a vectored delete as an empty file diff (documented
+    * file-grain contract); consume row-level deletes via the vectors
+    * themselves.
+    *
+    * Multi-writer safe: the commit is a CAS at the probed version,
+    * rebasing like [[deleteManifested]] on conflict. Returns the
+    * committed version (the current one when nothing matched).
+    */
+  def deleteVectored(
+      spark: SparkSession, path: String, predicate: Column,
+      maxRetries: Int = 3): Int = {
+    var attempt = 0
+    while (true) {
+      try return deleteVectoredAttempt(spark, path, predicate)
+      catch {
+        case e: ManifestConflictException if attempt < maxRetries =>
+          attempt += 1
+          log.info(
+            s"deleteVectored conflict on $path (attempt $attempt/$maxRetries), " +
+              s"rebasing onto the new snapshot: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteVectoredAttempt(
+      spark: SparkSession, path: String, predicate: Column): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val current = readManifest(spark, path, Some(currentVersion)).get
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val prior = dvList(spark, path, Some(currentVersion))
+    // positions tag onto the SCAN relation (metadata columns resolve
+    // there), then already-vectored rows are anti-joined away so a
+    // replayed delete is a no-op — one pushed-down pass, and the
+    // vector carries positions only, never row data
+    val tagged = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
+      .withColumn("_graft_dv_file", relFileCol(rootPath))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+      .where(predicate)
+    val fresh =
+      if (prior.isEmpty) tagged
+      else {
+        val pdv = spark.read.parquet(prior.map(f => s"$path/$f"): _*)
+        tagged.join(broadcast(pdv),
+          tagged("_graft_dv_file") === pdv("file") &&
+            tagged("_graft_dv_pos") === pdv("pos"),
+          "left_anti")
+      }
+    val hits = fresh.select(col("_graft_dv_file").as("file"),
+      col("_graft_dv_pos").as("pos"))
+    val dvRel = s"$DvDir/dv_${java.util.UUID.randomUUID().toString.take(12)}"
+    val aside = new Path(root, dvRel)
+    hits.coalesce(1).write.mode("errorifexists").parquet(aside.toString)
+    if (spark.read.parquet(aside.toString).isEmpty) {
+      fs.delete(aside, true)
+      return currentVersion
+    }
+    val all = dvList(spark, path, Some(currentVersion)) :+ dvRel
+    commitManifest(spark, path, current, Some(currentVersion),
+      headers = Map(DvHeaderKey -> all.mkString(",")))
+  }
+
+  /** Read a snapshot with its pending deletion vectors applied — the
+    * merge-on-read twin of [[readManifested]]. The vectors (a
+    * position-only relation, KBs against TBs) broadcast into a
+    * left-anti hash join on `(file, position)`: map-side, no shuffle
+    * of the data rows, and the scan's own pushdown/pruning still
+    * applies underneath.
+    */
+  def readManifestedMoR(
+      spark: SparkSession, path: String, version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    val (fs, root) = fsFor(spark, path)
+    val latest = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val v = version.getOrElse(latest)
+    val base = readManifested(spark, path, Some(v), mergeSchema)
+    val dvs = dvList(spark, path, Some(v))
+    if (dvs.isEmpty) return base
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val dv = spark.read.parquet(dvs.map(f => s"$path/$f"): _*)
+    val tagged = base
+      .withColumn("_graft_dv_file", relFileCol(rootPath))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+    tagged.join(broadcast(dv),
+        tagged("_graft_dv_file") === dv("file") &&
+          tagged("_graft_dv_pos") === dv("pos"),
+        "left_anti")
+      .drop("_graft_dv_file", "_graft_dv_pos")
+  }
+
+  /** Apply every pending deletion vector as a copy-on-write rewrite
+    * of exactly the files they touch, committing a vector-free
+    * snapshot — after which plain and MoR reads agree and
+    * copy-on-write maintenance is unblocked. Rewrite cost is
+    * proportional to the files that actually HOLD deleted rows, paid
+    * once and scheduled (compaction-time), not per delete. The spent
+    * vector files stay on disk for retained older versions'
+    * [[readManifestedMoR]]; [[vacuum]] sweeps them once unreferenced.
+    */
+  def materializeDeletes(
+      spark: SparkSession, path: String, maxRetries: Int = 3): Int = {
+    var attempt = 0
+    while (true) {
+      try return materializeAttempt(spark, path)
+      catch {
+        case e: ManifestConflictException if attempt < maxRetries =>
+          attempt += 1
+          log.info(
+            s"materializeDeletes conflict on $path (attempt $attempt/$maxRetries), " +
+              s"rebasing onto the new snapshot: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def materializeAttempt(spark: SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val dvs = dvList(spark, path, Some(currentVersion))
+    if (dvs.isEmpty) return currentVersion
+    val current = readManifest(spark, path, Some(currentVersion)).get
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val dv = spark.read.parquet(dvs.map(f => s"$path/$f"): _*)
+      .localCheckpoint(eager = false)
+    val affected = dv.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val unknown = affected.filterNot(current.contains)
+    require(unknown.isEmpty,
+      s"deletion vectors reference files outside the snapshot: ${unknown.take(3).mkString(",")}")
+    val snapshot = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
+    val rewritten = inParallel(affected, 8) { rel =>
+      val dirRel = rel.split('/').dropRight(1)
+      val partCols = dirRel.filter(_.contains('=')).map(_.split('=')(0))
+      val one = spark.read.schema(snapshot.schema).option("basePath", path)
+        .parquet(new Path(root, rel).toString)
+        .withColumn("_graft_dv_file", relFileCol(rootPath))
+        .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+      val keep = one.join(broadcast(dv),
+          one("_graft_dv_file") === dv("file") &&
+            one("_graft_dv_pos") === dv("pos"),
+          "left_anti")
+        .drop("_graft_dv_file", "_graft_dv_pos")
+        .drop(partCols.toSeq: _*)
+      if (keep.isEmpty) Seq.empty[String]
+      else {
+        val aside = new Path(root, s".dvmat_${java.util.UUID.randomUUID().toString.take(12)}")
+        keep.coalesce(1).write.mode("overwrite").parquet(aside.toString)
+        val dstDir = dirRel.foldLeft(root)((p, d) => new Path(p, d))
+        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+        val out = fs.listStatus(aside)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map { f =>
+            renameOrThrow(fs, f.getPath, new Path(dstDir, f.getPath.getName))
+            (dirRel :+ f.getPath.getName).mkString("/")
+          }.toSeq
+        fs.delete(aside, true)
+        out
+      }
+    }.flatten
+    commitManifest(spark, path,
+      current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
+  }
+
   def fsck(spark: SparkSession, path: String): FsckReport = {
     val (fs, root) = fsFor(spark, path)
     // staged-but-unpublished WAP files are intentional, not orphans
@@ -2183,6 +2475,20 @@ object ParquetLake {
       .filterNot(referenced)
       .toSeq
     dataOrphans.foreach(f => fs.delete(new Path(root, f), false))
-    dataOrphans ++ oldManifests.map(_._2.getName)
+    // deletion vectors referenced by NO retained manifest header are
+    // spent (materialized, or their version aged out) — same horizon
+    // guard as data files for in-flight deleteVectored commits
+    val keptDv = kept.flatMap { case (v, _) =>
+      dvList(spark, path, Some(v))
+    }.toSet
+    val dvRoot = new Path(root, DvDir)
+    val dvOrphans =
+      if (!fs.exists(dvRoot)) Seq.empty[String]
+      else fs.listStatus(dvRoot).toSeq
+        .filter(d => d.isDirectory && d.getModificationTime <= horizon)
+        .map(d => s"$DvDir/${d.getPath.getName}")
+        .filterNot(keptDv)
+    dvOrphans.foreach(f => fs.delete(new Path(root, f), true))
+    dataOrphans ++ dvOrphans ++ oldManifests.map(_._2.getName)
   }
 }

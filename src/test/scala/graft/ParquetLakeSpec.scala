@@ -1253,4 +1253,73 @@ class ParquetLakeSpec extends SparkSpec {
       ParquetLake.clusteringReport(spark, bare, "ts_ms")
     }
   }
+
+  test("lk37: merge-on-read deletion vectors — delete without rewrite, stack, materialize, vacuum") {
+    val dir = Files.createTempDirectory("graft_lake_dv").toString
+    val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
+    ParquetLake.writePartitioned(ev, dir, "ts_ms", sortCols = Seq("user_id"))
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val total = ev.count()
+
+    def fileSig(): Set[(String, Long)] =
+      new java.io.File(dir).listFiles.filter(d => d.isDirectory && d.getName.contains("="))
+        .flatMap(_.listFiles).filter(_.getName.startsWith("part-"))
+        .map(f => (s"${f.getParentFile.getName}/${f.getName}", f.length)).toSet
+    val sigBefore = fileSig()
+
+    // vectored delete: manifest version bumps, NO data file changes
+    val pred1 = col("event_type") === "click"
+    val nClick = ev.where(pred1).count()
+    assert(nClick > 0)
+    val v2 = ParquetLake.deleteVectored(spark, dir, pred1)
+    assert(v2 === v1 + 1)
+    assert(fileSig() === sigBefore, "a vectored delete must not touch data files")
+
+    // MoR read applies the vectors row-exactly; the plain snapshot
+    // readers see pre-delete data by contract; time travel reads the
+    // pre-delete version in full
+    val got1 = ParquetLake.readManifestedMoR(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expect1 = ev.where(!pred1)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got1 === expect1)
+    assert(ParquetLake.readManifested(spark, dir).count() === total)
+    assert(ParquetLake.readManifestedMoR(spark, dir, Some(v1)).count() === total)
+
+    // deletes stack: a second vector applies on top of the first
+    val pred2 = col("user_id") % 10 === 3
+    val v3 = ParquetLake.deleteVectored(spark, dir, pred2)
+    val expectN = ev.where(!pred1 && !pred2).count()
+    assert(ParquetLake.readManifestedMoR(spark, dir).count() === expectN)
+    assert(ParquetLake.manifestHeaders(spark, dir)("dv").split(',').length === 2)
+
+    // idempotent replay: re-deleting already-vectored rows is a no-op
+    assert(ParquetLake.deleteVectored(spark, dir, pred1) === v3)
+
+    // copy-on-write maintenance refuses while vectors are pending —
+    // it would commit a dv-less header and resurrect the rows
+    val err = intercept[IllegalArgumentException] {
+      ParquetLake.compactManifested(spark, dir)
+    }
+    assert(err.getMessage.contains("materializeDeletes"))
+
+    // materialize: rewrites exactly the touched files, drops the
+    // header; plain and MoR reads now agree
+    ParquetLake.materializeDeletes(spark, dir)
+    assert(!ParquetLake.manifestHeaders(spark, dir).contains("dv"))
+    val gotM = ParquetLake.readManifested(spark, dir)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotM === ev.where(!pred1 && !pred2)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(ParquetLake.readManifestedMoR(spark, dir).count() === expectN)
+    // the retained pre-materialize version still reads with ITS vectors
+    assert(ParquetLake.readManifestedMoR(spark, dir, Some(v3)).count() === expectN)
+
+    // vacuum sweeps the spent vectors once no retained version
+    // references them; the head keeps reading
+    val swept = ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(swept.exists(_.startsWith(".dv/")), swept.mkString(","))
+    assert(ParquetLake.readManifestedMoR(spark, dir).count() === expectN)
+    assert(ParquetLake.readManifested(spark, dir).count() === expectN)
+  }
 }
