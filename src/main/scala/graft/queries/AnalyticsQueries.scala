@@ -721,6 +721,41 @@ object AnalyticsQueries {
         .orderBy("rn")
     }),
 
+    // KMV / bottom-k distinct estimator (Bar-Yossef et al. 2002):
+    // per group keep the k smallest hash values of the DISTINCT
+    // tokens; the k-th smallest fraction u estimates the distinct
+    // count as (k-1)/u. Unlike HLL (a1) the estimator is fully
+    // REPLAYABLE: the hash is md5 arithmetic both engines compute
+    // bit-identically, so this row is oracle-hash-matched while
+    // still being the real estimator (not an exact-regime
+    // degenerate). Plan shape at 100 TB: duplicates collapse in the
+    // (group, hash) distinct — the one shuffle, carrying 52-bit
+    // hashes, never token text — then the bounded-heap graft_topk
+    // reduces each group to k values with map-side partial combine;
+    // state is O(k) per group, mergeable, one pass.
+    "a9_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      // 13 hex digits = 52 bits: exact in a double on both engines,
+      // so u = h / 2^52 and (k-1)/u replay bit-identically
+      val hashed = events(s, dir)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val agg = hashed.groupBy("event_type").agg(
+        graft.functions.topk(
+          -col("h").cast("double") / lit(4503599627370496.0), col("h"), k).as("tk"),
+        count(lit(1)).as("n_exact"))
+      val est = when(col("n_exact") >= k,
+          lit((k - 1).toDouble) / -element_at(col("tk"), k).getField("score"))
+        .otherwise(col("n_exact").cast("double"))
+      agg.select(
+        col("event_type"), col("n_exact"),
+        round(est, 4).as("kmv_est"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+        .orderBy("event_type")
+    }),
+
     // TPC-H Q8 shape: one nation's revenue share within its region
     // per order year. The supplier→nation→region lookup broadcasts
     // (dim-sized), so numerator and denominator are one conditional
@@ -1369,6 +1404,26 @@ object AnalyticsQueries {
         |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c
         |)
         |SELECT rn, token, n FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "a9_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h
+        |), e AS (
+        |  SELECT event_type, n,
+        |    CASE WHEN n >= 64 THEN 63.0 / (h / 4503599627370496.0)
+        |         ELSE n::DOUBLE END AS est
+        |  FROM r WHERE rn = least(n, 64)
+        |)
+        |SELECT event_type, n AS n_exact,
+        |  round(est, 4) AS kmv_est,
+        |  round(abs(est - n) / n, 4) AS rel_err
+        |FROM e ORDER BY event_type""".stripMargin,
     "q27_market_share" ->
       """WITH f AS (
         |  SELECT year(o_orderdate)::BIGINT AS yr,

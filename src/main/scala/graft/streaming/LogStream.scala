@@ -572,6 +572,9 @@ object LogStream {
   case class AsOfOut(userId: Long, tsNs: Long, eventId: Long, lastRightId: Option[Long])
 
   case class ValueIn(userId: Long, tsNs: Long, value: Double)
+  case class KmvIn(key: String, element: Long)
+  case class KmvState(hashes: Array[Long])
+  case class KmvOut(key: String, nKept: Int, estDistinct: Double, exact: Boolean)
   case class WelfordState(n: Long, mean: Double, m2: Double)
   case class AnomalyOut(
       userId: Long, tsNs: Long, value: Double, nSeen: Long,
@@ -824,6 +827,54 @@ object LogStream {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** st30: streaming KMV (bottom-k) distinct-count estimator — the
+    * streaming twin of the batch `a9_kmv_distinct` row, sharing its
+    * hash arithmetic (52-bit md5 prefix of the element's decimal
+    * string) and estimate ((k-1)/u_k once k values are held; exact
+    * below that). State per key is the ≤ k smallest DISTINCT hashes:
+    * O(k) longs bounded for any stream length — against
+    * dropDuplicates-based exact counting whose state grows without
+    * bound with the distinct domain. Because min-k of a set is
+    * ORDER-FREE, the final estimate is independent of batch
+    * boundaries and arrival order: replaying the same rows in any
+    * batching lands on the same state, and the last per-key emission
+    * equals the batch operator's answer exactly (spec-pinned against
+    * a9's oracle arithmetic). Emits each key's current estimate once
+    * per micro-batch that delivered elements for it (Append mode).
+    */
+  def streamKmv(elements: Dataset[KmvIn], k: Int = 64): Dataset[KmvOut] = {
+    import elements.sparkSession.implicits._
+    elements
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KmvState, KmvOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[KmvIn], state: GroupState[KmvState]) =>
+          val cur = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+          val incoming = it.map(e => kmvHash52(e.element)).toArray
+          val merged = (cur ++ incoming).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          Iterator.single(
+            if (merged.length < k)
+              KmvOut(key, merged.length, merged.length.toDouble, exact = true)
+            else
+              KmvOut(key, k,
+                (k - 1).toDouble / (merged(k - 1).toDouble / 4503599627370496.0),
+                exact = false))
+      }
+  }
+
+  /** The a9 hash: first 13 hex digits (52 bits — double-exact) of
+    * md5 over the element's decimal string, identical to Spark SQL's
+    * `conv(substring(md5(cast(e as string)), 1, 13), 16, 10)` and
+    * DuckDB's `('0x' || substr(md5(e::VARCHAR), 1, 13))::BIGINT`.
+    */
+  private[streaming] def kmvHash52(element: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(element.toString.getBytes("UTF-8"))
+      .take(7).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16)
   }
 
   /** st20: continuous ANN — a stream of query vectors probed against

@@ -269,6 +269,20 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("a9: KMV reduces via the bounded-heap aggregate — no Window, no sort of the hash relation") {
+    val p = SparkEntry.queries("a9_kmv_distinct")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the k-th smallest must come from the O(k) graft_topk heap with
+    // map-side partial combine, not a per-group sort/rank of the
+    // domain-sized distinct-hash relation
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // shuffles carry (group, 52-bit hash) pairs only — the token/user
+    // text never leaves the scan stage
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q43: one fact scan — the semi-join chain is a broadcast flag + conditional agg") {
     val p = plan("q43_promo_suppliers")
     val factScans = "ReadSchema: struct<l_partkey".r.findAllIn(p).size +

@@ -1065,6 +1065,81 @@ class StreamingSpec extends SparkSpec {
     withRocksDb(st25Body("_rdb"))
   }
 
+  private def st30Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_kmv_in").toString
+    val ev = events(spark, sf)
+      .select(col("event_type").as("key"), col("user_id").as("element"))
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      ev.where(f).write.mode(mode).parquet(inDir)
+    // three micro-batches sliced by USER (not time): min-k state is
+    // order-free, so any slicing must land on the same final estimate
+    writeIn(col("element") % 3 === 0, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("key", StringType), StructField("element", LongType))))
+      .parquet(inDir)
+      .as[LogStream.KmvIn]
+    val q = LogStream.streamKmv(stream, k = 8)
+      .writeStream.format("memory").queryName(s"st30_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("element") % 3 === 1, SaveMode.Append)
+      q.processAllAvailable()
+      writeIn(col("element") % 3 === 2, SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(s"st30_out$tag").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    // one emission per key per delivering batch; estimates only ever
+    // grow (exact counts grow, and once the heap fills u_k can only
+    // shrink — and any estimate ≥ k-1 ≥ any exact count), so max =
+    // final
+    assert(out.groupBy(_._1).values.forall(_.length === 3))
+    val finals = out.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.map(_._3).max }
+    // independent expected values: hashes via the SQL md5 expression
+    // a9's oracle replays (pinning kmvHash52 to the SQL arithmetic),
+    // bottom-k and the estimate recomputed here from scratch
+    val hashes = ev.select(col("key"),
+      conv(substring(md5(col("element").cast("string")), 1, 13), 16, 10)
+        .cast("long").as("h"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = hashes.map { case (k, hs) =>
+      k -> (if (hs.length < 8) hs.length.toDouble
+            else 7.0 / (hs(7).toDouble / 4503599627370496.0)) }
+    assert(finals === expected)
+    // the fixture (15 distinct users per type) crosses k=8: early
+    // emissions exact, finals estimator-regime
+    assert(out.filter(t => !t._4).nonEmpty)
+    assert(out.filter(t => t._4).forall(t => t._2 < 8))
+    // batch-boundary invariance, stated directly: the same operator
+    // over the whole input as ONE batch gives the same finals
+    val single = LogStream.streamKmv(
+      spark.read.parquet(inDir).as[LogStream.KmvIn], k = 8)
+      .collect().map(o => o.key -> o.estDistinct).toMap
+    assert(single === finals)
+    // and the k=64 run sits in the exact regime here, agreeing with
+    // the a9 row's exact branch (driver-verified at larger sf where
+    // the estimator branch carries the oracle)
+    val a9 = SparkEntry.queries("a9_kmv_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val single64 = LogStream.streamKmv(
+      spark.read.parquet(inDir).as[LogStream.KmvIn])
+      .collect().map(o => o.key -> o.estDistinct).toMap
+    assert(single64 === a9)
+  }
+
+  test("st30: streaming bottom-k KMV distinct estimate matches batch a9 after any batch slicing") {
+    st30Body("")
+  }
+
+  test("st30 (rocksdb): KMV estimator under the RocksDB state store") {
+    withRocksDb(st30Body("_rdb"))
+  }
+
   test("st3: stateful sessionization emits exactly the closed sessions of batch q8") {
     st3Body("")
   }
