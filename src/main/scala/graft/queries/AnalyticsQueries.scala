@@ -1307,9 +1307,62 @@ object AnalyticsQueries {
             .as("n_outliers"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // time-decayed activity score (EWMA with irregular gaps): each
+    // user's score after their last event, where an event's weight
+    // halves every 7 days — the freshness/engagement gauge behind
+    // retention dashboards and decay-weighted sampling. The naive
+    // per-row definition (re-sum every prior event per event) is
+    // quadratic; the factored form score_i = e^{-λ(t_i-t0)} · Σ_{j≤i}
+    // v_j e^{λ(t_j-t0)} turns it into ONE running window sum. The t0
+    // normalization is load-bearing at 100 TB: exponent magnitude is
+    // bounded by each KEY's OWN time span (days), not by absolute
+    // epoch time (decades → overflow). All three windows share the
+    // user_id partitioning — one shuffle, one sort.
+    "q53_ewma_activity" -> ((s, dir) => {
+      val ln2 = lit(math.log(2.0))
+      val halfMs = lit(7.0 * 86400000.0)
+      val byUser = Window.partitionBy("user_id")
+      val run = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      val lastFirst = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+        .withColumn("t0", min("ts_ms").over(byUser))
+        .withColumn("n_events", count(lit(1)).over(byUser))
+        .withColumn("acc",
+          sum(col("value") * exp(ln2 * (col("ts_ms") - col("t0")) / halfMs)).over(run))
+        .withColumn("rn", row_number().over(lastFirst))
+        .where(col("rn") === 1)
+        .select(
+          col("user_id"), col("n_events"),
+          col("ts_ms").as("last_ts_ms"),
+          round(col("acc") * exp(-ln2 * (col("ts_ms") - col("t0")) / halfMs), 4)
+            .as("ewma_score"))
+        .orderBy("user_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q53_ewma_activity" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id, value,
+        |    min(epoch_ms(ts::TIMESTAMP)) OVER (PARTITION BY user_id) AS t0,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events
+        |), a AS (
+        |  SELECT user_id, ts_ms, event_id, n_events, t0,
+        |    sum(value * exp(ln(2) * (ts_ms - t0) / 604800000.0))
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS acc
+        |  FROM b
+        |), l AS (
+        |  SELECT user_id, n_events, ts_ms AS last_ts_ms,
+        |    acc * exp(-ln(2) * (ts_ms - t0) / 604800000.0) AS score,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+        |  FROM a
+        |)
+        |SELECT user_id, n_events, last_ts_ms, round(score, 4) AS ewma_score
+        |FROM l WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q34_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

@@ -166,6 +166,35 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // token-mass accounting for the dedup decision: what d13's
+    // near-dup dedup costs/saves PER SOURCE measured in TOKENS — the
+    // unit a training run budgets in (docs are not; a source whose
+    // dups are its longest docs loses far more than its doc-count
+    // share suggests). Composes d13's (id, keep) relation — doc-count
+    // sized, (long, bool) — with per-doc token counts folded at the
+    // scan: the join and aggregate shuffle ids and counts only,
+    // never text.
+    "d23_token_mass" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{TextFunctions => T}
+      val docs = table(s, dir, "documents")
+      val dec = Dedup.dedupCorpus(docs, "text", "doc_id", 0.5)
+      docs.select(col("doc_id"), col("source"),
+          size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(dec, col("doc_id") === col("id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum("n_tokens").as("tokens_total"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("dup_token_share",
+          round((col("tokens_total") - col("tokens_kept")).cast("double") /
+            col("tokens_total"), 4))
+        .orderBy("source")
+    }),
+
     // quality-aware retention: d13's pipeline but each dup cluster
     // keeps its longest member (tie → lowest id) and every doc learns
     // its cluster's surviving representative — the "keep the best
@@ -480,6 +509,35 @@ object DedupQueries {
         |SELECT d.doc_id AS id, coalesce(c.component = d.doc_id, TRUE) AS keep
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         |ORDER BY 1""".stripMargin),
+    // d23 replays d13's keep decision, then weighs it in tokens
+    "d23_token_mass" -> (shingleCtes.replace("WITH toks", "WITH RECURSIVE toks") +
+      """, pr AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jac >= 0.5
+        |), ed AS (
+        |  SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM ed
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN ed e ON e.s = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |), kp AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')), ' '))::BIGINT AS n_tokens,
+        |    coalesce(c.component = d.doc_id, TRUE) AS keep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(n_tokens)::BIGINT AS tokens_total,
+        |  sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS tokens_kept,
+        |  round((sum(n_tokens) - sum(CASE WHEN keep THEN n_tokens ELSE 0 END))::DOUBLE
+        |    / sum(n_tokens), 4) AS dup_token_share
+        |FROM kp GROUP BY 1 ORDER BY 1""".stripMargin),
     // d14 replays d13's clustering, then picks each cluster's
     // representative by (n_chars DESC, id ASC) — the same
     // deterministic argmax the Spark max_by(struct) computes

@@ -269,6 +269,16 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q53: all three EWMA windows share ONE user_id exchange") {
+    val p = SparkEntry.queries("q53_ewma_activity")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // partition-min, running sum, and last-row rank are all keyed on
+    // user_id — a plan that re-shuffled between them would pay the
+    // fact exchange three times
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a9: KMV reduces via the bounded-heap aggregate — no Window, no sort of the hash relation") {
     val p = SparkEntry.queries("a9_kmv_distinct")(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
