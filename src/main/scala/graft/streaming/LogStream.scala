@@ -575,6 +575,9 @@ object LogStream {
   case class KmvIn(key: String, element: Long)
   case class KmvState(hashes: Array[Long])
   case class KmvOut(key: String, nKept: Int, estDistinct: Double, exact: Boolean)
+  case class EwmaIn(userId: Long, tsMs: Long, eventId: Long, value: Double)
+  case class EwmaState(t0: Long, lastTs: Long, acc: Double, n: Long)
+  case class EwmaOut(userId: Long, lastTsMs: Long, nEvents: Long, score: Double)
   case class WelfordState(n: Long, mean: Double, m2: Double)
   case class AnomalyOut(
       userId: Long, tsNs: Long, value: Double, nSeen: Long,
@@ -862,6 +865,44 @@ object LogStream {
               KmvOut(key, k,
                 (k - 1).toDouble / (merged(k - 1).toDouble / 4503599627370496.0),
                 exact = false))
+      }
+  }
+
+  /** st31: streaming time-decayed EWMA activity score — q53's
+    * stateful twin. State per key is FOUR numbers (t0, last ts, the
+    * factored accumulator, count): the state carries the SAME
+    * factored form as the batch window sum (acc = Σ v_j
+    * e^{λ(t_j−t0)}, score = acc·e^{−λ(t_i−t0)}) rather than the
+    * textbook recurrence s_i = s_{i-1}·e^{−λΔt} + v_i, because the
+    * factored form's additions happen in the same order with the
+    * same operands as q53's running window sum — making
+    * streaming-vs-batch parity BIT-EXACT, not just
+    * close-after-rounding. t0 (the key's first event) bounds the
+    * exponent by the key's own time span, exactly as in batch.
+    * Emits each key's score as of its latest event once per
+    * delivering micro-batch; per-key time-ordered delivery across
+    * batches is the replay contract (st25/st26's).
+    */
+  def streamEwma(
+      events: Dataset[EwmaIn], halfLifeMs: Double = 7.0 * 86400000.0): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val ln2 = math.log(2.0)
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EwmaIn], state: GroupState[EwmaState]) =>
+          val batch = it.toArray.sortBy(e => (e.tsMs, e.eventId))
+          var st = state.getOption.getOrElse(
+            EwmaState(batch.head.tsMs, batch.head.tsMs, 0.0, 0L))
+          batch.foreach { e =>
+            st = EwmaState(st.t0, e.tsMs,
+              st.acc + e.value * math.exp(ln2 * (e.tsMs - st.t0) / halfLifeMs),
+              st.n + 1)
+          }
+          state.update(st)
+          Iterator.single(EwmaOut(uid, st.lastTs, st.n,
+            st.acc * math.exp(-ln2 * (st.lastTs - st.t0) / halfLifeMs)))
       }
   }
 

@@ -1132,6 +1132,57 @@ class StreamingSpec extends SparkSpec {
     assert(single64 === a9)
   }
 
+  private def st31Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_ewma_in").toString
+    // per-key time-ordered delivery across batches (the operator's
+    // replay contract): split at the median ts
+    val ev = events(spark, sf)
+      .select(col("user_id").as("userId"), col("ts_ms").as("tsMs"),
+        col("event_id").as("eventId"), col("value"))
+    val cut = ev.agg(expr("percentile_approx(tsMs, 0.5)")).head().getLong(0)
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      ev.where(f).write.mode(mode).parquet(inDir)
+    writeIn(col("tsMs") <= cut, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsMs", LongType),
+        StructField("eventId", LongType), StructField("value", DoubleType))))
+      .parquet(inDir)
+      .as[LogStream.EwmaIn]
+    val q = LogStream.streamEwma(stream)
+      .writeStream.format("memory").queryName(s"st31_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("tsMs") > cut, SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(s"st31_out$tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // final state per key = the emission at its greatest lastTs
+    val finals = out.groupBy(_._1).map { case (u, rows) =>
+      val last = rows.maxBy(_._2)
+      u -> (last._2, last._3, math.round(last._4 * 10000) / 10000.0) }
+    // BIT-EXACT parity with the oracle-checked batch row: the state
+    // carries q53's factored accumulator, so the additions happen in
+    // the same order with the same operands as the window sum
+    val q53 = SparkEntry.queries("q53_ewma_activity")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(finals.keySet === q53.keySet)
+    finals.foreach { case (u, (ts, n, score)) =>
+      assert((ts, n, score) === q53(u), s"user $u") }
+  }
+
+  test("st31: streaming EWMA decay score is bit-exact with batch q53 across micro-batches") {
+    st31Body("")
+  }
+
+  test("st31 (rocksdb): streaming EWMA under the RocksDB state store") {
+    withRocksDb(st31Body("_rdb"))
+  }
+
   test("st30: streaming bottom-k KMV distinct estimate matches batch a9 after any batch slicing") {
     st30Body("")
   }
