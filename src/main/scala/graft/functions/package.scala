@@ -142,6 +142,13 @@ package object functions {
     }
   }
 
+  /** MMR diversified selection over a bounded candidate gather:
+    * array<struct<id, rel, vec>> → array<struct<id, mmr>> in greedy
+    * selection order (see [[MmrSelect]]).
+    */
+  def mmrSelect(cands: Column, k: Int, lambda: Double): Column =
+    col1(MmrSelect(_, k, lambda))(cands)
+
   /** Aggregate: top-k (score desc, id asc) pairs as a sorted
     * array<struct<score,id>> with map-side partial combination.
     */

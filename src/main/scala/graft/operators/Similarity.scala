@@ -62,6 +62,45 @@ object Similarity {
         col("e.id").as("neighbor_id"),
         round(col("e.score"), 4).as("cos_sim"))
 
+  /** s15: MMR diversified top-k re-rank (Carbonell & Goldstein 1998)
+    * — retrieve-then-diversify: plain kNN happily returns k
+    * near-copies of one document; MMR greedily re-picks k from the
+    * top-`m` candidates trading relevance against redundancy with
+    * what's already selected (λ·rel − (1−λ)·max-sim-to-selected).
+    *
+    * Scale shape: the corpus-sized work is exactly s1's codegen'd
+    * scoring + bounded-heap top-m — nothing new. The re-rank then
+    * runs on a Q-sized relation: the m candidate ids broadcast back
+    * into one corpus scan to fetch vectors (map-side semi-join, no
+    * corpus shuffle), each query gathers its ≤ m candidates
+    * (bounded collect_list, m·dim floats per query), and the greedy
+    * loop is the [[graft.functions.MmrSelect]] native expression —
+    * O(k·m·dim) per query on Q rows. Deterministic: the expression
+    * canonicalizes candidate order internally, so the gather order
+    * never leaks.
+    */
+  def mmrRerank(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int = 10, m: Int = 32,
+      lambda: Double = 0.7): DataFrame = {
+    val cand = bruteKnn(corpus, vecCol, idCol, queries, m)
+      .select(col("q_id"), col("neighbor_id"), col("cos_sim"))
+    val withVec = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(cand), col("n_id") === col("neighbor_id"))
+    withVec.groupBy("q_id")
+      .agg(collect_list(struct(
+        col("n_id").as("id"), col("cos_sim").as("rel"),
+        col("n_vec").as("vec"))).as("cands"))
+      .select(col("q_id"),
+        posexplode(graft.functions.mmrSelect(col("cands"), k, lambda))
+          .as(Seq("pos", "e")))
+      .select(
+        col("q_id"), (col("pos") + 1).cast("long").as("mmr_rank"),
+        col("e.id").as("neighbor_id"),
+        round(col("e.mmr"), 4).as("mmr_score"))
+  }
+
   /** s9: ANN quality evaluation — LSH-kNN recall@k against the exact
     * brute-force truth, as ONE summary row (n_q, k, n_hits, recall)
     * with recall = n_hits / (n_q · k). The serving-side twin of

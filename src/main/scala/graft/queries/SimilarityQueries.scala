@@ -33,6 +33,17 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // MMR diversified re-rank: greedy λ-tradeoff between relevance
+    // and redundancy over each query's top-32 exact candidates —
+    // no_oracle (greedy selection is not SQL-expressible); the
+    // SimilaritySpec pins a hand-computed fixture, diversity vs
+    // plain top-k, and partitioning invariance.
+    "s15_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10, m = 32, lambda = 0.7)
+        .orderBy("q_id", "mmr_rank")),
+
     // ANN recall evaluation: LSH-kNN recall@5 against exact truth on
     // an md5-sampled 20% query slice, full corpus on the truth side —
     // the s-side twin of d16 (pinned 4-plane config so the oracle

@@ -328,6 +328,67 @@ class SimilaritySpec extends SparkSpec {
     assert(real1.nonEmpty)
   }
 
+  test("s15: MMR promotes the diverse candidate over the near-copy (hand-computed fixture)") {
+    // id1 is most relevant; id2 is a near-copy of id1 (cos ≈ 0.99995);
+    // id3 points elsewhere. Greedy with λ=0.5: pick1 = id1 (top rel);
+    // pick2 = id3 (0.5·0.7071 − 0.5·0.6247 ≈ +0.041 beats id2's
+    // 0.5·0.9926 − 0.5·0.99995 ≈ −0.004); pick3 = id2. Plain top-3
+    // is (1, 2, 3) — MMR demotes the duplicate.
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.9f, 0.11f)),
+      (3L, Array(0.5f, -0.5f)),
+      (4L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((99L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val got = Similarity.mmrRerank(corpus, "embedding", "vec_id", q,
+        k = 3, m = 4, lambda = 0.5)
+      .orderBy("mmr_rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L, 2L))
+    val plain = Similarity.bruteKnn(corpus, "embedding", "vec_id", q, 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(plain === Seq(1L, 2L, 3L))
+  }
+
+  test("s15: first pick is the top-1 neighbor; selection is less redundant than plain top-k; invariant to partitioning") {
+    val mmr = SparkEntry.queries("s15_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plain = SparkEntry.queries("s1_knn_brute")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rank-1 agrees with exact retrieval per query (λ·rel ordering)
+    val mmrFirst = mmr.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val plainFirst = plain.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(mmrFirst === plainFirst)
+    // redundancy: mean pairwise cosine within each query's selection
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def meanPairwise(sel: Map[Long, Seq[Long]]): Double = {
+      val sims = for {
+        (_, ids) <- sel.toSeq
+        a <- ids; b <- ids if a < b
+      } yield {
+        val (x, y) = (vecs(a), vecs(b))
+        val dot = x.zip(y).map { case (p, q2) => p.toDouble * q2 }.sum
+        dot / (math.sqrt(x.map(p => p.toDouble * p).sum) *
+          math.sqrt(y.map(p => p.toDouble * p).sum))
+      }
+      sims.sum / sims.size
+    }
+    val mmrSel = mmr.groupBy(_._1).map { case (q, r) => q -> r.map(_._3).toSeq }
+    val plainSel = plain.groupBy(_._1).map { case (q, r) => q -> r.map(_._3).toSeq }
+    assert(meanPairwise(mmrSel) <= meanPairwise(plainSel))
+    // determinism under a different input partitioning
+    val repart = Similarity.mmrRerank(
+        emb.repartition(7), "embedding", "vec_id",
+        emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        k = 10, m = 32, lambda = 0.7)
+      .orderBy("q_id", "mmr_rank").collect().map(_.toString).toSeq
+    val base = SparkEntry.queries("s15_mmr_rerank")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(repart === base)
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
