@@ -101,6 +101,39 @@ object Similarity {
         round(col("e.mmr"), 4).as("mmr_score"))
   }
 
+  /** s16: embedding drift report — the QC a pipeline runs before
+    * trusting that two corpus slices (yesterday's snapshot vs
+    * today's, or two shards of one ingest) embed the same way: per
+    * label, the cosine between the slices' centroid vectors (1.0 =
+    * no drift; an embedding-model change or a poisoned shard shows
+    * up as a per-label dip). Each slice's centroid reduces through
+    * the fixed-size [[graft.functions.vecsum]] buffer — one
+    * dim-length array per (label, slice) crosses the shuffle, never
+    * vectors — and centroid cosine is computed on the SUMS
+    * (scale-invariant, so the division by n is never materialized).
+    * `sliceCol` must be a 0/1 column (defaults to `idCol % 2` as a
+    * deterministic stand-in for a snapshot split).
+    */
+  def embedDrift(
+      corpus: DataFrame, vecCol: String, idCol: String, labelCol: String,
+      sliceCol: Option[Column] = None): DataFrame = {
+    val half = sliceCol.getOrElse(col(idCol) % 2).cast("int")
+    val agg = corpus
+      .select(col(labelCol).as("label"), half.as("half"), col(vecCol).as("v"))
+      .groupBy("label", "half")
+      .agg(vecsum(col("v")).as("vs"))
+      .localCheckpoint(eager = false) // consumed by both slice legs
+    val ref = agg.where(col("half") === 0)
+      .select(col("label"), col("vs.sum").as("sr"), col("vs.n").as("n_ref"))
+    val cur = agg.where(col("half") === 1)
+      .select(col("label"), col("vs.sum").as("sc"), col("vs.n").as("n_cur"))
+    ref.join(cur, Seq("label"))
+      .select(col("label").cast("long").as("label"),
+        col("n_ref"), col("n_cur"),
+        round(cosine(col("sr"), col("sc")), 4).as("centroid_cos"))
+      .orderBy("label")
+  }
+
   /** s9: ANN quality evaluation — LSH-kNN recall@k against the exact
     * brute-force truth, as ONE summary row (n_q, k, n_hits, recall)
     * with recall = n_hits / (n_q · k). The serving-side twin of

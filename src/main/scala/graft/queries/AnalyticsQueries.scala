@@ -1309,6 +1309,28 @@ object AnalyticsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // per-user event-type transition matrix (first-order Markov
+    // counts + row-normalized probabilities): the behavioral
+    // fingerprint behind funnel design and bot detection. One
+    // user_id-partitioned lead() over the fact relation (the only
+    // data-sized shuffle), then the matrix itself is a
+    // |types|²-sized relation — the normalizing window runs over 25
+    // rows, not the stream (t23's confusion-matrix posture).
+    "q54_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      val tr = events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+      val counts = tr
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("p", round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("from_type")), 4))
+        .orderBy("from_type", "to_type")
+    }),
+
     // time-decayed activity score (EWMA with irregular gaps): each
     // user's score after their last event, where an event's weight
     // halves every 7 days — the freshness/engagement gauge behind
@@ -1344,6 +1366,18 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q54_transition_matrix" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_type
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM t ORDER BY 1, 2""".stripMargin,
     "q53_ewma_activity" ->
       """WITH b AS (
         |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id, value,

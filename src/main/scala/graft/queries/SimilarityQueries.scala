@@ -44,6 +44,14 @@ object SimilarityQueries {
         querySet(s, dir), k = 10, m = 32, lambda = 0.7)
         .orderBy("q_id", "mmr_rank")),
 
+    // embedding drift report: per-label centroid cosine between two
+    // deterministic corpus slices (vec_id parity stands in for a
+    // snapshot split) — the monitoring row that catches an
+    // embedding-model change or a poisoned shard before it trains.
+    "s16_embed_drift" -> ((s, dir) =>
+      Similarity.embedDrift(
+        table(s, dir, "embeddings"), "embedding", "vec_id", "label")),
+
     // ANN recall evaluation: LSH-kNN recall@5 against exact truth on
     // an md5-sampled 20% query slice, full corpus on the truth side —
     // the s-side twin of d16 (pinned 4-plane config so the oracle
@@ -198,6 +206,35 @@ object SimilarityQueries {
       .map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // centroid cosine is computed on element-wise SUMS (scale
+    // invariant); the unnest-to-(label, slice, dim) reshape makes the
+    // whole replay scalar SQL
+    "s16_embed_drift" ->
+      """WITH e AS (
+        |  SELECT label, (vec_id % 2)::INT AS half, embedding FROM embeddings
+        |), u AS (
+        |  SELECT label, half, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM e
+        |), c AS (
+        |  SELECT label, half, i, sum(x) AS s FROM u GROUP BY 1, 2, 3
+        |), p AS (
+        |  SELECT a.label, a.i, a.s AS sr, b.s AS sc
+        |  FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+        |    AND a.half = 0 AND b.half = 1
+        |), d AS (
+        |  SELECT label, sum(sr * sc) AS dot,
+        |    sqrt(sum(sr * sr)) AS nr, sqrt(sum(sc * sc)) AS nc
+        |  FROM p GROUP BY 1
+        |), n AS (
+        |  SELECT label,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT label::BIGINT AS label, n_ref, n_cur,
+        |  round(dot / (nr * nc), 4) AS centroid_cos
+        |FROM d JOIN n USING (label) ORDER BY label""".stripMargin,
     // full SQ8 replay: per-dim bounds → encode/decode → approx score
     // → 4k shortlist (same desc-score, asc-id tie order as
     // graft_topk) → exact-cosine rerank

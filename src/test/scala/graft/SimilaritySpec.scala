@@ -389,6 +389,25 @@ class SimilaritySpec extends SparkSpec {
     assert(repart === base)
   }
 
+  test("s16: drift report reads ~1.0 on aligned slices and flags the drifted label") {
+    val dim = 8
+    def base(l: Int) = Array.tabulate(dim)(d => if (d == l % dim) 1.0f else 0.0f)
+    val rows = for { l <- 0 until 4; i <- 0 until 40 } yield {
+      val id = l * 1000 + i
+      val noise = Array.tabulate(dim)(d => (((id * 31 + d * 7) % 13) - 6) * 0.01f)
+      // slice 1 (odd ids) of label 3 embeds in a different direction —
+      // the poisoned-shard / model-change signature
+      val drifted = l == 3 && id % 2 == 1
+      val v = base(if (drifted) l + 1 else l).zip(noise).map { case (a, b) => a + b }
+      (id.toLong, v, l)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val rep = Similarity.embedDrift(df, "embedding", "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert((0 to 2).forall(l => rep(l.toLong) > 0.95), rep.toString)
+    assert(rep(3L) < 0.5, rep.toString)
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
