@@ -578,6 +578,9 @@ object LogStream {
   case class EwmaIn(userId: Long, tsMs: Long, eventId: Long, value: Double)
   case class EwmaState(t0: Long, lastTs: Long, acc: Double, n: Long)
   case class EwmaOut(userId: Long, lastTsMs: Long, nEvents: Long, score: Double)
+  case class TransIn(userId: Long, tsNs: Long, eventId: Long, eventType: String)
+  case class TransState(lastType: String)
+  case class TransOut(userId: Long, fromType: String, toType: String)
   case class WelfordState(n: Long, mean: Double, m2: Double)
   case class AnomalyOut(
       userId: Long, tsNs: Long, value: Double, nSeen: Long,
@@ -903,6 +906,33 @@ object LogStream {
           state.update(st)
           Iterator.single(EwmaOut(uid, st.lastTs, st.n,
             st.acc * math.exp(-ln2 * (st.lastTs - st.t0) / halfLifeMs)))
+      }
+  }
+
+  /** st32: streaming event-type transition tracker — q54's stateful
+    * twin. State per key is ONE string (the last event type seen);
+    * each arriving event emits its (from, to) transition, so the
+    * downstream matrix is a plain streaming aggregation of the
+    * emitted pairs. The spec pins the aggregated counts to the batch
+    * q54 row exactly. Per-key time-ordered delivery across batches
+    * is the replay contract (st25/st26's); within a batch events are
+    * folded in (tsNs, eventId) order.
+    */
+  def streamTransitions(events: Dataset[TransIn]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TransIn], state: GroupState[TransState]) =>
+          var last = state.getOption.map(_.lastType).orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+          it.toArray.sortBy(e => (e.tsNs, e.eventId)).foreach { e =>
+            if (last != null) out += TransOut(uid, last, e.eventType)
+            last = e.eventType
+          }
+          if (last != null) state.update(TransState(last))
+          out.iterator
       }
   }
 

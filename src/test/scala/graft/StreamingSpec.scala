@@ -1175,6 +1175,47 @@ class StreamingSpec extends SparkSpec {
       assert((ts, n, score) === q53(u), s"user $u") }
   }
 
+  private def st32Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_trans_in").toString
+    val ev = events(spark, sf)
+      .select(col("user_id").as("userId"), col("ts_ns").as("tsNs"),
+        col("event_id").as("eventId"), col("event_type").as("eventType"))
+    val cut = ev.agg(expr("percentile_approx(tsNs, 0.5)")).head().getLong(0)
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      ev.where(f).write.mode(mode).parquet(inDir)
+    writeIn(col("tsNs") <= cut, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsNs", LongType),
+        StructField("eventId", LongType), StructField("eventType", StringType))))
+      .parquet(inDir)
+      .as[LogStream.TransIn]
+    val q = LogStream.streamTransitions(stream)
+      .writeStream.format("memory").queryName(s"st32_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("tsNs") > cut, SaveMode.Append) // state carries last type across the cut
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(s"st32_out$tag")
+      .groupBy(col("fromType"), col("toType")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // aggregated transitions ≡ the oracle-checked batch matrix exactly
+    // (including transitions spanning the batch boundary)
+    val batch = SparkEntry.queries("q54_transition_matrix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+  }
+
+  test("st32: streaming transition tracker aggregates to batch q54's matrix exactly") {
+    st32Body("")
+  }
+
+  test("st32 (rocksdb): transition tracker under the RocksDB state store") {
+    withRocksDb(st32Body("_rdb"))
+  }
+
   test("st31: streaming EWMA decay score is bit-exact with batch q53 across micro-batches") {
     st31Body("")
   }
