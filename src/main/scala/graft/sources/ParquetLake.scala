@@ -643,16 +643,26 @@ object ParquetLake {
     if (fs.exists(ref))
       throw new IllegalStateException(
         s"stage '$stage' already exists under $path; publish or abandon it first")
-    // lk33: schema ENFORCEMENT at the append gate — a lake that
-    // accepts any shape eventually can't read itself. Against the
-    // current snapshot: every existing column must arrive with the
-    // SAME type (a type flip would poison mixed-file reads), no
-    // existing column may be silently dropped (a default
-    // readManifested samples one footer — files missing columns make
-    // the visible schema depend on which file Spark sampled), and
-    // NEW columns are additive evolution, which must be asked for
-    // (`allowEvolution = true`, read back via mergeSchema — lk17).
-    readManifest(spark, path, None).filter(_.nonEmpty).foreach { files =>
+    schemaGate(spark, path, readManifest(spark, path, None), df, allowEvolution)
+    val moved = writeDataFiles(spark, path, df, partCol)
+    writeAtomic(fs, ref, moved.mkString("", "\n", "\n"))
+    moved
+  }
+
+  /** lk33: schema ENFORCEMENT at an append gate — a lake that
+    * accepts any shape eventually can't read itself. Against the
+    * given snapshot listing: every existing column must arrive with
+    * the SAME type (a type flip would poison mixed-file reads), no
+    * existing column may be silently dropped (a default
+    * readManifested samples one footer — files missing columns make
+    * the visible schema depend on which file Spark sampled), and
+    * NEW columns are additive evolution, which must be asked for
+    * (`allowEvolution = true`, read back via mergeSchema — lk17).
+    */
+  private def schemaGate(
+      spark: SparkSession, path: String, listing: Option[Seq[String]],
+      df: DataFrame, allowEvolution: Boolean): Unit = {
+    listing.filter(_.nonEmpty).foreach { files =>
       val current = spark.read.option("basePath", path)
         .option("mergeSchema", true)
         .parquet(files.map(f => s"$path/$f"): _*).schema
@@ -677,6 +687,19 @@ object ParquetLake {
           s"stageAppend schema violation: new column(s) ${extras.mkString(", ")} " +
             "need allowEvolution = true (additive schema evolution, lk17)")
     }
+  }
+
+  /** Write `df`'s rows as data files in the lake's partition layout
+    * WITHOUT referencing them anywhere — invisible to every reader
+    * until some listing (a staged ref, a branch commit, a manifest)
+    * adopts the returned lake-relative paths. Crash before adoption
+    * leaves vacuum-collectable orphans, never partial visibility.
+    */
+  private def writeDataFiles(
+      spark: SparkSession, path: String, df: DataFrame,
+      partCol: Option[String]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
     val aside = new Path(root, s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
     val moved: Seq[String] = partCol match {
       case Some(pc) =>
@@ -707,7 +730,6 @@ object ParquetLake {
         fs.delete(aside, true)
         m
     }
-    writeAtomic(fs, ref, moved.sorted.mkString("", "\n", "\n"))
     moved.sorted
   }
 
@@ -866,6 +888,164 @@ object ParquetLake {
     fs.delete(stagedRefPath(root, stage), false)
     doomed
   }
+
+  // ---------------------------------------------------------------
+  // lk38: branches — multi-commit isolation over the manifest log
+  // (the WAP stage generalized from one pending append to a chain of
+  // commits). A branch is its own versioned listing chain
+  // `_graft_branch_<name>.v<N>` forked from a main snapshot: branch
+  // commits are invisible to main readers, main commits are
+  // invisible to branch readers, and publish is ONE fast-forward CAS
+  // onto main at the fork version — if main moved since the fork,
+  // publish conflicts loudly (a full-replace cannot rebase a
+  // concurrent delta; re-branch from the new head and replay). Data
+  // files land in the shared partition layout but are referenced
+  // only by branch listings until publish; vacuum and fsck treat
+  // branch-referenced files as live.
+
+  private def branchName(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"branch name must be [A-Za-z0-9_-]+, got '$name'")
+    s"_graft_branch_${name}.v"
+  }
+
+  private def branchVersions(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      name: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val prefix = branchName(name)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.stripPrefix(prefix).toInt -> s.getPath)
+      .sortBy(_._1)
+  }
+
+  /** Fork a branch from a main snapshot (the current one by
+    * default). Branch v1 is that snapshot's listing; the fork
+    * version and any pending deletion vectors travel in the branch
+    * headers. Returns the branch version (1).
+    */
+  def createBranch(
+      spark: SparkSession, path: String, name: String,
+      fromVersion: Option[Int] = None): Int = {
+    val (fs, root) = fsFor(spark, path)
+    require(branchVersions(fs, root, name).isEmpty,
+      s"branch '$name' already exists under $path; publish or drop it first")
+    val latest = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val fork = fromVersion.getOrElse(latest)
+    val files = readManifest(spark, path, Some(fork)).get
+    val dvs = dvList(spark, path, Some(fork))
+    val headers = Map("fork" -> fork.toString) ++
+      (if (dvs.isEmpty) Map.empty else Map(DvHeaderKey -> dvs.mkString(",")))
+    atomicPublishListing(fs, root, s"${branchName(name)}1", files, headers,
+      s"branch '$name' v1 already committed by a concurrent writer under $path")
+    1
+  }
+
+  /** All branches: name → (head version, fork version). */
+  def branches(spark: SparkSession, path: String): Map[String, Seq[Int]] = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) return Map.empty
+    val pat = "^_graft_branch_([A-Za-z0-9_-]+)\\.v(\\d+)$".r
+    fs.listStatus(root).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case pat(n, v) => Some(n -> v.toInt)
+        case _ => None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+  }
+
+  private def branchListing(
+      spark: SparkSession, path: String, name: String,
+      version: Option[Int]): (Int, Seq[String], Map[String, String]) = {
+    val (fs, root) = fsFor(spark, path)
+    val versions = branchVersions(fs, root, name)
+    require(versions.nonEmpty, s"no branch '$name' under $path")
+    val (v, p) = version.map(w => versions.find(_._1 == w).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch '$name' version $w not found under $path")))
+      .getOrElse(versions.last)
+    val lines = manifestLines(fs, p)
+    val headers = lines.filter(_.startsWith("# ")).flatMap { l =>
+      val kv = l.stripPrefix("# "); val i = kv.indexOf('=')
+      if (i > 0) Some(kv.take(i) -> kv.drop(i + 1)) else None
+    }.toMap
+    (v, lines.filterNot(_.startsWith("#")), headers)
+  }
+
+  /** Append `df` to a branch: data files are written invisibly into
+    * the shared layout (schema-gated against the BRANCH head, lk33),
+    * then one CAS branch commit adopts them. Main readers never see
+    * them. Returns the new branch version.
+    */
+  def appendBranch(
+      spark: SparkSession, path: String, name: String, df: DataFrame,
+      partCol: Option[String] = None,
+      allowEvolution: Boolean = false): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val (v, base, headers) = branchListing(spark, path, name, None)
+    schemaGate(spark, path, Some(base), df, allowEvolution)
+    val moved = writeDataFiles(spark, path, df, partCol)
+    val carried = headers.view.filterKeys(k => k == "fork" || k == DvHeaderKey).toMap
+    atomicPublishListing(fs, root, s"${branchName(name)}${v + 1}",
+      base ++ moved, carried,
+      s"branch '$name' version ${v + 1} already committed by a concurrent writer under $path")
+    v + 1
+  }
+
+  /** Read a branch head (or an explicit branch version) — the
+    * branch-side twin of [[readManifested]].
+    */
+  def readBranch(
+      spark: SparkSession, path: String, name: String,
+      version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
+    val (_, files, _) = branchListing(spark, path, name, version)
+    spark.read.option("basePath", path)
+      .option("mergeSchema", mergeSchema)
+      .parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Publish a branch: ONE fast-forward CAS makes the branch head
+    * the next MAIN snapshot, succeeding only if main is still at the
+    * fork version — main having moved means the branch's view is
+    * stale, and silently overwriting would drop the concurrent
+    * commits, so the publish throws [[ManifestConflictException]]
+    * instead (re-branch from the new head and replay). Branch
+    * listings are deleted after the commit; the published listing
+    * lives in main. Returns the committed main version.
+    */
+  def publishBranch(spark: SparkSession, path: String, name: String): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val (_, files, headers) = branchListing(spark, path, name, None)
+    val fork = headers.getOrElse("fork",
+      throw new IllegalStateException(
+        s"branch '$name' under $path has no fork header")).toInt
+    val dvHeaders = headers.get(DvHeaderKey)
+      .map(v => Map(DvHeaderKey -> v)).getOrElse(Map.empty[String, String])
+    val committed = commitManifest(spark, path, files, Some(fork), dvHeaders)
+    branchVersions(fs, root, name).foreach { case (_, p) => fs.delete(p, false) }
+    committed
+  }
+
+  /** Drop a branch without publishing: its listings are deleted and
+    * any files only it referenced become vacuum-collectable orphans.
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val versions = branchVersions(fs, root, name)
+    versions.foreach { case (_, p) => fs.delete(p, false) }
+    versions.length
+  }
+
+  /** Every lake-relative path referenced by ANY branch version —
+    * branch-referenced files are live for vacuum/fsck purposes.
+    */
+  private def allBranchFiles(spark: SparkSession, path: String): Seq[String] =
+    branches(spark, path).toSeq.flatMap { case (n, vs) =>
+      vs.flatMap(v => branchListing(spark, path, n, Some(v))._2)
+    }
 
   // ---------------------------------------------------------------
   // lk32: partition-spec evolution.
@@ -1571,14 +1751,29 @@ object ParquetLake {
           s"manifest commit expected latest version $v but found $latest under $path")
     }
     val next = latest + 1
-    val tmp = new Path(root,
-      s"._graft_manifest.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = fs.create(tmp, true)
+    atomicPublishListing(fs, root, s"$ManifestPrefix$next", files, headers,
+      s"manifest version $next already committed by a concurrent writer under $path")
+    next
+  }
+
+  /** Write a versioned listing (header lines + sorted file list) and
+    * publish it atomic-if-absent under `targetName`: link(2) on a
+    * local filesystem (POSIX rename would silently replace), rename
+    * on HDFS-contract stores (fails when the destination exists).
+    * Exactly one of two racers wins; the loser gets
+    * [[ManifestConflictException]]. Shared by main-chain commits and
+    * branch commits (lk38).
+    */
+  private def atomicPublishListing(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      targetName: String, files: Seq[String], headers: Map[String, String],
+      conflictMsg: String): Unit = {
+    import org.apache.hadoop.fs.Path
     // '#' header = commit metadata (readers drop '#' lines; legacy
     // manifests without one still read — see manifestLog). Extra
-    // `headers` entries (e.g. the lk37 deletion-vector list) ride the
-    // same mechanism: old readers skip them, header-aware readers
-    // parse `# key=value` via [[manifestHeaders]].
+    // `headers` entries (e.g. the lk37 deletion-vector list, lk38's
+    // fork pointer) ride the same mechanism: old readers skip them,
+    // header-aware readers parse `# key=value` via [[manifestHeaders]].
     headers.keys.foreach { k =>
       require(k.nonEmpty && k != "committed_ms" &&
         k.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
@@ -1586,37 +1781,33 @@ object ParquetLake {
     }
     require(headers.values.forall(v => !v.contains('\n')),
       "manifest header values must be single-line")
+    val tmp = new Path(root,
+      s"._graft_manifest.tmp.${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
     val headerLines = (s"# committed_ms=${System.currentTimeMillis()}" +:
       headers.toSeq.sortBy(_._1).map { case (k, v) => s"# $k=$v" })
       .mkString("", "\n", "\n")
     try out.write((headerLines +
       files.sorted.mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
-    val target = new Path(root, s"$ManifestPrefix$next")
+    val target = new Path(root, targetName)
     val localFs = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     try {
       if (localFs) {
-        // POSIX rename replaces an existing target; link(2) is the
-        // atomic fail-if-exists publish on a local lake
         try
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(target.toUri.getPath),
             java.nio.file.Paths.get(tmp.toUri.getPath))
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            throw new ManifestConflictException(
-              s"manifest version $next already committed by a concurrent writer under $path")
+            throw new ManifestConflictException(conflictMsg)
         }
       } else {
-        // HDFS-contract stores: rename fails (returns false) when the
-        // destination exists — atomic first-writer-wins
         if (fs.exists(target) || !fs.rename(tmp, target))
-          throw new ManifestConflictException(
-            s"manifest version $next already committed by a concurrent writer under $path")
+          throw new ManifestConflictException(conflictMsg)
       }
     } finally fs.delete(tmp, false)
-    next
   }
 
   /** Bootstrap a manifest from the lake's current directory listing
@@ -2397,7 +2588,8 @@ object ParquetLake {
     // staged-but-unpublished WAP files are intentional, not orphans
     val referenced: Set[String] = (manifestVersions(fs, root).flatMap { case (v, _) =>
       readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
-    } ++ stagedManifests(spark, path).values.flatten).toSet
+    } ++ stagedManifests(spark, path).values.flatten ++
+      allBranchFiles(spark, path)).toSet
     val onDisk: Set[String] = fs.listStatus(root)
       .filter(isPartitionDir)
       .flatMap(d => fs.listStatus(d.getPath))
@@ -2464,7 +2656,8 @@ object ParquetLake {
     // its staging ref — deleting them would tear a later publish
     val referenced = (kept.flatMap { case (v, _) =>
       readManifest(spark, path, Some(v)).getOrElse(Seq.empty)
-    } ++ stagedManifests(spark, path).values.flatten).toSet
+    } ++ stagedManifests(spark, path).values.flatten ++
+      allBranchFiles(spark, path)).toSet
     val horizon = System.currentTimeMillis() - math.max(0L, retainMillis)
     val dataOrphans = fs.listStatus(root)
       .filter(isPartitionDir)

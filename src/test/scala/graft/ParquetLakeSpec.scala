@@ -1254,6 +1254,62 @@ class ParquetLakeSpec extends SparkSpec {
     }
   }
 
+  test("lk38: branches — isolated commit chain, fast-forward publish, loud conflict when main moved, vacuum-safe") {
+    val dir = fragmentedLake()
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir)
+    val baseRows = base.collect().map(_.toString).sorted.toSeq
+
+    // two commits on the branch, invisible to main
+    assert(ParquetLake.createBranch(spark, dir, "nightly") === 1)
+    val d1 = base.where(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val d2 = base.where(col("event_id") % 5 === 1)
+      .withColumn("event_id", col("event_id") + 20000000L)
+    assert(ParquetLake.appendBranch(spark, dir, "nightly", d1, Some("p_date")) === 2)
+    assert(ParquetLake.appendBranch(spark, dir, "nightly", d2, Some("p_date")) === 3)
+    val expectBranch = baseRows.size + d1.count() + d2.count()
+    assert(ParquetLake.readBranch(spark, dir, "nightly").count() === expectBranch)
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === baseRows)
+    // intermediate branch version still addressable
+    assert(ParquetLake.readBranch(spark, dir, "nightly", Some(2)).count()
+      === baseRows.size + d1.count())
+    assert(ParquetLake.branches(spark, dir) === Map("nightly" -> Seq(1, 2, 3)))
+
+    // branch-referenced files are neither fsck orphans nor vacuum prey
+    assert(ParquetLake.fsck(spark, dir).orphans.isEmpty)
+    ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(ParquetLake.readBranch(spark, dir, "nightly").count() === expectBranch)
+
+    // fast-forward publish: branch head becomes the next main snapshot
+    val v2 = ParquetLake.publishBranch(spark, dir, "nightly")
+    assert(v2 === v1 + 1)
+    assert(ParquetLake.readManifested(spark, dir).count() === expectBranch)
+    assert(ParquetLake.branches(spark, dir).isEmpty)
+
+    // main moving after the fork makes publish conflict loudly —
+    // silently overwriting would drop the concurrent delete
+    ParquetLake.createBranch(spark, dir, "risky")
+    ParquetLake.appendBranch(spark, dir, "risky",
+      d1.withColumn("event_id", col("event_id") + 30000000L), Some("p_date"))
+    ParquetLake.deleteManifested(spark, dir, col("event_id") % 7 === 0)
+    val afterDelete = ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    intercept[ParquetLake.ManifestConflictException] {
+      ParquetLake.publishBranch(spark, dir, "risky")
+    }
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === afterDelete)
+    // dropped branch's files become ordinary vacuum orphans
+    assert(ParquetLake.dropBranch(spark, dir, "risky") === 2)
+    val swept = ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(swept.nonEmpty)
+    assert(ParquetLake.fsck(spark, dir).orphans.isEmpty)
+    assert(ParquetLake.readManifested(spark, dir)
+      .collect().map(_.toString).sorted.toSeq === afterDelete)
+  }
+
   test("lk37: merge-on-read deletion vectors — delete without rewrite, stack, materialize, vacuum") {
     val dir = Files.createTempDirectory("graft_lake_dv").toString
     val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
