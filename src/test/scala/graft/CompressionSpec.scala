@@ -33,6 +33,23 @@ class CompressionSpec extends AnyFunSuite {
     }
   }
 
+  test("r9: multi-member gzip decodes ALL members (Kinesis aggregation / Firehose concatenation parity)") {
+    // Firehose and some producers CONCATENATE gzip members into one
+    // record; Python's gzip.decompress (the reference's decode path,
+    // utils.py:24-29) decodes every member. A decoder that stops at
+    // the first member's trailer silently DROPS the tail — at 100 TB
+    // that's invisible data loss, not an error. Pin the parity.
+    val a = "first member ".getBytes(UTF_8)
+    val b = "second member ".getBytes(UTF_8)
+    val c = "third".getBytes(UTF_8)
+    val concat = Gzip.gzip(a) ++ Gzip.gzip(b) ++ Gzip.gzip(c)
+    assert(new String(Gzip.gunzip(concat), UTF_8)
+      === "first member second member third")
+    // the reference fixture concatenated with itself
+    assert(new String(Gzip.gunzip(referenceGz ++ referenceGz), UTF_8)
+      === "Test dataTest data")
+  }
+
   test("zstd roundtrip preserves bytes and beats gzip on size for text") {
     import graft.functions.ZstdCodec
     val raw = ("the quick brown fox " * 500).getBytes("UTF-8")
