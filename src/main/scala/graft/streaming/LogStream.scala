@@ -581,6 +581,9 @@ object LogStream {
   case class TransIn(userId: Long, tsNs: Long, eventId: Long, eventType: String)
   case class TransState(lastType: String)
   case class TransOut(userId: Long, fromType: String, toType: String)
+  case class DriftIn(label: Int, vec: Array[Float])
+  case class DriftState(sum: Array[Double], n: Long)
+  case class DriftOut(label: Int, n: Long, centroidCos: Double, drifted: Boolean)
   case class WelfordState(n: Long, mean: Double, m2: Double)
   case class AnomalyOut(
       userId: Long, tsNs: Long, value: Double, nSeen: Long,
@@ -933,6 +936,51 @@ object LogStream {
           }
           if (last != null) state.update(TransState(last))
           out.iterator
+      }
+  }
+
+  /** st33: streaming embedding-drift gate — s16's online face: each
+    * arriving vector folds into its label's RUNNING centroid sum
+    * (state = one dim-length double array + count per label, O(dim)
+    * regardless of stream length), and each delivering micro-batch
+    * emits the cosine between the running centroid and a PINNED
+    * per-label reference centroid (computed batch-side from a
+    * trusted slice — label-count-sized, so a driver map is the right
+    * carrier). `drifted` trips when the cosine falls below `minCos`
+    * after `minSeen` vectors — the alarm that stops an
+    * embedding-model change or poisoned shard from training before
+    * the nightly batch report would catch it. Cosine is
+    * scale-invariant, so sums are compared directly and the division
+    * by n never happens.
+    */
+  def streamDrift(
+      vecs: Dataset[DriftIn], reference: Map[Int, Array[Double]],
+      minCos: Double = 0.8, minSeen: Long = 10): Dataset[DriftOut] = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .groupByKey(_.label)
+      .flatMapGroupsWithState[DriftState, DriftOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (label: Int, it: Iterator[DriftIn], state: GroupState[DriftState]) =>
+          var st = state.getOption.orNull
+          it.foreach { e =>
+            if (st == null) st = DriftState(new Array[Double](e.vec.length), 0L)
+            var i = 0
+            while (i < e.vec.length) { st.sum(i) += e.vec(i); i += 1 }
+            st = DriftState(st.sum, st.n + 1)
+          }
+          state.update(st)
+          val cos = reference.get(label).map { ref =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < math.min(ref.length, st.sum.length)) {
+              dot += ref(i) * st.sum(i); na += ref(i) * ref(i)
+              nb += st.sum(i) * st.sum(i); i += 1
+            }
+            dot / (math.sqrt(na) * math.sqrt(nb))
+          }.getOrElse(Double.NaN)
+          Iterator.single(DriftOut(label, st.n, cos,
+            st.n >= minSeen && !cos.isNaN && cos < minCos))
       }
   }
 

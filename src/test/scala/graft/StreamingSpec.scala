@@ -1208,6 +1208,60 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  private def st33Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_drift_in").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // pinned reference = slice-0 centroids (what s16 calls n_ref's leg)
+    val ref = emb.where(col("vec_id") % 2 === 0)
+      .groupBy(col("label"))
+      .agg(graft.functions.vecsum(col("embedding")).as("vs"))
+      .select(col("label"), col("vs.sum"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val cur = emb.where(col("vec_id") % 2 === 1)
+      .select(col("label"), col("embedding").as("vec"), col("vec_id"))
+    val cut = cur.agg(expr("percentile_approx(vec_id, 0.5)")).head().getLong(0)
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      cur.where(f).select("label", "vec").write.mode(mode).parquet(inDir)
+    writeIn(col("vec_id") <= cut, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("label", IntegerType),
+        StructField("vec", ArrayType(FloatType)))))
+      .parquet(inDir)
+      .as[LogStream.DriftIn]
+    val q = LogStream.streamDrift(stream, ref, minCos = 0.8)
+      .writeStream.format("memory").queryName(s"st33_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("vec_id") > cut, SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(s"st33_out$tag").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // final per-label state (emission at max n) matches the
+    // oracle-checked batch report to 4 dp — same sums, same cosine
+    val finals = out.groupBy(_._1).map { case (l, rows) =>
+      val last = rows.maxBy(_._2)
+      l.toLong -> (last._2, math.round(last._3 * 10000) / 10000.0, last._4) }
+    val s16 = SparkEntry.queries("s16_embed_drift")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(finals.keySet === s16.keySet)
+    finals.foreach { case (l, (n, cos, drifted)) =>
+      assert((n, cos) === s16(l), s"label $l")
+      // the flag is exactly the documented gate on the same number
+      assert(drifted === (n >= 10 && cos < 0.8), s"label $l")
+    }
+  }
+
+  test("st33: streaming drift gate's running centroid matches batch s16 and trips its documented gate") {
+    st33Body("")
+  }
+
+  test("st33 (rocksdb): drift gate under the RocksDB state store") {
+    withRocksDb(st33Body("_rdb"))
+  }
+
   test("st32: streaming transition tracker aggregates to batch q54's matrix exactly") {
     st32Body("")
   }
