@@ -2508,6 +2508,90 @@ object ParquetLake {
       .drop("_graft_dv_file", "_graft_dv_pos")
   }
 
+  /** lk39: merge-on-read UPSERT — [[mergeManifested]]'s
+    * position-grain sibling, built on lk37's vectors: matched target
+    * rows are tombstoned by POSITION (a deletion vector, a few bytes
+    * per matched row) and the source batch appends as new files, all
+    * in ONE atomic manifest commit — no reader ever sees the
+    * between-state, and NO existing file or partition is rewritten.
+    * At 100 TB this is the CDC-apply shape when the change batch's
+    * keys scatter across many partitions: copy-on-write merge
+    * rewrites every touched partition (fine for partition-clustered
+    * changes, catastrophic for scattered ones); merge-on-read's cost
+    * is positions written + the batch itself, deferring the rewrite
+    * to [[materializeDeletes]]/compaction.
+    *
+    * Semantics match [[mergeManifested]]: matched rows are replaced
+    * by their source row, unmatched source rows insert, and source
+    * rows flagged in `deleteCol` tombstone without inserting.
+    * Readers use [[readManifestedMoR]] until materialization.
+    * Multi-writer safe via the same CAS + rebase loop.
+    */
+  def mergeOnRead(
+      spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], partCol: Option[String] = None,
+      deleteCol: Option[String] = None, maxRetries: Int = 3): Int = {
+    require(keyCols.nonEmpty, "mergeOnRead needs at least one key column")
+    val src = source.localCheckpoint(eager = false)
+    var attempt = 0
+    while (true) {
+      try return mergeOnReadAttempt(spark, path, src, keyCols, partCol, deleteCol)
+      catch {
+        case e: ManifestConflictException if attempt < maxRetries =>
+          attempt += 1
+          log.info(
+            s"mergeOnRead conflict on $path (attempt $attempt/$maxRetries), " +
+              s"rebasing onto the new snapshot: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeOnReadAttempt(
+      spark: SparkSession, path: String, src: DataFrame,
+      keyCols: Seq[String], partCol: Option[String],
+      deleteCol: Option[String]): Int = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val currentVersion = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val current = readManifest(spark, path, Some(currentVersion)).get
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val prior = dvList(spark, path, Some(currentVersion))
+    // tombstone every CURRENT row whose key appears in the batch: a
+    // broadcast-able key set (change batches are small by contract)
+    // semi-joins against one tagged snapshot scan — positions out,
+    // no data shuffled
+    val keys = src.select(keyCols.map(col): _*).distinct()
+    val tagged = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
+      .withColumn("_graft_dv_file", relFileCol(rootPath))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(keys), keyCols, "left_semi")
+    val fresh =
+      if (prior.isEmpty) tagged
+      else {
+        val pdv = spark.read.parquet(prior.map(f => s"$path/$f"): _*)
+        tagged.join(broadcast(pdv),
+          tagged("_graft_dv_file") === pdv("file") &&
+            tagged("_graft_dv_pos") === pdv("pos"), "left_anti")
+      }
+    val dvRel = s"$DvDir/dv_${java.util.UUID.randomUUID().toString.take(12)}"
+    fresh.select(col("_graft_dv_file").as("file"), col("_graft_dv_pos").as("pos"))
+      .coalesce(1).write.mode("errorifexists").parquet(new Path(root, dvRel).toString)
+    val tombstoned = !spark.read.parquet(new Path(root, dvRel).toString).isEmpty
+    if (!tombstoned) fs.delete(new Path(root, dvRel), true)
+    // inserts + replacements: every non-tombstone source row appends
+    // (lk33 schema gate, as for any append)
+    val inserts = deleteCol.map(c => src.where(!col(c)).drop(c)).getOrElse(src)
+    schemaGate(spark, path, Some(current), inserts, allowEvolution = false)
+    val moved = writeDataFiles(spark, path, inserts, partCol)
+    if (!tombstoned && moved.isEmpty) return currentVersion
+    val dvs = prior ++ (if (tombstoned) Seq(dvRel) else Seq.empty)
+    commitManifest(spark, path, current ++ moved, Some(currentVersion),
+      headers = if (dvs.isEmpty) Map.empty
+        else Map(DvHeaderKey -> dvs.mkString(",")))
+  }
+
   /** Apply every pending deletion vector as a copy-on-write rewrite
     * of exactly the files they touch, committing a vector-free
     * snapshot — after which plain and MoR reads agree and

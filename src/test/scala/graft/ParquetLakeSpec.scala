@@ -1310,6 +1310,61 @@ class ParquetLakeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === afterDelete)
   }
 
+  test("lk39: merge-on-read upsert — one atomic commit, zero rewrite, row parity with copy-on-write merge") {
+    // two identical lakes: one takes the batch copy-on-write, one MoR
+    val mor = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, mor)
+    val base = ParquetLake.readManifested(spark, mor)
+    // the change batch: updates (existing keys, flipped event_type),
+    // inserts (fresh keys), tombstones (deleteCol = true)
+    val updates = base.where(col("event_id") % 11 === 0)
+      .withColumn("event_type", lit("merged"))
+      .withColumn("del", lit(false))
+    val inserts = base.where(col("event_id") % 13 === 0)
+      .withColumn("event_id", col("event_id") + 50000000L)
+      .withColumn("del", lit(false))
+    val deletes = base.where(col("event_id") % 17 === 3)
+      .withColumn("del", lit(true))
+    val batch = updates.unionByName(inserts).unionByName(deletes)
+      .localCheckpoint(eager = false)
+
+    def fileSig(dir: String): Set[(String, Long)] =
+      new java.io.File(dir).listFiles.filter(d => d.isDirectory && d.getName.contains("="))
+        .flatMap(_.listFiles).filter(_.getName.startsWith("part-"))
+        .map(f => (s"${f.getParentFile.getName}/${f.getName}", f.length)).toSet
+    val sigBefore = fileSig(mor)
+
+    // the COW reference run, same batch, same delete semantics
+    val cowRows = {
+      val dir2 = fragmentedLake()
+      ParquetLake.snapshotManifest(spark, dir2)
+      ParquetLake.mergeManifested(spark, dir2, batch, Seq("event_id"),
+        partCol = "p_date", deleteCol = Some("del"))
+      ParquetLake.readManifested(spark, dir2)
+        .collect().map(_.toString).sorted.toSeq
+    }
+
+    ParquetLake.mergeOnRead(spark, mor, batch, Seq("event_id"),
+      Some("p_date"), Some("del"))
+    // pre-existing files untouched; only new files appended
+    assert(sigBefore.subsetOf(fileSig(mor)))
+    val morRows = ParquetLake.readManifestedMoR(spark, mor)
+      .collect().map(_.toString).sorted.toSeq
+    assert(morRows === cowRows)
+
+    // replaying the same batch is idempotent (appended rows re-match,
+    // tombstone, and re-append to the same relation)
+    ParquetLake.mergeOnRead(spark, mor, batch, Seq("event_id"),
+      Some("p_date"), Some("del"))
+    assert(ParquetLake.readManifestedMoR(spark, mor)
+      .collect().map(_.toString).sorted.toSeq === cowRows)
+
+    // materialize: plain and MoR reads agree with the COW lake
+    ParquetLake.materializeDeletes(spark, mor)
+    assert(ParquetLake.readManifested(spark, mor)
+      .collect().map(_.toString).sorted.toSeq === cowRows)
+  }
+
   test("lk37: merge-on-read deletion vectors — delete without rewrite, stack, materialize, vacuum") {
     val dir = Files.createTempDirectory("graft_lake_dv").toString
     val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
