@@ -1331,6 +1331,37 @@ object AnalyticsQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // per-group OLS trend fit (slope/intercept/R²) from ONE pass of
+    // numerically-stable co-moments (covar_pop/var_pop are
+    // Welford-style centered updates in both engines — no Σxy−ΣxΣy
+    // catastrophic cancellation, mergeable map-side). x is days
+    // since a PINNED epoch: a constant shift leaves slope/R²
+    // invariant while bounding magnitudes, without the extra
+    // group-min pass a per-key normalization would cost. The
+    // trend-QC row: is a metric drifting, and how fast.
+    "q55_trend_fit" -> ((s, dir) => {
+      val epochMs = 1704067200000L // 2024-01-01, pinned
+      val xd = (col("ts_ms") - lit(epochMs)).cast("double") / lit(86400000.0)
+      events(s, dir)
+        .select(col("event_type"), xd.as("xd"), col("value"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          covar_pop(col("xd"), col("value")).as("cv"),
+          var_pop(col("xd")).as("vx"),
+          stddev_pop(col("xd")).as("sx"),
+          stddev_pop(col("value")).as("sy"),
+          avg(col("xd")).as("mx"),
+          avg(col("value")).as("my"))
+        .select(
+          col("event_type"), col("n"),
+          round(col("cv") / col("vx"), 4).as("slope_per_day"),
+          round(col("my") - (col("cv") / col("vx")) * col("mx"), 4)
+            .as("intercept_at_epoch"),
+          round(pow(col("cv") / (col("sx") * col("sy")), 2), 4).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // time-decayed activity score (EWMA with irregular gaps): each
     // user's score after their last event, where an event's weight
     // halves every 7 days — the freshness/engagement gauge behind
@@ -1366,6 +1397,19 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q55_trend_fit" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    (epoch_ms(ts::TIMESTAMP) - 1704067200000)::DOUBLE / 86400000.0 AS xd,
+        |    value
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  round(covar_pop(xd, value) / var_pop(xd), 4) AS slope_per_day,
+        |  round(avg(value) - (covar_pop(xd, value) / var_pop(xd)) * avg(xd), 4)
+        |    AS intercept_at_epoch,
+        |  round(pow(covar_pop(xd, value) / (stddev_pop(xd) * stddev_pop(value)), 2), 4) AS r2
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_transition_matrix" ->
       """WITH o AS (
         |  SELECT user_id, event_type,
