@@ -584,6 +584,9 @@ object LogStream {
   case class DriftIn(label: Int, vec: Array[Float])
   case class DriftState(sum: Array[Double], n: Long)
   case class DriftOut(label: Int, n: Long, centroidCos: Double, drifted: Boolean)
+  case class TrendIn(key: String, tsMs: Long, value: Double)
+  case class TrendState(n: Long, mx: Double, my: Double, m2x: Double, m2y: Double, cxy: Double)
+  case class TrendOut(key: String, n: Long, slope: Double, interceptAtEpoch: Double, r2: Double)
   case class WelfordState(n: Long, mean: Double, m2: Double)
   case class AnomalyOut(
       userId: Long, tsNs: Long, value: Double, nSeen: Long,
@@ -981,6 +984,48 @@ object LogStream {
           }.getOrElse(Double.NaN)
           Iterator.single(DriftOut(label, st.n, cos,
             st.n >= minSeen && !cos.isNaN && cos < minCos))
+      }
+  }
+
+  /** st34: streaming OLS trend fit — q55's stateful twin. State per
+    * key is SIX numbers (n, mean_x, mean_y, M2_x, M2_y, C_xy),
+    * updated by the same Welford-style centered recurrences the
+    * batch covar_pop/var_pop aggregates use — numerically stable for
+    * any stream length, O(1) state. Each delivering micro-batch
+    * emits the key's current slope/intercept/R²; the spec pins
+    * finals to the oracle-checked batch row to 4 dp (bit-exactness
+    * is not claimed: the batch aggregate merges partial moments in
+    * partition order, the stream folds sequentially — same centered
+    * algebra, different association). x is days since q55's pinned
+    * epoch.
+    */
+  def streamTrend(points: Dataset[TrendIn]): Dataset[TrendOut] = {
+    import points.sparkSession.implicits._
+    val epochMs = 1704067200000L
+    points
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TrendState, TrendOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[TrendIn], state: GroupState[TrendState]) =>
+          var st = state.getOption.getOrElse(
+            TrendState(0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          it.foreach { e =>
+            val x = (e.tsMs - epochMs).toDouble / 86400000.0
+            val n1 = st.n + 1
+            val dx = x - st.mx
+            val mx1 = st.mx + dx / n1
+            val dy = e.value - st.my
+            val my1 = st.my + dy / n1
+            st = TrendState(n1, mx1, my1,
+              st.m2x + dx * (x - mx1),
+              st.m2y + dy * (e.value - my1),
+              st.cxy + dx * (e.value - my1))
+          }
+          state.update(st)
+          val slope = st.cxy / st.m2x
+          Iterator.single(TrendOut(key, st.n, slope,
+            st.my - slope * st.mx,
+            math.pow(st.cxy / (math.sqrt(st.m2x) * math.sqrt(st.m2y)), 2)))
       }
   }
 

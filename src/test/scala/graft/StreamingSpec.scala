@@ -1254,6 +1254,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  private def st34Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_trend_in").toString
+    val ev = events(spark, sf)
+      .select(col("event_type").as("key"), col("ts_ms").as("tsMs"), col("value"))
+    val cut = ev.agg(expr("percentile_approx(tsMs, 0.5)")).head().getLong(0)
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      ev.where(f).write.mode(mode).parquet(inDir)
+    writeIn(col("tsMs") <= cut, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("key", StringType), StructField("tsMs", LongType),
+        StructField("value", DoubleType))))
+      .parquet(inDir)
+      .as[LogStream.TrendIn]
+    val q = LogStream.streamTrend(stream)
+      .writeStream.format("memory").queryName(s"st34_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("tsMs") > cut, SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(s"st34_out$tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
+    val finals = out.groupBy(_._1).map { case (k, rows) =>
+      val last = rows.maxBy(_._2)
+      k -> (last._2, r4(last._3), r4(last._4), r4(last._5)) }
+    // centered-moment finals match the oracle-checked batch fit to
+    // 4 dp (same Welford algebra, different merge association)
+    val q55 = SparkEntry.queries("q55_trend_fit")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(finals.keySet === q55.keySet)
+    finals.foreach { case (k, v) => assert(v === q55(k), s"key $k") }
+  }
+
+  test("st34: streaming OLS trend fit matches batch q55 across micro-batches") {
+    st34Body("")
+  }
+
+  test("st34 (rocksdb): trend fit under the RocksDB state store") {
+    withRocksDb(st34Body("_rdb"))
+  }
+
   test("st33: streaming drift gate's running centroid matches batch s16 and trips its documented gate") {
     st33Body("")
   }
