@@ -2667,6 +2667,70 @@ object ParquetLake {
       current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
   }
 
+  /** lk40: maintenance planner — ONE metadata-only call that turns
+    * the lake's own reports into an ordered action list, so the
+    * nightly maintenance job is `maintenancePlan(...).collect.foreach
+    * (dispatch)` instead of a hand-curated runbook. Sources: pending
+    * deletion vectors (lk37 — blocks every copy-on-write op, so it
+    * sorts first), per-partition small-file shares ([[lakeHealth]]),
+    * clustering depth from the stats sidecar ([[clusteringReport]],
+    * when a sort column is given), a missing stats sidecar for the
+    * head version (skipping silently off is a silent perf loss),
+    * unreferenced files on disk ([[fsck]] orphans → [[vacuum]]), and
+    * stale branches (lk38). Everything reads manifests, refs, and
+    * file statuses — zero data scanned, cost bounded by the manifest.
+    * Output: (priority, action, target, reason), priority-ordered.
+    */
+  def maintenancePlan(
+      spark: SparkSession, path: String,
+      sortCol: Option[String] = None,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      maxAvgOverlap: Double = 4.0): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, path)
+    val head = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
+    // 1. pending deletion vectors gate everything copy-on-write
+    val dvs = dvList(spark, path, Some(head))
+    if (dvs.nonEmpty)
+      actions += ((1, "materialize_deletes", "<lake>",
+        s"${dvs.length} pending deletion vector(s) block compaction/merge/recluster"))
+    // 2. small-file compaction, per partition
+    lakeHealth(spark, path, smallFileBytes)
+      .where(col("needs_compaction"))
+      .collect().foreach { r =>
+        actions += ((2, "compact", r.getString(0),
+          s"${r.getLong(2)} of ${r.getLong(1)} files under ${smallFileBytes >> 20} MiB"))
+      }
+    // 3. clustering decay (only when a sort column and sidecar exist)
+    sortCol.foreach { c =>
+      if (fs.exists(new Path(root, s"$StatsPrefix$head"))) {
+        val rep = clusteringReport(spark, path, c).head()
+        val avg = rep.getAs[Double]("avg_file_overlaps")
+        if (avg > maxAvgOverlap)
+          actions += ((3, "recluster", c,
+            f"avg file overlap $avg%.1f exceeds $maxAvgOverlap%.1f — range skipping is ineffective"))
+      } else {
+        actions += ((3, "build_file_stats", c,
+          s"no stats sidecar for head v$head — file skipping is off"))
+      }
+    }
+    // 4. unreferenced files: garbage to sweep
+    val orphans = fsck(spark, path).orphans
+    if (orphans.nonEmpty)
+      actions += ((4, "vacuum", "<lake>",
+        s"${orphans.length} unreferenced data file(s) on disk"))
+    // 5. stale branches hold files live and age away from main
+    branches(spark, path).foreach { case (name, vs) =>
+      actions += ((5, "publish_or_drop_branch", name,
+        s"branch at v${vs.max} holds ${vs.length} listing(s) pinning files"))
+    }
+    actions.sortBy(a => (a._1, a._3)).toSeq
+      .toDF("priority", "action", "target", "reason")
+  }
+
   def fsck(spark: SparkSession, path: String): FsckReport = {
     val (fs, root) = fsFor(spark, path)
     // staged-but-unpublished WAP files are intentional, not orphans

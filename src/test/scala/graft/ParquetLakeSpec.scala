@@ -1310,6 +1310,32 @@ class ParquetLakeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === afterDelete)
   }
 
+  test("lk40: maintenance planner surfaces exactly the planted issues, then an empty plan after running them") {
+    val dir = fragmentedLake() // small files in every partition
+    ParquetLake.snapshotManifest(spark, dir)
+    // plant one of everything: pending vectors, an orphan, a branch,
+    // and no stats sidecar for the head
+    ParquetLake.deleteVectored(spark, dir, col("event_id") % 31 === 0)
+    plantOrphan(dir)
+    ParquetLake.createBranch(spark, dir, "stale")
+    val plan = ParquetLake.maintenancePlan(spark, dir, sortCol = Some("ts_ms"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(plan.head._2 === "materialize_deletes") // gates the rest
+    assert(plan.exists(_._2 === "compact"))
+    assert(plan.exists(a => a._2 === "build_file_stats" && a._3 === "ts_ms"))
+    assert(plan.exists(_._2 === "vacuum"))
+    assert(plan.exists(a => a._2 === "publish_or_drop_branch" && a._3 === "stale"))
+    assert(plan.map(_._1).toSeq === plan.map(_._1).toSeq.sorted) // priority-ordered
+    // run the plan; the planner then has nothing left to say
+    ParquetLake.materializeDeletes(spark, dir)
+    ParquetLake.dropBranch(spark, dir, "stale")
+    ParquetLake.compactManifested(spark, dir)
+    ParquetLake.buildFileStats(spark, dir, Seq("ts_ms"))
+    ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    val after = ParquetLake.maintenancePlan(spark, dir, sortCol = Some("ts_ms"))
+    assert(after.isEmpty, after.collect().mkString(";"))
+  }
+
   test("lk39: merge-on-read upsert — one atomic commit, zero rewrite, row parity with copy-on-write merge") {
     // two identical lakes: one takes the batch copy-on-write, one MoR
     val mor = fragmentedLake()
