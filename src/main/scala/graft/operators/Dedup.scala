@@ -45,6 +45,79 @@ object Dedup {
     * within-increment groupBy both shuffle fingerprint+id only, never
     * text, and old×old pairs are never re-examined.
     */
+  /** lk41: the dedup index AS A LAKE TABLE — d19's corpus-side
+    * fingerprint→keeper relation persisted in a manifested lake of
+    * its own and maintained incrementally, so each ingest pays
+    * O(increment + index read) instead of re-fingerprinting the
+    * corpus (at 100 TB the index is bytes-per-distinct-doc; the
+    * corpus re-scan d19 implies per batch is the cost this kills).
+    *
+    * [[dedupIndexInit]] seeds the index from the existing corpus;
+    * [[indexedIngest]] gates an increment: rows whose fingerprint
+    * exists in the index are rejected, within-increment repeats keep
+    * the first (min id), admitted rows publish to the DATA lake and
+    * their fingerprints append to the INDEX lake — both through the
+    * staged-commit machinery, data first (a crash between the two
+    * commits can admit a future duplicate, never lose a row; the
+    * re-ingest of the same batch is rejected by the then-updated
+    * index, making replays idempotent once both commits land).
+    * First-arrival-wins by construction: a fingerprint's original
+    * keeper survives any later increment, whatever the ids.
+    */
+  def dedupIndexInit(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, textCol: String, idCol: String): Int = {
+    exact(corpus, textCol, idCol)
+      .select(col("fingerprint"), col("keep_id"))
+      .write.mode("errorifexists").parquet(indexPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
+  }
+
+  final case class IngestReport(
+      admitted: Long, rejectedIndexed: Long, rejectedIntra: Long,
+      dataVersion: Int, indexVersion: Int)
+
+  def indexedIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, indexPath: String,
+      increment: DataFrame, textCol: String, idCol: String): IngestReport = {
+    import graft.sources.ParquetLake
+    val index = ParquetLake.readManifested(spark, indexPath)
+    val inc = increment
+      .withColumn("fingerprint", T.contentFingerprint(col(textCol)))
+      .localCheckpoint(eager = false) // feeds the gate and both appends
+    val incFirst = inc.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("inc_keep_id"))
+    val gated = inc
+      .join(incFirst, Seq("fingerprint"))
+      .join(index.select(col("fingerprint"), lit(true).as("indexed")),
+        Seq("fingerprint"), "left")
+      .withColumn("admit",
+        col("indexed").isNull && col(idCol) === col("inc_keep_id"))
+      .localCheckpoint(eager = false) // counted + split below
+    val admitted = gated.where(col("admit"))
+    val nAdmit = admitted.count()
+    val nIndexed = gated.where(col("indexed").isNotNull).count()
+    val nIntra = gated.where(
+      col("indexed").isNull && col(idCol) =!= col("inc_keep_id")).count()
+    val stage = s"dedup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataVersion =
+      if (nAdmit == 0) ParquetLake.readManifest(spark, dataPath, None).map(_ => 0).getOrElse(0)
+      else {
+        ParquetLake.stageAppend(spark, dataPath,
+          admitted.drop("fingerprint", "inc_keep_id", "indexed", "admit"), stage)
+        ParquetLake.publishStaged(spark, dataPath, stage)
+      }
+    val indexVersion =
+      if (nAdmit == 0) 0
+      else {
+        ParquetLake.stageAppend(spark, indexPath,
+          admitted.select(col("fingerprint"), col(idCol).as("keep_id")), stage)
+        ParquetLake.publishStaged(spark, indexPath, stage)
+      }
+    IngestReport(nAdmit, nIndexed, nIntra, dataVersion, indexVersion)
+  }
+
   def incrementalExact(
       corpus: DataFrame, increment: DataFrame,
       textCol: String, idCol: String): DataFrame = {

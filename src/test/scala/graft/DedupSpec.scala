@@ -350,4 +350,52 @@ class DedupSpec extends SparkSpec {
     assert(dupReps.count() >= 20L)
     assert(out.join(withDups.select(col("doc_id").as("id")), Seq("id"), "left_anti").count() === 0)
   }
+
+  test("lk41: persisted dedup index gates ingest — first-arrival wins, replays idempotent, index ≡ lake") {
+    import java.nio.file.Files
+    val dataPath = Files.createTempDirectory("graft_dedup_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_dedup_idx").toString + "/index"
+    val docs = graft.queries.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val corpusA = docs.where(col("doc_id") % 3 =!= 0)
+    corpusA.write.parquet(dataPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, dataPath)
+    Dedup.dedupIndexInit(spark, indexPath, corpusA, "text", "doc_id")
+
+    // the increment: fresh docs, re-crawls of corpus docs (same text,
+    // new ids), and intra-increment repeats of fresh docs
+    val fresh = docs.where(col("doc_id") % 3 === 0)
+    val dupOfA = corpusA.where(col("doc_id") % 7 === 1)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val intra = fresh.where(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+    val increment = fresh.unionByName(dupOfA).unionByName(intra)
+      .localCheckpoint(eager = false)
+    val r = Dedup.indexedIngest(spark, dataPath, indexPath, increment, "text", "doc_id")
+    assert(r.admitted === fresh.count())
+    assert(r.rejectedIndexed === dupOfA.count())
+    assert(r.rejectedIntra === intra.count())
+    // the lake holds exactly one row per distinct fingerprint, and
+    // the index IS the lake's fingerprint set
+    val lake = graft.sources.ParquetLake.readManifested(spark, dataPath)
+    assert(lake.count() === corpusA.count() + fresh.count())
+    val lakeFps = lake.select(
+      graft.functions.TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+    assert(lakeFps.distinct().count() === lake.count())
+    val index = graft.sources.ParquetLake.readManifested(spark, indexPath)
+    assert(index.count() === lake.count())
+    assert(index.join(lakeFps, Seq("fingerprint"), "left_anti").count() === 0)
+    // first-arrival wins: a re-crawled doc's keeper is the ORIGINAL id
+    val aDoc = corpusA.where(col("doc_id") % 7 === 1)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+    val keepers = index.join(aDoc, Seq("fingerprint"))
+    assert(keepers.where(col("keep_id") =!= col("doc_id")).count() === 0)
+    // replaying the whole increment admits nothing
+    val r2 = Dedup.indexedIngest(spark, dataPath, indexPath, increment, "text", "doc_id")
+    assert(r2.admitted === 0L)
+    assert(r2.rejectedIntra === 0L)
+    assert(r2.rejectedIndexed === increment.count())
+    assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === lake.count())
+  }
 }
