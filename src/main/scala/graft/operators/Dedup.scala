@@ -118,6 +118,85 @@ object Dedup {
     IngestReport(nAdmit, nIndexed, nIntra, dataVersion, indexVersion)
   }
 
+  /** lk42: the NEAR-dup index as a lake table — [[indexedIngest]]'s
+    * MinHash-LSH sibling. The persisted index is the corpus's BAND
+    * KEYS (id, band, hash): ~bands rows per doc, text never stored.
+    * Gating an increment costs the increment's shingling + one
+    * band-key equi-join against the index + exact-Jaccard
+    * verification of only the candidate pairs (the corpus text reads
+    * are a semi-join on matched ids — candidate-sized, not
+    * corpus-sized). Intra-increment near-dups resolve through the
+    * full d13 pipeline (candidates → verify → components → min-id
+    * keeper). Rejection counts are DISJOINT with corpus-near taking
+    * priority, so admitted + rejectedCorpusNear + rejectedIntraNear
+    * = |increment|. Commit order and replay semantics match lk41
+    * (data first; a fully-landed batch replays to zero admits —
+    * replayed docs are exact dups of themselves, bands always
+    * collide, Jaccard = 1).
+    */
+  def nearDupIndexInit(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, textCol: String, idCol: String,
+      numPerms: Int = 12, bands: Int = 4): Int = {
+    bandKeys(corpus, textCol, idCol, numPerms, bands)
+      .write.mode("errorifexists").parquet(indexPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
+  }
+
+  final case class NearDupIngestReport(
+      admitted: Long, rejectedCorpusNear: Long, rejectedIntraNear: Long,
+      dataVersion: Int, indexVersion: Int)
+
+  def nearDupIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, indexPath: String,
+      increment: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, numPerms: Int = 12, bands: Int = 4): NearDupIngestReport = {
+    import graft.sources.ParquetLake
+    val inc = increment.localCheckpoint(eager = false)
+    // LSH candidates against the persisted band keys, then exact
+    // verification of only those pairs
+    val cand = bandKeys(inc, textCol, idCol, numPerms, bands)
+      .toDF("id_new", "band", "h")
+      .join(ParquetLake.readManifested(spark, indexPath)
+        .toDF("id_old", "band", "h"), Seq("band", "h"))
+      .select("id_new", "id_old").distinct()
+      .localCheckpoint(eager = false)
+    val matchedCorpus = ParquetLake.readManifested(spark, dataPath)
+      .join(cand.select(col("id_old").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val shNew = spread(inc).select(col(idCol).as("id_new"),
+      T.wordShingles(T.tokens(col(textCol))).as("s_new"))
+    val shOld = spread(matchedCorpus).select(col(idCol).as("id_old"),
+      T.wordShingles(T.tokens(col(textCol))).as("s_old"))
+    val corpusNearIds = cand
+      .join(shNew, Seq("id_new")).join(shOld, Seq("id_old"))
+      .where(T.jaccard(col("s_new"), col("s_old")) >= threshold)
+      .select(col("id_new")).distinct()
+      .localCheckpoint(eager = false)
+    // intra-increment keepers via the d13 pipeline
+    val intraKeep = dedupCorpus(inc, textCol, idCol, threshold)
+      .localCheckpoint(eager = false)
+    val admitted = inc
+      .join(intraKeep.where(col("keep")).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+      .join(corpusNearIds.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
+    val nAdmit = admitted.count()
+    val nCorpusNear = corpusNearIds.count()
+    val nIntra = inc.count() - nAdmit - nCorpusNear
+    val stage = s"neardup_${java.util.UUID.randomUUID().toString.take(8)}"
+    val (dataVersion, indexVersion) =
+      if (nAdmit == 0) (0, 0)
+      else {
+        ParquetLake.stageAppend(spark, dataPath, admitted, stage)
+        val dv = ParquetLake.publishStaged(spark, dataPath, stage)
+        ParquetLake.stageAppend(spark, indexPath,
+          bandKeys(admitted, textCol, idCol, numPerms, bands), stage)
+        (dv, ParquetLake.publishStaged(spark, indexPath, stage))
+      }
+    NearDupIngestReport(nAdmit, nCorpusNear, nIntra, dataVersion, indexVersion)
+  }
+
   def incrementalExact(
       corpus: DataFrame, increment: DataFrame,
       textCol: String, idCol: String): DataFrame = {

@@ -351,6 +351,40 @@ class DedupSpec extends SparkSpec {
     assert(out.join(withDups.select(col("doc_id").as("id")), Seq("id"), "left_anti").count() === 0)
   }
 
+  test("lk42: near-dup index gates ingest — LSH probe + exact verify, disjoint accounting, idempotent replay") {
+    import java.nio.file.Files
+    val dataPath = Files.createTempDirectory("graft_nd_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_nd_idx").toString + "/index"
+    // per-doc-unique vocab → zero cross-doc shingle overlap, so every
+    // candidate/verify outcome in this fixture is structural
+    def doc(i: Int): String = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+    val corpusA = (0 until 40).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    corpusA.write.parquet(dataPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, dataPath)
+    Dedup.nearDupIndexInit(spark, indexPath, corpusA, "text", "doc_id")
+
+    val fresh = (40 until 60).map(i => (i.toLong, doc(i)))
+    val exactRe = (0 until 5).map(i => (1000L + i, doc(i)))      // re-crawls
+    val nearRe = (5 until 10).map(i => (2000L + i, doc(i) + " tail")) // mutated re-crawls
+    val intra = Seq((3000L, doc(40)))                            // dup within the increment
+    val inc = (fresh ++ exactRe ++ nearRe ++ intra).toDF("doc_id", "text")
+    val r = Dedup.nearDupIngest(spark, dataPath, indexPath, inc, "text", "doc_id")
+    // disjoint accounting covers the increment exactly
+    assert(r.admitted + r.rejectedCorpusNear + r.rejectedIntraNear === 31L)
+    // exact re-crawls are GUARANTEED corpus-near (identical bands,
+    // Jaccard 1); mutated ones are near-certain under the fixed hash
+    assert(r.rejectedCorpusNear >= 9L, r.toString)
+    assert(r.rejectedIntraNear === 1L, r.toString)
+    assert(r.admitted === 31L - 1L - r.rejectedCorpusNear)
+    val lakeN = graft.sources.ParquetLake.readManifested(spark, dataPath).count()
+    assert(lakeN === 40L + r.admitted)
+    // replay: every row is now an exact dup of a landed row (escaped
+    // mutations landed, caught ones match the corpus) → zero admits
+    val r2 = Dedup.nearDupIngest(spark, dataPath, indexPath, inc, "text", "doc_id")
+    assert(r2.admitted === 0L, r2.toString)
+    assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === lakeN)
+  }
+
   test("lk41: persisted dedup index gates ingest — first-arrival wins, replays idempotent, index ≡ lake") {
     import java.nio.file.Files
     val dataPath = Files.createTempDirectory("graft_dedup_data").toString + "/lake"
