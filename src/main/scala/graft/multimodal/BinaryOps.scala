@@ -83,6 +83,82 @@ object BinaryOps {
     * document-grain exact dedup scores as distinct show up here with
     * shared_chunks ≈ n_chunks. Returns (id, n_chunks, shared_chunks).
     */
+  /** lk43: the blob-grain chunk index as a lake table — lk41/lk42's
+    * binary sibling, completing the index-gated ingest family (exact
+    * text / near-dup text / binary chunks). The persisted index is
+    * the corpus's DISTINCT chunk fingerprints (one long per distinct
+    * chunk — bytes never stored, never shuffled). An incoming blob's
+    * containment = |its distinct chunks ∩ index| / |its distinct
+    * chunks|; at or above `maxContainment` it is a near-copy (edited
+    * image, re-encoded header + same body) and rejects. Admitted
+    * blobs publish to the data lake and their chunks append to the
+    * index DISTINCT-against-it, so the index stays a set and its
+    * size tracks unique content bytes, not ingest volume. Commit
+    * order and replay semantics as lk41: data first; a fully-landed
+    * batch replays to zero admits (containment 1 against its own
+    * chunks). Intra-increment near-copies are NOT resolved here by
+    * design — run [[cdcNearDupPairs]] on the increment first when
+    * that matters (documented, matching m8's separation of
+    * concerns).
+    */
+  def chunkIndexInit(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, binCol: String, idCol: String,
+      minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096): Int = {
+    corpus
+      .select(explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
+      .distinct()
+      .write.mode("errorifexists").parquet(indexPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
+  }
+
+  final case class ChunkIngestReport(
+      admitted: Long, rejectedContained: Long,
+      dataVersion: Int, indexVersion: Int)
+
+  def chunkGatedIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, indexPath: String,
+      increment: DataFrame, binCol: String, idCol: String,
+      maxContainment: Double = 0.5,
+      minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096): ChunkIngestReport = {
+    import graft.sources.ParquetLake
+    val inc = increment.localCheckpoint(eager = false)
+    val chunks = inc
+      .select(col(idCol).as("id"),
+        explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds containment AND the index append
+    val index = ParquetLake.readManifested(spark, indexPath)
+    val contained = chunks
+      .join(index.select(col("fp"), lit(true).as("hit")), Seq("fp"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("reject",
+        col("n_hit").cast("double") / col("n_chunks") >= maxContainment)
+      .localCheckpoint(eager = false)
+    val admitted = inc.join(
+      contained.where(!col("reject")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi").localCheckpoint(eager = false)
+    val nAdmit = admitted.count()
+    val nReject = inc.count() - nAdmit
+    val stage = s"chunk_${java.util.UUID.randomUUID().toString.take(8)}"
+    val (dataVersion, indexVersion) =
+      if (nAdmit == 0) (0, 0)
+      else {
+        ParquetLake.stageAppend(spark, dataPath, admitted, stage)
+        val dv = ParquetLake.publishStaged(spark, dataPath, stage)
+        val newFps = chunks
+          .join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .select("fp").distinct()
+          .join(index, Seq("fp"), "left_anti")
+        ParquetLake.stageAppend(spark, indexPath, newFps, stage)
+        (dv, ParquetLake.publishStaged(spark, indexPath, stage))
+      }
+    ChunkIngestReport(nAdmit, nReject, dataVersion, indexVersion)
+  }
+
   def cdcDedupReport(
       df: DataFrame, binCol: String, idCol: String,
       minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096): DataFrame = {

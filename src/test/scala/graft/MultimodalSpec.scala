@@ -172,4 +172,45 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(run1 === run2)
   }
+
+  test("lk43: chunk index gates blob ingest — near-copies rejected by containment, replay admits zero") {
+    import java.nio.file.Files
+    import graft.multimodal.BinaryOps
+    val dataPath = Files.createTempDirectory("graft_blob_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_blob_idx").toString + "/index"
+    // per-blob-unique content → chunk overlap only where planted
+    def blob(i: Int): String = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+    val corpusA = (0 until 40).map(i => (i.toLong, blob(i))).toDF("blob_id", "t")
+      .select(col("blob_id"), col("t").cast("binary").as("payload"))
+    corpusA.write.parquet(dataPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, dataPath)
+    BinaryOps.chunkIndexInit(spark, indexPath, corpusA, "payload", "blob_id",
+      minLen = 16, maskBits = 4, maxLen = 256)
+
+    val fresh = (40 until 60).map(i => (i.toLong, blob(i)))
+    val nearCopies = (0 until 5).map(i => (1000L + i, "v2-header: " + blob(i)))
+    val inc = (fresh ++ nearCopies).toDF("blob_id", "t")
+      .select(col("blob_id"), col("t").cast("binary").as("payload"))
+    val r = BinaryOps.chunkGatedIngest(spark, dataPath, indexPath, inc,
+      "payload", "blob_id", maxContainment = 0.5,
+      minLen = 16, maskBits = 4, maxLen = 256)
+    // CDC locality: a prepended header re-chunks a constant prefix,
+    // every later chunk keeps its identity → containment ≈ 1
+    assert(r.admitted === 20L, r.toString)
+    assert(r.rejectedContained === 5L, r.toString)
+    val lakeN = graft.sources.ParquetLake.readManifested(spark, dataPath).count()
+    assert(lakeN === 60L)
+    // the index stays a SET: re-initializing from the full lake gives
+    // the same distinct-fingerprint count
+    val idxN = graft.sources.ParquetLake.readManifested(spark, indexPath).count()
+    assert(idxN === graft.sources.ParquetLake.readManifested(spark, dataPath)
+      .select(explode(graft.functions.cdcChunks(col("payload"), 16, 4, 256)).as("fp"))
+      .distinct().count())
+    // replay: landed blobs contain themselves fully
+    val r2 = BinaryOps.chunkGatedIngest(spark, dataPath, indexPath, inc,
+      "payload", "blob_id", maxContainment = 0.5,
+      minLen = 16, maskBits = 4, maxLen = 256)
+    assert(r2.admitted === 0L, r2.toString)
+    assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === lakeN)
+  }
 }
