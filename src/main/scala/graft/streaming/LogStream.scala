@@ -374,6 +374,35 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** st35: continuous dedup-gated ingest — lk41's persisted-index
+    * gate run per micro-batch: every batch is admitted/rejected
+    * against the fingerprint index, admitted rows publish to the
+    * data lake and their fingerprints to the index, so the lake
+    * stays exactly-deduplicated AS it ingests (no nightly dedup job
+    * over accumulated dupes). Cross-batch dedup is free: batch 2's
+    * repeats of batch 1 reject against the index batch 1 just
+    * updated. Re-delivered batches are idempotent once both commits
+    * landed (lk41's replay contract — a replayed batch admits
+    * nothing); the crash window between the data and index commits
+    * can admit a future duplicate but never lose a row, exactly as
+    * documented on [[graft.operators.Dedup.indexedIngest]].
+    */
+  def startDedupIngestSink(
+      docs: DataFrame, dataPath: String, indexPath: String,
+      textCol: String, idCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.indexedIngest(
+            batch.sparkSession, dataPath, indexPath, batch, textCol, idCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   /** st24: streaming quality-gate admission — every incoming document
     * is scored by the ROW-LOCAL Gopher flags
     * ([[graft.functions.TextFunctions.qualityFlags]]: no explode, no

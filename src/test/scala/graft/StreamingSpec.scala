@@ -1254,6 +1254,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st35: continuous dedup-gated ingest — cross-batch dups rejected, lake stays exactly deduplicated") {
+    import org.apache.spark.sql.SaveMode
+    import graft.operators.Dedup
+    import graft.sources.ParquetLake
+    val inDir = Files.createTempDirectory("graft_di_in").toString
+    val dataPath = Files.createTempDirectory("graft_di_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_di_idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_di_ckpt").toString
+    val docs = graft.queries.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val corpusA = docs.where(col("doc_id") % 3 =!= 0)
+    corpusA.write.parquet(dataPath)
+    ParquetLake.snapshotManifest(spark, dataPath)
+    Dedup.dedupIndexInit(spark, indexPath, corpusA, "text", "doc_id")
+
+    val fresh1 = docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 250)
+    val fresh2 = docs.where(col("doc_id") % 3 === 0 && col("doc_id") >= 250)
+    val dupA1 = corpusA.where(col("doc_id") % 7 === 1)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val crossDup = fresh1.where(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+    val dupA2 = corpusA.where(col("doc_id") % 7 === 2)
+      .withColumn("doc_id", col("doc_id") + 300000L)
+    fresh1.unionByName(dupA1).write.mode(SaveMode.Overwrite).parquet(inDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("text", StringType))))
+      .parquet(inDir)
+    val q = LogStream.startDedupIngestSink(
+      stream, dataPath, indexPath, "text", "doc_id", ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2 repeats batch 1's docs — the index batch 1 just
+      // updated must reject them
+      fresh2.unionByName(crossDup).unionByName(dupA2)
+        .write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val lake = ParquetLake.readManifested(spark, dataPath)
+    val expected = corpusA.count() + fresh1.count() + fresh2.count()
+    assert(lake.count() === expected)
+    // exactly deduplicated: one row per distinct fingerprint, and the
+    // index IS the lake's fingerprint set
+    val fps = lake.select(
+      graft.functions.TextFunctions.contentFingerprint(col("text")).as("fingerprint"))
+    assert(fps.distinct().count() === expected)
+    val index = ParquetLake.readManifested(spark, indexPath)
+    assert(index.count() === expected)
+    assert(index.join(fps, Seq("fingerprint"), "left_anti").count() === 0)
+    // no replayed/copied id ever landed
+    assert(lake.where(col("doc_id") >= 100000L).count() === 0)
+  }
+
   private def st34Body(tag: String): Unit = {
     import org.apache.spark.sql.SaveMode
     val inDir = Files.createTempDirectory("graft_trend_in").toString
