@@ -2667,6 +2667,28 @@ object ParquetLake {
       current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
   }
 
+  /** t32: cross-snapshot corpus diff — what an ingest/merge actually
+    * changed, in the units a training pipeline budgets in: per
+    * (source, change type) doc and TOKEN deltas between two manifest
+    * versions. Rides [[changeFeed]], so only the files that differ
+    * between the snapshots are read (never the lake), and the token
+    * counts fold at that scan. The report a data curator reads
+    * before promoting yesterday's ingest: which sources grew, by how
+    * many tokens, and whether anything was deleted or rewritten.
+    */
+  def corpusDiffReport(
+      spark: SparkSession, path: String, fromVersion: Int,
+      toVersion: Option[Int] = None,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source"): DataFrame =
+    changeFeed(spark, path, fromVersion, Seq(idCol), toVersion)
+      .select(col("_change_type"), col(groupCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_tok"))
+      .groupBy(col(groupCol), col("_change_type"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy(col(groupCol), col("_change_type"))
+
   /** lk40: maintenance planner — ONE metadata-only call that turns
     * the lake's own reports into an ordered action list, so the
     * nightly maintenance job is `maintenancePlan(...).collect.foreach

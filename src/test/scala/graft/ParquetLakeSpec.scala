@@ -1310,6 +1310,36 @@ class ParquetLakeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === afterDelete)
   }
 
+  test("t32: corpus diff report — per-source doc/token deltas between snapshots, from the changed files only") {
+    val dir = Files.createTempDirectory("graft_cdiff").toString + "/lake"
+    val docs = graft.queries.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val v1docs = docs.where(col("doc_id") < 400)
+    v1docs.write.parquet(dir)
+    val v1 = ParquetLake.snapshotManifest(spark, dir)
+    // append new docs, then delete a slice — two commits
+    val added = docs.where(col("doc_id") >= 400)
+    ParquetLake.stageAppend(spark, dir, added, "ingest")
+    ParquetLake.publishStaged(spark, dir, "ingest")
+    ParquetLake.deleteManifested(spark, dir, col("doc_id") % 50 === 3)
+    val rep = ParquetLake.corpusDiffReport(spark, dir, v1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    import graft.functions.{TextFunctions => T}
+    def expect(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), size(T.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(count(lit(1)).as("d"), sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // inserts = the added slice minus its deleted rows
+    val expIns = expect(added.where(!(col("doc_id") % 50 === 3)))
+    val expDel = expect(v1docs.where(col("doc_id") % 50 === 3))
+    expIns.foreach { case (src, v) => assert(rep((src, "insert")) === v, src) }
+    expDel.foreach { case (src, v) => assert(rep((src, "delete")) === v, src) }
+    // no spurious updates: untouched rows never appear in the diff
+    assert(!rep.keySet.exists(_._2.startsWith("update")), rep.keySet.toString)
+  }
+
   test("lk40: maintenance planner surfaces exactly the planted issues, then an empty plan after running them") {
     val dir = fragmentedLake() // small files in every partition
     ParquetLake.snapshotManifest(spark, dir)
