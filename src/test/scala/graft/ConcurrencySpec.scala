@@ -159,4 +159,65 @@ class ConcurrencySpec extends SparkSpec {
       ()
     }
   }
+
+  test("lk37/lk38 stress: racing vectored deletes and a staged publish all land; MoR view stays exact") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    import graft.sources.ParquetLake
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_stress").toString
+    ParquetLake.writePartitioned(
+      graft.queries.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir)
+    val baseCount = base.count()
+    // a staged batch waits to publish under the same races
+    val staged = base.where(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val stagedCount = staged.count()
+    ParquetLake.stageAppend(spark, dir, staged, "dv-race", Some("p_date"))
+    // three deleters tombstone DISJOINT slices concurrently with the
+    // publish: every CAS loser rebases, nothing resurrects
+    val preds = Seq(
+      col("event_id") % 7 === 0 && col("event_id") < 10000000L,
+      col("event_id") % 7 === 1 && col("event_id") < 10000000L,
+      col("event_id") % 7 === 2 && col("event_id") < 10000000L)
+    val delCounts = preds.map(p => base.where(p).count())
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val dels = preds.map { p =>
+        pool.submit(new Callable[Int] {
+          override def call(): Int = {
+            gate.await()
+            ParquetLake.deleteVectored(spark, dir, p, maxRetries = 32)
+          }
+        })
+      }
+      val pub = pool.submit(new Callable[Int] {
+        override def call(): Int = {
+          gate.await()
+          ParquetLake.publishStaged(spark, dir, "dv-race", maxRetries = 32)
+        }
+      })
+      gate.countDown()
+      val versions = dels.map(_.get(180, TimeUnit.SECONDS)) :+ pub.get(180, TimeUnit.SECONDS)
+      assert(versions.toSet.size === 4, s"versions: $versions")
+    } finally {
+      pool.shutdownNow()
+      ()
+    }
+    // all three vectors apply AND the publish carried them: the MoR
+    // head = base − deletes + staged batch, row-exact
+    val mor = ParquetLake.readManifestedMoR(spark, dir)
+    assert(mor.count() === baseCount - delCounts.sum + stagedCount)
+    preds.foreach(p => assert(mor.where(p).count() === 0))
+    assert(mor.where(col("event_id") >= 10000000L).count() === stagedCount)
+    // plain snapshot still pre-delete by contract; materialize converges
+    assert(ParquetLake.readManifested(spark, dir).count() === baseCount + stagedCount)
+    ParquetLake.materializeDeletes(spark, dir)
+    assert(ParquetLake.readManifested(spark, dir).count()
+      === baseCount - delCounts.sum + stagedCount)
+    assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
+  }
 }
