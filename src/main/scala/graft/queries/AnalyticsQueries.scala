@@ -1331,6 +1331,38 @@ object AnalyticsQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // time-series resample + forward-fill: each user's irregular
+    // event stream regularized onto a daily grid, each grid point
+    // carrying the last observation at-or-before it (the
+    // gap-filling step before any fixed-step model sees event data).
+    // Shape: per-user ties collapse deterministically (max event_id
+    // per instant), the grid derives from per-user bounds via
+    // integer-div bucketing + sequence (no driver loop, no
+    // cross-user skew — each user owns its own span), and the fill
+    // is ONE per-user ordered window with observations sorting
+    // before grid points at equal timestamps (exactly ASOF ≤
+    // semantics, which is how the oracle replays it).
+    "q57_resample_ffill" -> ((s, dir) => {
+      val step = 86400000L
+      val e = events(s, dir)
+        .groupBy(col("user_id"), col("ts_ms").as("t"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val grid = e.groupBy("user_id")
+        .agg(expr(s"min(t) div $step").as("b0"), expr(s"max(t) div $step").as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bk"))
+        .select(col("user_id"), (col("bk") * step).as("t"))
+      val tagged = e.select(col("user_id"), col("t"), col("value"), lit(0).as("tag"))
+        .unionByName(grid.select(col("user_id"), col("t"),
+          lit(null).cast("double").as("value"), lit(1).as("tag")))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("fv", last("value", ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .select(col("user_id"), col("t").as("grid_ms"),
+          round(col("fv"), 4).as("value_ffill"))
+        .orderBy("user_id", "grid_ms")
+    }),
+
     // per-group OLS trend fit (slope/intercept/R²) from ONE pass of
     // numerically-stable co-moments (covar_pop/var_pop are
     // Welford-style centered updates in both engines — no Σxy−ΣxΣy
@@ -1397,6 +1429,21 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q57_resample_ffill" ->
+      """WITH e0 AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ms, value, event_id FROM events
+        |), e AS (
+        |  SELECT user_id, ms, max_by(value, event_id) AS value FROM e0 GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id, min(ms) AS mn, max(ms) AS mx FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(mn // 86400000, mx // 86400000, 1)) * 86400000 AS grid_ms
+        |  FROM b
+        |)
+        |SELECT g.user_id, g.grid_ms, round(e.value, 4) AS value_ffill
+        |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND e.ms <= g.grid_ms
+        |ORDER BY 1, 2""".stripMargin,
     "q55_trend_fit" ->
       """WITH b AS (
         |  SELECT event_type,
