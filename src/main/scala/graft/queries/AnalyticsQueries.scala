@@ -1342,7 +1342,7 @@ object AnalyticsQueries {
     // is ONE per-user ordered window with observations sorting
     // before grid points at equal timestamps (exactly ASOF ≤
     // semantics, which is how the oracle replays it).
-    "q57_resample_ffill" -> ((s, dir) => {
+    "q56_resample_ffill" -> ((s, dir) => {
       val step = 86400000L
       val e = events(s, dir)
         .groupBy(col("user_id"), col("ts_ms").as("t"))
@@ -1429,7 +1429,7 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
-    "q57_resample_ffill" ->
+    "q56_resample_ffill" ->
       """WITH e0 AS (
         |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ms, value, event_id FROM events
         |), e AS (
