@@ -983,16 +983,35 @@ object ParquetLake {
   def appendBranch(
       spark: SparkSession, path: String, name: String, df: DataFrame,
       partCol: Option[String] = None,
-      allowEvolution: Boolean = false): Int = {
+      allowEvolution: Boolean = false, maxRetries: Int = 8): Int = {
     val (fs, root) = fsFor(spark, path)
-    val (v, base, headers) = branchListing(spark, path, name, None)
-    schemaGate(spark, path, Some(base), df, allowEvolution)
+    val (v0, base0, _) = branchListing(spark, path, name, None)
+    schemaGate(spark, path, Some(base0), df, allowEvolution)
+    // the data files are written ONCE; a CAS loser rebases by
+    // re-reading the branch head and re-adopting the same files —
+    // appends compose, so unlike publishBranch this retry is safe
     val moved = writeDataFiles(spark, path, df, partCol)
-    val carried = headers.view.filterKeys(k => k == "fork" || k == DvHeaderKey).toMap
-    atomicPublishListing(fs, root, s"${branchName(name)}${v + 1}",
-      base ++ moved, carried,
-      s"branch '$name' version ${v + 1} already committed by a concurrent writer under $path")
-    v + 1
+    var attempt = 0
+    var v = v0
+    var base = base0
+    while (true) {
+      val (vNow, baseNow, headers) = branchListing(spark, path, name, None)
+      v = vNow; base = baseNow
+      val carried = headers.view.filterKeys(k => k == "fork" || k == DvHeaderKey).toMap
+      try {
+        atomicPublishListing(fs, root, s"${branchName(name)}${v + 1}",
+          base ++ moved, carried,
+          s"branch '$name' version ${v + 1} already committed by a concurrent writer under $path")
+        return v + 1
+      } catch {
+        case e: ManifestConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          log.info(s"appendBranch conflict on $path/$name " +
+            s"(attempt $attempt/$maxRetries), rebasing: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read a branch head (or an explicit branch version) — the

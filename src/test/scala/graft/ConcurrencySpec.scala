@@ -220,4 +220,51 @@ class ConcurrencySpec extends SparkSpec {
       === baseCount - delCounts.sum + stagedCount)
     assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
   }
+
+  test("lk38 stress: three racing branch appenders all land; the branch holds every batch") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    import graft.sources.ParquetLake
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_branch_stress").toString
+    ParquetLake.writePartitioned(
+      graft.queries.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir)
+    val baseCount = base.count()
+    ParquetLake.createBranch(spark, dir, "race")
+    val batches = (1 to 3).map { w =>
+      w -> base.where(col("event_id") % 3 === w - 1)
+        .withColumn("event_id", col("event_id") + w * 10000000L)
+        .localCheckpoint(eager = false)
+    }
+    val counts = batches.map { case (w, b) => w -> b.count() }.toMap
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(3)
+    try {
+      val futs = batches.map { case (w, b) =>
+        pool.submit(new Callable[Int] {
+          override def call(): Int = {
+            gate.await()
+            ParquetLake.appendBranch(spark, dir, "race", b, Some("p_date"), maxRetries = 32)
+          }
+        })
+      }
+      gate.countDown()
+      val versions = futs.map(_.get(180, TimeUnit.SECONDS))
+      // every append landed exactly once, in serial branch versions
+      assert(versions.sorted === Seq(2, 3, 4), s"versions: $versions")
+    } finally {
+      pool.shutdownNow()
+      ()
+    }
+    val branch = ParquetLake.readBranch(spark, dir, "race")
+    assert(branch.count() === baseCount + counts.values.sum)
+    (1 to 3).foreach { w =>
+      assert(branch.where(col("event_id") >= w * 10000000L &&
+        col("event_id") < (w + 1) * 10000000L).count() === counts(w), s"batch $w")
+    }
+    // main untouched throughout
+    assert(ParquetLake.readManifested(spark, dir).count() === baseCount)
+  }
 }
