@@ -403,6 +403,33 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** st36: continuous chunk-gated BLOB ingest — lk43's gate per
+    * micro-batch, the binary sibling of [[startDedupIngestSink]]: a
+    * media/checkpoint/crawl-blob stream lands exactly-deduplicated at
+    * the chunk grain (near-copies — edited images, re-encoded headers
+    * over the same body — reject by containment against the persisted
+    * chunk index, which each batch extends with only its UNIQUE
+    * chunks). Replay/crash semantics inherit lk43's.
+    */
+  def startChunkIngestSink(
+      blobs: DataFrame, dataPath: String, indexPath: String,
+      binCol: String, idCol: String, checkpoint: String,
+      maxContainment: Double = 0.5,
+      minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    blobs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.multimodal.BinaryOps.chunkGatedIngest(
+            batch.sparkSession, dataPath, indexPath, batch, binCol, idCol,
+            maxContainment, minLen, maskBits, maxLen)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   /** st24: streaming quality-gate admission — every incoming document
     * is scored by the ROW-LOCAL Gopher flags
     * ([[graft.functions.TextFunctions.qualityFlags]]: no explode, no

@@ -178,8 +178,13 @@ class MultimodalSpec extends SparkSpec {
     import graft.multimodal.BinaryOps
     val dataPath = Files.createTempDirectory("graft_blob_data").toString + "/lake"
     val indexPath = Files.createTempDirectory("graft_blob_idx").toString + "/index"
-    // per-blob-unique content → chunk overlap only where planted
-    def blob(i: Int): String = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+    // per-blob-unique APERIODIC content (md5-derived tokens): chunk
+    // overlap only where planted, and CDC boundaries resynchronize
+    // after an edit (periodic synthetic text can defeat that)
+    def blob(i: Int): String = (0 until 30).map(j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i-$j".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString)
+      .mkString(" ")
     val corpusA = (0 until 40).map(i => (i.toLong, blob(i))).toDF("blob_id", "t")
       .select(col("blob_id"), col("t").cast("binary").as("payload"))
     corpusA.write.parquet(dataPath)

@@ -1309,6 +1309,54 @@ class StreamingSpec extends SparkSpec {
     assert(lake.where(col("doc_id") >= 100000L).count() === 0)
   }
 
+  test("st36: continuous chunk-gated blob ingest — near-copies reject across micro-batches") {
+    import org.apache.spark.sql.SaveMode
+    import graft.multimodal.BinaryOps
+    import graft.sources.ParquetLake
+    val inDir = Files.createTempDirectory("graft_ci_in").toString
+    val dataPath = Files.createTempDirectory("graft_ci_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_ci_idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_ci_ckpt").toString
+    // APERIODIC payloads (md5-derived tokens): CDC boundary
+    // resynchronization needs content entropy — on periodic strings
+    // the gear hash is periodic and a shifted stream may NEVER
+    // re-align (found the hard way; real text is aperiodic)
+    def blob(i: Int): String = (0 until 80).map(j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i-$j".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString)
+      .mkString(" ")
+    val corpusA = (0 until 40).map(i => (i.toLong, blob(i))).toDF("blob_id", "t")
+      .select(col("blob_id"), col("t").cast("binary").as("payload"))
+    corpusA.write.parquet(dataPath)
+    ParquetLake.snapshotManifest(spark, dataPath)
+    BinaryOps.chunkIndexInit(spark, indexPath, corpusA, "payload", "blob_id",
+      minLen = 16, maskBits = 4, maxLen = 256)
+    // batch 1: 10 fresh + 3 near-copies of the corpus;
+    // batch 2: 10 fresh + 3 near-copies of BATCH 1's blobs (cross-batch)
+    def rows(ps: Seq[(Long, String)]) = ps.toDF("blob_id", "t")
+      .select(col("blob_id"), col("t").cast("binary").as("payload"))
+    val b1 = rows((40 until 50).map(i => (i.toLong, blob(i))) ++
+      (0 until 3).map(i => (1000L + i, "v2: " + blob(i))))
+    val b2 = rows((50 until 60).map(i => (i.toLong, blob(i))) ++
+      (0 until 3).map(i => (2000L + i, "v3: " + blob(40 + i))))
+    b1.write.mode(SaveMode.Overwrite).parquet(inDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("blob_id", LongType), StructField("payload", BinaryType))))
+      .parquet(inDir)
+    val q = LogStream.startChunkIngestSink(
+      stream, dataPath, indexPath, "payload", "blob_id", ckpt,
+      maxContainment = 0.5, minLen = 16, maskBits = 4, maxLen = 256)
+    try {
+      q.processAllAvailable()
+      b2.write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val lake = ParquetLake.readManifested(spark, dataPath)
+    assert(lake.count() === 60L) // 40 corpus + 20 fresh; all 6 near-copies rejected
+    assert(lake.where(col("blob_id") >= 1000L).count() === 0)
+  }
+
   private def st34Body(tag: String): Unit = {
     import org.apache.spark.sql.SaveMode
     val inDir = Files.createTempDirectory("graft_trend_in").toString
