@@ -721,6 +721,31 @@ object AnalyticsQueries {
         .orderBy("rn")
     }),
 
+    // sketch-budget planner (d17's posture: pure arithmetic, zero
+    // data touched — the table you compute BEFORE choosing a
+    // distinct-count sketch for a 100 TB job): for each target
+    // relative error, the parameter and memory each estimator needs —
+    // HLL (rsd = 1.04/√m, 2^p registers at 6 bits), theta sampling
+    // (ε ≈ 1/√k, power-of-2 nominal entries, 8-byte hashes), and KMV
+    // (ε ≈ 1/√k, exact k, 8-byte hashes). The trade the table makes
+    // visible: HLL is ~10–60× smaller at equal error, KMV/theta buy
+    // mergeable SET ALGEBRA (a4) and full replayability (a9) for the
+    // extra bytes. `dir` is unused by design.
+    "a10_sketch_budget" -> ((s, _) => {
+      import s.implicits._
+      Seq(0.05, 0.02, 0.01, 0.005).flatMap { eps =>
+        val mHll = math.pow(1.04 / eps, 2)
+        val pHll = math.ceil(math.log(mHll) / math.log(2.0)).toLong
+        val kPow = math.ceil(math.log(1.0 / (eps * eps)) / math.log(2.0)).toLong
+        val kKmv = math.ceil(1.0 / (eps * eps)).toLong
+        Seq(
+          (eps, "hll", pHll, (1L << pHll) * 6L / 8L),
+          (eps, "theta", 1L << kPow, (1L << kPow) * 8L),
+          (eps, "kmv", kKmv, kKmv * 8L))
+      }.toDF("target_eps", "sketch", "param", "bytes")
+        .orderBy("target_eps", "sketch")
+    }),
+
     // KMV / bottom-k distinct estimator (Bar-Yossef et al. 2002):
     // per group keep the k smallest hash values of the DISTINCT
     // tokens; the k-th smallest fraction u estimates the distinct
@@ -1582,6 +1607,25 @@ object AnalyticsQueries {
         |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c
         |)
         |SELECT rn, token, n FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "a10_sketch_budget" ->
+      """WITH eps AS (
+        |  SELECT unnest([0.05, 0.02, 0.01, 0.005])::DOUBLE AS target_eps
+        |), p AS (
+        |  SELECT target_eps,
+        |    ceil(log2(pow(1.04 / target_eps, 2)))::BIGINT AS p_hll,
+        |    ceil(log2(1.0 / (target_eps * target_eps)))::BIGINT AS k_pow,
+        |    ceil(1.0 / (target_eps * target_eps))::BIGINT AS k_kmv
+        |  FROM eps
+        |)
+        |SELECT target_eps, sketch, param, bytes FROM (
+        |  SELECT target_eps, 'hll' AS sketch, p_hll AS param,
+        |    (1::BIGINT << p_hll) * 6 // 8 AS bytes FROM p
+        |  UNION ALL
+        |  SELECT target_eps, 'theta', 1::BIGINT << k_pow,
+        |    (1::BIGINT << k_pow) * 8 FROM p
+        |  UNION ALL
+        |  SELECT target_eps, 'kmv', k_kmv, k_kmv * 8 FROM p
+        |) ORDER BY target_eps, sketch""".stripMargin,
     "a9_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
