@@ -134,6 +134,47 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** s17: nprobe sweep — the recall/cost FRONTIER for an IVF config,
+    * one row per nprobe: recall@k vs the exact truth on a
+    * deterministic md5-sampled query set, beside the corpus fraction
+    * each query scores (nprobe/nlist of the cells, the cost knob).
+    * s9 measures ONE operating point; this is the curve a serving
+    * job reads to pick the cheapest nprobe that clears its recall
+    * SLO before probing a 100 TB corpus. The index builds ONCE and
+    * the truth leg runs once — only the probe leg re-runs per sweep
+    * point.
+    */
+  def nprobeSweep(
+      corpus: DataFrame, vecCol: String, idCol: String, k: Int,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8), nlist: Int = 8,
+      samplePct: Int = 20, lloydIters: Int = 3): DataFrame = {
+    val q0 = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = (if (samplePct >= 100) q0
+      else q0.where(
+        conv(substring(md5(col("q_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100 < samplePct))
+      .localCheckpoint(eager = false)
+    val nQ = q.count()
+    val truth = bruteKnn(corpus, vecCol, idCol, q, k)
+      .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(eager = false)
+    val index = ivfIndexBuild(corpus, vecCol, idCol, nlist, lloydIters)
+    val pinned = IvfIndex(
+      index.centroids.localCheckpoint(eager = false),
+      index.cells.localCheckpoint(eager = false))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    nprobes.map { np =>
+      val approx = ivfKnnWith(pinned, q, k, math.min(np, nlist))
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = truth.join(approx, Seq("q_id", "neighbor_id")).count()
+      (np.toLong, nQ, hits,
+        math.round(hits.toDouble / (nQ * k) * 10000) / 10000.0,
+        math.round(math.min(np, nlist).toDouble / nlist * 10000) / 10000.0)
+    }.toDF("nprobe", "n_q", "n_hits", "recall", "scored_fraction")
+      .orderBy("nprobe")
+  }
+
   /** s9: ANN quality evaluation — LSH-kNN recall@k against the exact
     * brute-force truth, as ONE summary row (n_q, k, n_hits, recall)
     * with recall = n_hits / (n_q · k). The serving-side twin of

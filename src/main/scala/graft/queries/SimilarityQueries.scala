@@ -52,6 +52,13 @@ object SimilarityQueries {
       Similarity.embedDrift(
         table(s, dir, "embeddings"), "embedding", "vec_id", "label")),
 
+    // nprobe sweep: the IVF recall/cost frontier — rows-only (kmeans
+    // cells are engine-specific); SimilaritySpec pins monotonicity,
+    // the full-probe ceiling, and determinism.
+    "s17_nprobe_sweep" -> ((s, dir) =>
+      Similarity.nprobeSweep(
+        table(s, dir, "embeddings"), "embedding", "vec_id", k = 5)),
+
     // ANN recall evaluation: LSH-kNN recall@5 against exact truth on
     // an md5-sampled 20% query slice, full corpus on the truth side —
     // the s-side twin of d16 (pinned 4-plane config so the oracle

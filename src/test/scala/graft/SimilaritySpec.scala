@@ -408,6 +408,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rep(3L) < 0.5, rep.toString)
   }
 
+  test("s17: nprobe sweep — recall monotone in nprobe, exact at full probe, deterministic") {
+    val sweep = SparkEntry.queries("s17_nprobe_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(sweep.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // recall never decreases as more cells are probed
+    val recalls = sweep.map(_._2).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a }, recalls.toString)
+    // probing every cell IS brute force: recall exactly 1
+    assert(recalls.last === 1.0, recalls.toString)
+    assert(sweep.last._3 === 1.0)
+    // cost knob reads correctly
+    assert(sweep.map(_._3).toSeq === Seq(0.125, 0.25, 0.5, 1.0))
+    val run1 = SparkEntry.queries("s17_nprobe_sweep")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val run2 = SparkEntry.queries("s17_nprobe_sweep")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(run1 === run2)
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
