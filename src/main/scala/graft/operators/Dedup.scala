@@ -31,20 +31,6 @@ object Dedup {
     df.groupBy(T.contentFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Incremental exact dedup: the daily-crawl admission check, the
-    * exact sibling of [[minhashCandidatesIncremental]] and the batch
-    * twin of LogStream's st13 history gate. Each NEW doc learns
-    * whether its normalized-content fingerprint already exists in the
-    * CORPUS (`corpus_keep_id`, null when unseen) and whether it is the
-    * first holder of that fingerprint WITHIN the increment — `admit`
-    * is true for exactly the rows a dedup-preserving ingest appends.
-    *
-    * Scale: the corpus side reduces to its fingerprint→min-id index
-    * before the join (at 100 TB this index lives in the lake and is
-    * ~bytes-per-distinct-doc, not corpus bytes); the join and the
-    * within-increment groupBy both shuffle fingerprint+id only, never
-    * text, and old×old pairs are never re-examined.
-    */
   /** lk41: the dedup index AS A LAKE TABLE — d19's corpus-side
     * fingerprint→keeper relation persisted in a manifested lake of
     * its own and maintained incrementally, so each ingest pays
@@ -73,6 +59,10 @@ object Dedup {
     graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
   }
 
+  /** `dataVersion`/`indexVersion` are the committed manifest
+    * versions, or 0 when the ingest admitted nothing (no commit
+    * happened — real versions start at 1).
+    */
   final case class IngestReport(
       admitted: Long, rejectedIndexed: Long, rejectedIntra: Long,
       dataVersion: Int, indexVersion: Int)
@@ -102,7 +92,7 @@ object Dedup {
       col("indexed").isNull && col(idCol) =!= col("inc_keep_id")).count()
     val stage = s"dedup_${java.util.UUID.randomUUID().toString.take(8)}"
     val dataVersion =
-      if (nAdmit == 0) ParquetLake.readManifest(spark, dataPath, None).map(_ => 0).getOrElse(0)
+      if (nAdmit == 0) 0 // no-commit sentinel
       else {
         ParquetLake.stageAppend(spark, dataPath,
           admitted.drop("fingerprint", "inc_keep_id", "indexed", "admit"), stage)
@@ -143,6 +133,7 @@ object Dedup {
     graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
   }
 
+  /** Version fields follow [[IngestReport]]'s 0-on-no-commit rule. */
   final case class NearDupIngestReport(
       admitted: Long, rejectedCorpusNear: Long, rejectedIntraNear: Long,
       dataVersion: Int, indexVersion: Int)
@@ -197,6 +188,20 @@ object Dedup {
     NearDupIngestReport(nAdmit, nCorpusNear, nIntra, dataVersion, indexVersion)
   }
 
+  /** Incremental exact dedup: the daily-crawl admission check, the
+    * exact sibling of [[minhashCandidatesIncremental]] and the batch
+    * twin of LogStream's st13 history gate. Each NEW doc learns
+    * whether its normalized-content fingerprint already exists in the
+    * CORPUS (`corpus_keep_id`, null when unseen) and whether it is the
+    * first holder of that fingerprint WITHIN the increment — `admit`
+    * is true for exactly the rows a dedup-preserving ingest appends.
+    *
+    * Scale: the corpus side reduces to its fingerprint→min-id index
+    * before the join (at 100 TB this index lives in the lake and is
+    * ~bytes-per-distinct-doc, not corpus bytes); the join and the
+    * within-increment groupBy both shuffle fingerprint+id only, never
+    * text, and old×old pairs are never re-examined.
+    */
   def incrementalExact(
       corpus: DataFrame, increment: DataFrame,
       textCol: String, idCol: String): DataFrame = {
