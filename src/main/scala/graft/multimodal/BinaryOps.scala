@@ -99,7 +99,8 @@ object BinaryOps {
     * chunks). Intra-increment near-copies are NOT resolved here by
     * design — run [[cdcNearDupPairs]] on the increment first when
     * that matters (documented, matching m8's separation of
-    * concerns).
+    * concerns). Single-ingest-writer per index, as documented on
+    * [[graft.operators.Dedup.indexedIngest]].
     */
   def chunkIndexInit(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,

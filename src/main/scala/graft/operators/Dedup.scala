@@ -49,6 +49,14 @@ object Dedup {
     * index, making replays idempotent once both commits land).
     * First-arrival-wins by construction: a fingerprint's original
     * keeper survives any later increment, whatever the ids.
+    *
+    * SINGLE-INGEST-WRITER per index: two ingests racing the SAME
+    * index can both read it before either commits and both admit one
+    * new fingerprint (the lake-level CAS serializes the commits, not
+    * the admission reads). Run ingests serially per index — the st35
+    * streaming sink is inherently serial and is the intended
+    * continuous driver; a duplicate admitted through a torn window is
+    * later visible to d1/d19 and removable by a normal dedup pass.
     */
   def dedupIndexInit(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
@@ -122,7 +130,8 @@ object Dedup {
     * = |increment|. Commit order and replay semantics match lk41
     * (data first; a fully-landed batch replays to zero admits —
     * replayed docs are exact dups of themselves, bands always
-    * collide, Jaccard = 1).
+    * collide, Jaccard = 1), as does the SINGLE-INGEST-WRITER
+    * contract documented there.
     */
   def nearDupIndexInit(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
