@@ -62,27 +62,6 @@ object BinaryOps {
       .select(col("id"),
         lpad(hex(graft.functions.simhash64(col("toks"))), 16, "0").as("simhash"))
 
-  /** Modality routing: write a mixed binary corpus partitioned by the
-    * sniffed format tag, so each modality's downstream pipeline
-    * (image decode, audio resample, text tokenize) scans ONLY its own
-    * `format=...` directories — directory-level pruning does the
-    * routing at read time, no per-row filtering of the other
-    * modalities' bytes. The sniff is [[withMeta]]'s magic-prefix
-    * heuristic; `repartition(format)` keeps one writer task per
-    * modality partition (no tiny-file fanout at 100 TB — compaction
-    * handles the rest, see ParquetLake.compact).
-    */
-  /** Chunk-grain dedup accounting over binary payloads via
-    * content-defined chunking ([[graft.functions.CdcOps]]): each
-    * payload becomes its ordered chunk-fingerprint list (one native
-    * codegen'd pass per row), corpus-wide chunk multiplicity comes
-    * from ONE groupBy over (fingerprint) — fingerprints only, bytes
-    * never shuffle — and the per-payload report counts how many of
-    * its chunks also occur elsewhere. Near-copies (same blob with an
-    * edit, re-encoded container with shared streams) that
-    * document-grain exact dedup scores as distinct show up here with
-    * shared_chunks ≈ n_chunks. Returns (id, n_chunks, shared_chunks).
-    */
   /** lk43: the blob-grain chunk index as a lake table — lk41/lk42's
     * binary sibling, completing the index-gated ingest family (exact
     * text / near-dup text / binary chunks). The persisted index is
@@ -160,6 +139,17 @@ object BinaryOps {
     ChunkIngestReport(nAdmit, nReject, dataVersion, indexVersion)
   }
 
+  /** Chunk-grain dedup accounting over binary payloads via
+    * content-defined chunking ([[graft.functions.CdcOps]]): each
+    * payload becomes its ordered chunk-fingerprint list (one native
+    * codegen'd pass per row), corpus-wide chunk multiplicity comes
+    * from ONE groupBy over (fingerprint) — fingerprints only, bytes
+    * never shuffle — and the per-payload report counts how many of
+    * its chunks also occur elsewhere. Near-copies (same blob with an
+    * edit, re-encoded container with shared streams) that
+    * document-grain exact dedup scores as distinct show up here with
+    * shared_chunks ≈ n_chunks. Returns (id, n_chunks, shared_chunks).
+    */
   def cdcDedupReport(
       df: DataFrame, binCol: String, idCol: String,
       minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096): DataFrame = {
@@ -220,6 +210,16 @@ object BinaryOps {
         round(col("n_common").cast("double") / col("n_b"), 4).as("cont_b"))
   }
 
+  /** Modality routing: write a mixed binary corpus partitioned by the
+    * sniffed format tag, so each modality's downstream pipeline
+    * (image decode, audio resample, text tokenize) scans ONLY its own
+    * `format=...` directories — directory-level pruning does the
+    * routing at read time, no per-row filtering of the other
+    * modalities' bytes. The sniff is [[withMeta]]'s magic-prefix
+    * heuristic; `repartition(format)` keeps one writer task per
+    * modality partition (no tiny-file fanout at 100 TB — compaction
+    * handles the rest, see ParquetLake.compact).
+    */
   def routeByModality(df: DataFrame, binCol: String, idCol: String, outPath: String): Unit =
     withMeta(df, binCol)
       .select(col(idCol).as("id"), col(binCol).as("payload"),
