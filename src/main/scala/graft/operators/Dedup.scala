@@ -468,13 +468,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Exact Jaccard over MinHash-LSH candidates — the scalable
-    * near-dup pipeline: candidates come from the band equi-join
-    * (never the cross product), then only those pairs pay the exact
-    * set intersection. Recall is the LSH capture probability
-    * 1-(1-J^r)^b, ≈ 1 for J near 1 (12 perms / 4 bands: 99.98% at
-    * J=0.9).
-    */
   /** EXACT near-dup ground truth: every pair with word-shingle
     * Jaccard ≥ threshold, computed without any LSH — the inverted
     * shingle index joins docs on each shared shingle (complete for
@@ -645,6 +638,13 @@ object Dedup {
           when(col("n_cand") > 0, col("n_cand")), 4).as("precision"))
   }
 
+  /** Exact Jaccard over MinHash-LSH candidates — the scalable
+    * near-dup pipeline: candidates come from the band equi-join
+    * (never the cross product), then only those pairs pay the exact
+    * set intersection. Recall is the LSH capture probability
+    * 1-(1-J^r)^b, ≈ 1 for J near 1 (12 perms / 4 bands: 99.98% at
+    * J=0.9).
+    */
   def jaccardVerified(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {

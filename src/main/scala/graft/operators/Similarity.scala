@@ -340,26 +340,6 @@ object Similarity {
     topKOut(scored, k)
   }
 
-  /** IVF-style ANN: the corpus is partitioned into `nlist` inverted
-    * lists by nearest coarse centroid; each query scores only its
-    * `nprobe` closest lists (~nprobe/nlist of the corpus). Centroids
-    * seed deterministically from the `nlist` lowest-id vectors and
-    * are refined by `lloydIters` k-means rounds — no RNG anywhere, so
-    * results are cluster-size invariant.
-    */
-  /** Nearest-centroid assignment as a MAP-ONLY expression: the
-    * broadcast-class centroid set packs into ONE sorted array row
-    * (array_sort(collect_list) — nlist entries), each data row scores
-    * it with a codegen'd transform + array_max, and the argmax falls
-    * out of lexicographic struct comparison on (sim, -c_id) — highest
-    * sim, then lowest centroid id, the same tie order as the previous
-    * max_by form. Zero shuffle, zero sort: the earlier
-    * crossJoin → groupBy(n_id) max_by planned as SortAggregate
-    * (struct agg buffers are hash-ineligible), which per-partition
-    * sorted all N rows and exchanged one row per vector every Lloyd
-    * round; this shape is scan → broadcast join → project.
-    * `data`: (n_id, n_vec); returns (c_id, n_id, n_vec).
-    */
   /** Embedding-space label diagnostics: partition the corpus into
     * `nlist` deterministic k-means cells (the s3 machinery) and score
     * each cell against a ground-truth label column — members, majority
@@ -393,6 +373,19 @@ object Similarity {
         round(col("n").cast("double") / col("n_members"), 4).as("purity"))
   }
 
+  /** Nearest-centroid assignment as a MAP-ONLY expression: the
+    * broadcast-class centroid set packs into ONE sorted array row
+    * (array_sort(collect_list) — nlist entries), each data row scores
+    * it with a codegen'd transform + array_max, and the argmax falls
+    * out of lexicographic struct comparison on (sim, -c_id) — highest
+    * sim, then lowest centroid id, the same tie order as the previous
+    * max_by form. Zero shuffle, zero sort: the earlier
+    * crossJoin → groupBy(n_id) max_by planned as SortAggregate
+    * (struct agg buffers are hash-ineligible), which per-partition
+    * sorted all N rows and exchanged one row per vector every Lloyd
+    * round; this shape is scan → broadcast join → project.
+    * `data`: (n_id, n_vec); returns (c_id, n_id, n_vec).
+    */
   private[graft] def assignNearest(data: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.nearestId
     val packed = cents.agg(
@@ -437,30 +430,6 @@ object Similarity {
     cents
   }
 
-  /** Product-quantization ANN (Jégou et al. 2011, "Product
-    * Quantization for Nearest Neighbor Search"): each vector is cut
-    * into `m` orthogonal subspaces, each quantized against its own
-    * `ksub`-entry codebook (deterministic per-subspace k-means:
-    * seeded from the `ksub` lowest-id vectors' subvectors, Lloyd-
-    * refined — no RNG, cluster-size invariant). Corpus vectors become
-    * m small codes; queries score candidates via asymmetric distance
-    * computation (ADC): a per-(query, subspace, code) lookup table of
-    * partial dot products summed across each vector's codes —
-    * approximate cosine follows because subspace norms compose
-    * (|x̂|² = Σ_sub |ĉ_sub|²). The ADC top k·`rerankFactor`
-    * candidates per query are re-ranked under the exact cosine
-    * kernel, so emitted scores are exact and recall is the only
-    * approximation.
-    *
-    * Scale shape: the encoded corpus is m one-byte codes per vector
-    * vs 4·dim float bytes (32× smaller at the defaults — the
-    * difference between an in-memory and a spilling index at 100 TB);
-    * the ADC pass replaces dim-wide multiplies with LUT adds; every
-    * corpus-wide shuffle keys on ids with map-side combine (the
-    * min_by/topk aggregates, same as ivfKnn); the exact rerank joins
-    * only k·rerankFactor candidate rows per query back to raw
-    * vectors, never the corpus.
-    */
   /** (sub, n_id, sv): per-subspace training/encoding relation —
     * materialized once, reused by every Lloyd round and the encode.
     */
@@ -516,6 +485,30 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): each vector is cut
+    * into `m` orthogonal subspaces, each quantized against its own
+    * `ksub`-entry codebook (deterministic per-subspace k-means:
+    * seeded from the `ksub` lowest-id vectors' subvectors, Lloyd-
+    * refined — no RNG, cluster-size invariant). Corpus vectors become
+    * m small codes; queries score candidates via asymmetric distance
+    * computation (ADC): a per-(query, subspace, code) lookup table of
+    * partial dot products summed across each vector's codes —
+    * approximate cosine follows because subspace norms compose
+    * (|x̂|² = Σ_sub |ĉ_sub|²). The ADC top k·`rerankFactor`
+    * candidates per query are re-ranked under the exact cosine
+    * kernel, so emitted scores are exact and recall is the only
+    * approximation.
+    *
+    * Scale shape: the encoded corpus is m one-byte codes per vector
+    * vs 4·dim float bytes (32× smaller at the defaults — the
+    * difference between an in-memory and a spilling index at 100 TB);
+    * the ADC pass replaces dim-wide multiplies with LUT adds; every
+    * corpus-wide shuffle keys on ids with map-side combine (the
+    * min_by/topk aggregates, same as ivfKnn); the exact rerank joins
+    * only k·rerankFactor candidate rows per query back to raw
+    * vectors, never the corpus.
+    */
   def pqKnn(
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
@@ -556,6 +549,13 @@ object Similarity {
     topKOut(scored, k)
   }
 
+  /** IVF-style ANN: the corpus is partitioned into `nlist` inverted
+    * lists by nearest coarse centroid; each query scores only its
+    * `nprobe` closest lists (~nprobe/nlist of the corpus). Centroids
+    * seed deterministically from the `nlist` lowest-id vectors and
+    * are refined by `lloydIters` k-means rounds — no RNG anywhere, so
+    * results are cluster-size invariant.
+    */
   def ivfKnn(
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 4,

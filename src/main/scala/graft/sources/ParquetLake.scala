@@ -733,11 +733,6 @@ object ParquetLake {
     moved.sorted
   }
 
-  /** Audit view: the snapshot [[publishStaged]] WOULD commit right
-    * now — the current head's files plus the stage's new files. This
-    * is where the quality gates run (row counts, t17-style rules,
-    * schema checks) before any reader can observe the rows.
-    */
   /** lk35: declarative row-level constraint report over a staged
     * delta — the audit half of write-audit-publish made a reusable
     * contract instead of an ad-hoc query: NOT NULL columns, value
@@ -814,6 +809,11 @@ object ParquetLake {
     publishStaged(spark, path, stage, maxRetries)
   }
 
+  /** Audit view: the snapshot [[publishStaged]] WOULD commit right
+    * now — the current head's files plus the stage's new files. This
+    * is where the quality gates run (row counts, t17-style rules,
+    * schema checks) before any reader can observe the rows.
+    */
   def readStaged(
       spark: SparkSession, path: String, stage: String,
       mergeSchema: Boolean = false): DataFrame = {
