@@ -156,4 +156,51 @@ class EdgeCaseSpec extends SparkSpec {
         incremental = inc).count() === 0)
     }
   }
+
+  test("session-5 edges: empty ingest increment, no-match vectored delete, single-event resample") {
+    import java.nio.file.Files
+    import graft.operators.Dedup
+    import graft.sources.ParquetLake
+    import org.apache.spark.sql.functions._
+    // empty increment through the lk41 gate: no commit, no crash,
+    // zeroed report with the 0-sentinel versions
+    val dataPath = Files.createTempDirectory("graft_edge_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_edge_idx").toString + "/index"
+    val docs = graft.queries.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    docs.write.parquet(dataPath)
+    ParquetLake.snapshotManifest(spark, dataPath)
+    Dedup.dedupIndexInit(spark, indexPath, docs, "text", "doc_id")
+    val before = ParquetLake.readManifest(spark, dataPath, None).get
+    val r = Dedup.indexedIngest(spark, dataPath, indexPath,
+      docs.where(lit(false)), "text", "doc_id")
+    assert(r === Dedup.IngestReport(0L, 0L, 0L, 0, 0))
+    assert(ParquetLake.readManifest(spark, dataPath, None).get === before)
+
+    // vectored delete matching nothing: version unchanged, no dv
+    // header, no stray .dv dir referenced
+    val lakeDir = Files.createTempDirectory("graft_edge_dv").toString
+    ParquetLake.writePartitioned(
+      graft.queries.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      lakeDir, "ts_ms", sortCols = Nil)
+    val v1 = ParquetLake.snapshotManifest(spark, lakeDir)
+    assert(ParquetLake.deleteVectored(spark, lakeDir, col("event_id") === -1L) === v1)
+    assert(!ParquetLake.manifestHeaders(spark, lakeDir).contains("dv"))
+
+    // q56 resample: a single-event user yields exactly one grid point
+    // carrying that value (its own day bucket)
+    import spark.implicits._
+    val one = Seq((99L, 86400123L, 7L, 2.5)).toDF("user_id", "ts_ms", "event_id", "value")
+    val dir2 = Files.createTempDirectory("graft_edge_rs").toString
+    // run the same operator shape directly over the tiny relation
+    val step = 86400000L
+    val e = one.groupBy(col("user_id"), col("ts_ms").as("t"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val grid = e.groupBy("user_id")
+      .agg(expr(s"min(t) div $step").as("b0"), expr(s"max(t) div $step").as("b1"))
+      .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bk"))
+      .select(col("user_id"), (col("bk") * step).as("t"))
+    assert(grid.count() === 1L)
+    assert(grid.head().getLong(1) === 86400000L)
+  }
 }
