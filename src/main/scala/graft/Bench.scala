@@ -130,6 +130,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // measured passes: ONE by default. The r11 driver run timed out
+    // (rc=124, no artifact at all) because warmup + min-of-2 is ~3
+    // full suite executions and the suite grew to 152 queries; a
+    // single steady-state pass after warmup is the scale-safe default
+    // under an external budget, min-of-2 is the local opt-in for
+    // noise-floor precision runs (SPARK_GRAFT_BENCH_PASSES=2).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
+    // self-imposed wall deadline (seconds from JVM start): if the
+    // external budget is going to kill us anyway, stopping EARLY with
+    // a parseable partial summary beats rc=124 with nothing. Checked
+    // between queries only — never interrupts a running query.
+    val jvmStart = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "480").toDouble
+    def elapsedSec: Double = (System.currentTimeMillis() - jvmStart) / 1e3
+    def pastDeadline: Boolean = deadlineSec > 0 && elapsedSec > deadlineSec
     // JIT/codegen warmup: run the suite once at the smallest SF so the
     // measured pass reflects steady-state throughput, not first-call
     // class-generation cost (on a real cluster the JVMs are long-lived).
@@ -138,9 +153,13 @@ object Bench {
       val tiny = new java.io.File(d, "sf0.001")
       if (tiny.isDirectory) tiny.getPath else sfDir
     }
+    // warmup defers to the deadline at its half-point: an unwarmed
+    // measured pass is noisy, an unfinished artifact is worthless
     ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      if (elapsedSec <= deadlineSec / 2 || deadlineSec <= 0) {
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
     }
     if (hygiene) BlockHygiene.freeBlocks(spark)
 
@@ -174,23 +193,41 @@ object Bench {
       if (hygiene) BlockHygiene.freeBlocks(spark)
       Run(sec, listener.memSpilled.get() - mem0, listener.diskSpilled.get() - disk0, resident)
     }
-    val pass1 = ordered.map { case (name, fn) => name -> once(fn, name) }
-    val pass2 = ordered.map { case (name, fn) => name -> once(fn, name) }.toMap
-    val results = pass1.map { case (name, r1) => (name, r1, pass2(name)) }
+    // measured passes, deadline-checked between queries: a query not
+    // reached before the deadline is SKIPPED (listed, never averaged
+    // in), so an external-budget overrun still yields a parseable
+    // summary instead of rc=124 with nothing. Pass 2+ queries reuse
+    // pass-1 numbers when skipped (min over the passes that ran).
+    val skipped = scala.collection.mutable.TreeSet.empty[String]
+    val measured: Seq[(String, Seq[Run])] = {
+      val byName = scala.collection.mutable.LinkedHashMap.empty[String, List[Run]]
+      var p = 0
+      while (p < passes) {
+        ordered.foreach { case (name, fn) =>
+          if (!pastDeadline) byName(name) = byName.getOrElse(name, Nil) :+ once(fn, name)
+          else if (!byName.contains(name)) skipped += name
+        }
+        p += 1
+      }
+      byName.toSeq
+    }
 
-    // full per-query detail (both passes + spill + resident-storage
+    // full per-query detail (every pass + spill + resident-storage
     // counters) goes to a FILE: the driver keeps only the tail of
     // stdout, so the stdout line must stay compact (r3's 2.1 KB line
     // was truncated into unparseability)
-    val detail = results.map { case (name, r1, r2) =>
+    val detail = measured.map { case (name, runs) =>
       def one(r: Run) =
         s"""{"sec":${f"${r.sec}%.3f"},"mem_spilled":${r.memSpilled},"disk_spilled":${r.diskSpilled},""" +
           s""""resident_rdds_before":${r.residentBefore.nRdds},"resident_mem_before":${r.residentBefore.memBytes},""" +
           s""""resident_disk_before":${r.residentBefore.diskBytes}}"""
-      s"""  "$name": {"sec":${f"${math.min(r1.sec, r2.sec)}%.3f"},"ok":${!failed(name)},"pass1":${one(r1)},"pass2":${one(r2)}}"""
+      val passJson = runs.zipWithIndex
+        .map { case (r, i) => s""""pass${i + 1}":${one(r)}""" }.mkString(",")
+      s"""  "$name": {"sec":${f"${runs.map(_.sec).min}%.3f"},"ok":${!failed(name)},$passJson}"""
     }.mkString(",\n")
     val detailJson =
-      s"""{\n"method":"min-of-2-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",\n"queries":{\n$detail\n}}\n"""
+      s"""{\n"method":"min-of-$passes-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +
+        s""""skipped":${skipped.size},\n"queries":{\n$detail\n}}\n"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.write(detailJson) finally out.close()
 
@@ -201,7 +238,7 @@ object Bench {
     // perf regression would move — and an elision marker; full
     // per-query numbers live in BENCH_DETAIL.json.
     val StdoutTopN = 40
-    val times = results.map { case (name, r1, r2) => name -> math.min(r1.sec, r2.sec) }
+    val times = measured.map { case (name, runs) => name -> runs.map(_.sec).min }
     val slowest = times.sortBy(-_._2).take(StdoutTopN).sortBy(_._1)
     val qs = slowest.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     // total covers succeeding queries only; failures are listed in
@@ -209,7 +246,9 @@ object Bench {
     val total = times.collect { case (n, v) if !failed(n) => v }.sum
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${times.size},"queries_elided":${math.max(0, times.size - StdoutTopN)},""" +
-      s""""detail":"BENCH_DETAIL.json","n_failed":${failed.size},"sf":"${new java.io.File(sfDir).getName}"}""")
+      s""""detail":"BENCH_DETAIL.json","n_failed":${failed.size},"n_skipped":${skipped.size},""" +
+      s""""passes":$passes,"sf":"${new java.io.File(sfDir).getName}"}""")
+    System.out.flush()
     spark.stop()
   }
 }

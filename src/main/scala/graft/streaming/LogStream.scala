@@ -722,6 +722,7 @@ object LogStream {
   case class IslandOut(
       userId: Long, coverStartMs: Long, coverEndMs: Long, nIntervals: Long)
   case class OpenIsland(startMs: Long, endMs: Long, n: Long)
+  case class OpenIslands(islands: Seq[OpenIsland])
 
   /** st29: streaming interval-union islands — batch q51's stateful
     * twin. Each event carries its OWN varying-length interval
@@ -729,32 +730,51 @@ object LogStream {
     * coverage islands, which fixed-gap sessionization cannot express
     * (a short interval inside a long one must not split the island —
     * the merge needs the island's running max end, and that is
-    * exactly the one number the state carries). State per key is ONE
-    * open island (3 longs) regardless of stream length; a closed
-    * island emits exactly once. Correct expiry falls out of the
-    * watermark contract: an island is extendable only by an event
-    * whose start ≤ island end, and events older than the watermark
-    * are dropped, so once the watermark passes the island's end no
-    * admissible event can ever extend it — the event-time timeout at
-    * end+1 is exact, not heuristic. Interval union is
-    * order-insensitive, so out-of-order arrivals within the
+    * exactly what the state carries per island). An island is emitted
+    * only once its end falls BELOW the current watermark: `eventTime`
+    * is the interval's start, so an island is extendable only by an
+    * event whose start ≤ island end, and once the watermark passes
+    * the island's end every such event is late-dropped — emission at
+    * `endMs < watermark` is exact, not heuristic. Islands whose end
+    * is still at/above the watermark stay in state EVEN IF a later
+    * disjoint island has opened behind them (emitting the earlier one
+    * immediately would diverge from batch when an admissible
+    * straddling interval later bridges the two), so the state is a
+    * LIST of open islands — bounded by the number of disjoint islands
+    * inside one watermark delay, not by stream length. The event-time
+    * timeout at the earliest open end+1 drains the tail. Interval
+    * union is order-insensitive, so out-of-order arrivals within the
     * watermark land in the same islands the batch window computes.
     */
   def intervalUnionExpiring(iv: Dataset[IntervalIn]): Dataset[IslandOut] = {
     import iv.sparkSession.implicits._
+    // split islands into (emittable-now, still-open) against the
+    // watermark, then persist/emit: shared by the data and timeout
+    // paths so both apply the identical closing rule
+    def settle(uid: Long, islands: Seq[OpenIsland],
+        state: GroupState[OpenIslands]): Iterator[IslandOut] = {
+      val wm = state.getCurrentWatermarkMs
+      val (closed, open) = islands.partition(_.endMs < wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(OpenIslands(open))
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.endMs).min + 1, wm + 1))
+      }
+      closed.map(s => IslandOut(uid, s.startMs, s.endMs, s.n)).iterator
+    }
     iv.groupByKey(_.userId)
-      .flatMapGroupsWithState[OpenIsland, IslandOut](
+      .flatMapGroupsWithState[OpenIslands, IslandOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[IntervalIn], state: GroupState[OpenIsland]) =>
+        (uid: Long, it: Iterator[IntervalIn], state: GroupState[OpenIslands]) =>
           if (state.hasTimedOut) {
-            val expired = state.getOption.map(s =>
-              IslandOut(uid, s.startMs, s.endMs, s.n)).iterator
-            state.remove()
-            expired
+            val held = state.getOption.map(_.islands).getOrElse(Nil)
+            settle(uid, held, state)
           } else {
             val items =
               (it.map(e => OpenIsland(e.startMs, e.endMs, 1L)).toSeq ++
-                state.getOption).sortBy(s => (s.startMs, s.endMs))
+                state.getOption.map(_.islands).getOrElse(Nil))
+                .sortBy(s => (s.startMs, s.endMs))
             val out = scala.collection.mutable.ArrayBuffer.empty[OpenIsland]
             items.foreach { s =>
               out.lastOption match {
@@ -764,14 +784,7 @@ object LogStream {
                 case _ => out += s
               }
             }
-            val closed = out.dropRight(1).map(s =>
-              IslandOut(uid, s.startMs, s.endMs, s.n))
-            out.lastOption.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(
-                math.max(s.endMs + 1, state.getCurrentWatermarkMs + 1))
-            }
-            closed.iterator
+            settle(uid, out.toSeq, state)
           }
       }
   }

@@ -504,6 +504,52 @@ class StreamingSpec extends SparkSpec {
     withRocksDb(st29Body("_rdb"))
   }
 
+  test("st29: closed island above the watermark is held for a later admissible bridge") {
+    // adversarial batch split: batch 1 leaves island [0,600s) closed
+    // (a later disjoint island opened behind it) but its end is still
+    // >= the watermark; batch 2 delivers an admissible straddler that
+    // bridges both. Batch ground truth is ONE island — an impl that
+    // emits every non-last island per micro-batch emits two.
+    import org.apache.spark.sql.{Dataset, SaveMode}
+    val dir = Files.createTempDirectory("graft_stream_bridge").toString
+    def write(rows: Seq[(Long, Long, Long)], mode: SaveMode): Unit =
+      rows.toDF("userId", "startMs", "endMs")
+        .withColumn("eventTime", timestamp_millis(col("startMs")))
+        .write.mode(mode).parquet(dir)
+    // batch 1: [1000s,1600s) and [1605s,1606s) — disjoint; watermark
+    // after the batch = 1605000 - 10000 = 1595000, so the first
+    // island's end (1600000) is NOT yet below it. (Events at exactly
+    // the watermark are late-dropped — every probe here is strictly
+    // above it.)
+    write(Seq((1L, 1000000L, 1600000L), (1L, 1605000L, 1606000L)), SaveMode.Overwrite)
+    val in: Dataset[LogStream.IntervalIn] = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("startMs", LongType),
+        StructField("endMs", LongType), StructField("eventTime", TimestampType))))
+      .parquet(dir)
+      .withWatermark("eventTime", "10 seconds")
+      .as[LogStream.IntervalIn]
+    val q = LogStream.intervalUnionExpiring(in)
+      .writeStream.format("memory").queryName("st29_bridge").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: admissible straddler (eventTime 1596000 > watermark
+      // 1595000) bridging island 1's end into island 2
+      write(Seq((1L, 1596000L, 1650000L)), SaveMode.Append)
+      q.processAllAvailable()
+      // sentinels: push the watermark far past every end twice so the
+      // event-time timeout fires and drains the held island
+      Seq(2000000000L, 2000600000L).foreach { f =>
+        write(Seq((999L, f, f + 1L)), SaveMode.Append)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("st29_bridge").where(col("userId") === 1L)
+      .select("coverStartMs", "coverEndMs", "nIntervals")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1000000L, 1650000L, 3L)))
+  }
+
   test("st8 (rocksdb): event-time session expiry under the RocksDB state store") {
     withRocksDb(st8Body("_rdb"))
   }
