@@ -2110,6 +2110,79 @@ object ParquetLake {
     commitManifest(spark, path, carried ++ moved, Some(currentVersion))
   }
 
+  /** Copy-on-write rewrite of `affected` snapshot files as ONE
+    * distributed Spark job per partition SCHEME — never one job per
+    * file. The affected set is grouped by the partition-column list
+    * its directory layout encodes (a handful of schemes under
+    * partition evolution, exactly one for a stable lake — bounded by
+    * evolution history, not file count); each group is read in a
+    * single snapshot-schema-pinned scan, passed through `transform`
+    * (which sees partition columns as data columns via basePath and
+    * must keep them), and written once with dynamic partitioning into
+    * an aside directory whose part files are then renamed into the
+    * lake layout. At 10⁴-10⁵ affected files this is O(schemes) job
+    * scheduling instead of O(files) — the driver-dispatch bottleneck
+    * the per-file loop had — while output file grain still tracks
+    * input splits (tasks = affected-file splits; no shuffle is
+    * introduced). A rewritten file left with zero surviving rows is
+    * dropped, not registered: one metadata-cheap count-by-file job
+    * per group separates empty part files (parity with the old
+    * per-file `keep.isEmpty` gate — "a file whose every row matches
+    * drops out of the manifest"). Returns the new manifest-relative
+    * file names.
+    */
+  private def cowRewriteGrouped(
+      spark: SparkSession, path: String,
+      snapshotSchema: org.apache.spark.sql.types.StructType,
+      affected: Seq[String], tag: String)(
+      transform: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = fsFor(spark, path)
+    val bySchemes = affected
+      .groupBy(_.split('/').dropRight(1).filter(_.contains('='))
+        .map(_.split('=')(0)).toSeq)
+      .toSeq.sortBy(_._1.mkString(","))
+    bySchemes.flatMap { case (partCols, rels) =>
+      val src = spark.read.schema(snapshotSchema).option("basePath", path)
+        .parquet(rels.map(r => new Path(root, r).toString): _*)
+      val out = transform(src)
+      val aside = new Path(root, s".$tag${java.util.UUID.randomUUID().toString.take(12)}")
+      val writer = out.write.mode("overwrite")
+      (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+        .parquet(aside.toString)
+      // which written files actually hold rows? Empty tasks can leave
+      // zero-row part files; those must not enter the manifest
+      val asidePath = fs.makeQualified(aside).toUri.getPath
+      // explicit schema: an all-rows-deleted group leaves an aside
+      // with no part files, which schema inference would refuse
+      val nonEmpty = spark.read.schema(out.schema).option("basePath", aside.toString)
+        .parquet(aside.toString)
+        .select(relFileCol(asidePath).as("f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val moved = fs.listStatus(aside)
+        .flatMap { e =>
+          if (e.isFile) Seq(e).filter(_.getPath.getName.startsWith("part-"))
+            .map(f => (Seq.empty[String], f))
+          else if (isPartitionDir(e))
+            fs.listStatus(e.getPath)
+              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              .map(f => (Seq(e.getPath.getName), f)).toSeq
+          else Seq.empty[(Seq[String], org.apache.hadoop.fs.FileStatus)]
+        }
+        .filter { case (dirRel, f) =>
+          nonEmpty.contains((dirRel :+ f.getPath.getName).mkString("/"))
+        }
+        .map { case (dirRel, f) =>
+          val dstDir = dirRel.foldLeft(root)((p, d) => new Path(p, d))
+          if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+          renameOrThrow(fs, f.getPath, new Path(dstDir, f.getPath.getName))
+          (dirRel :+ f.getPath.getName).mkString("/")
+        }.toSeq
+      fs.delete(aside, true)
+      moved
+    }
+  }
+
   /** DELETE WHERE for the manifested lake: copy-on-write at the FILE
     * grain. Candidate discovery is one snapshot scan whose predicate
     * pushes down to parquet row-group stats (and can be composed with
@@ -2174,37 +2247,17 @@ object ParquetLake {
     val unknown = affected.filterNot(current.contains)
     require(unknown.isEmpty,
       s"delete probe returned files outside the snapshot: ${unknown.take(3).mkString(",")}")
-    // per-file rewrite: keep the non-matching rows; partition-column
-    // values come from the directory layout (basePath), and are
-    // dropped again on write because the target directory name IS the
-    // partition value. The read is pinned to the SNAPSHOT's union
-    // schema: under additive evolution a predicate may reference a
-    // column a pre-evolution file lacks (`newcol IS NULL` matches its
-    // every row) — the aligned read null-fills it instead of failing,
-    // and the rewrite carries the evolved column like compaction would
-    val rewritten = inParallel(affected, 8) { rel =>
-      val dirRel = rel.split('/').dropRight(1)
-      val partCols = dirRel.filter(_.contains('=')).map(_.split('=')(0))
-      val keep = spark.read.schema(snapshot.schema).option("basePath", path)
-        .parquet(new Path(root, rel).toString)
-        .where(!predicate)
-        .drop(partCols.toSeq: _*)
-      if (keep.isEmpty) Seq.empty[String]
-      else {
-        val aside = new Path(root, s".delete_${java.util.UUID.randomUUID().toString.take(12)}")
-        keep.coalesce(1).write.mode("overwrite").parquet(aside.toString)
-        val dstDir = dirRel.foldLeft(root)((p, d) => new Path(p, d))
-        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
-        val out = fs.listStatus(aside)
-          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-          .map { f =>
-            renameOrThrow(fs, f.getPath, new Path(dstDir, f.getPath.getName))
-            (dirRel :+ f.getPath.getName).mkString("/")
-          }.toSeq
-        fs.delete(aside, true)
-        out
-      }
-    }.flatten
+    // grouped rewrite: keep the non-matching rows — ONE distributed
+    // job per partition scheme over every affected file (see
+    // [[cowRewriteGrouped]]), with partition values flowing directory
+    // → basePath column → dynamic-partition write. The read is pinned
+    // to the SNAPSHOT's union schema: under additive evolution a
+    // predicate may reference a column a pre-evolution file lacks
+    // (`newcol IS NULL` matches its every row) — the aligned read
+    // null-fills it instead of failing, and the rewrite carries the
+    // evolved column like compaction would
+    val rewritten = cowRewriteGrouped(
+      spark, path, snapshot.schema, affected, "delete_")(_.where(!predicate))
     commitManifest(spark, path,
       current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
   }
@@ -2274,36 +2327,26 @@ object ParquetLake {
     val unknown = affected.filterNot(current.contains)
     require(unknown.isEmpty,
       s"update probe returned files outside the snapshot: ${unknown.take(3).mkString(",")}")
-    val rewritten = inParallel(affected, 8) { rel =>
-      val dirRel = rel.split('/').dropRight(1)
-      val partCols = dirRel.filter(_.contains('=')).map(_.split('=')(0))
-      val illegal = set.keySet.intersect(partCols.toSet)
-      require(illegal.isEmpty,
-        s"cannot UPDATE partition column(s) ${illegal.mkString(",")}: partition values " +
-          "are the directory layout — use mergeManifested to move rows")
-      // snapshot-schema-aligned read, same reason as deleteAttempt:
-      // predicates (and SETs) may reference evolved columns a
-      // pre-evolution file lacks; the aligned read null-fills them
-      val src = spark.read.schema(snapshot.schema).option("basePath", path)
-        .parquet(new Path(root, rel).toString)
-      val updated = src.select(src.schema.fields.map { f =>
+    val affectedPartCols = affected
+      .flatMap(_.split('/').dropRight(1).filter(_.contains('='))
+        .map(_.split('=')(0))).toSet
+    val illegal = set.keySet.intersect(affectedPartCols)
+    require(illegal.isEmpty,
+      s"cannot UPDATE partition column(s) ${illegal.mkString(",")}: partition values " +
+        "are the directory layout — use mergeManifested to move rows")
+    // grouped rewrite (ONE distributed job per partition scheme, see
+    // [[cowRewriteGrouped]]); snapshot-schema-aligned read, same
+    // reason as deleteAttempt: predicates (and SETs) may reference
+    // evolved columns a pre-evolution file lacks; the aligned read
+    // null-fills them
+    val rewritten = cowRewriteGrouped(
+      spark, path, snapshot.schema, affected, "update_") { src =>
+      src.select(src.schema.fields.map { f =>
         set.get(f.name)
           .map(v => when(predicate, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
-      }.toSeq: _*).drop(partCols.toSeq: _*)
-      val aside = new Path(root, s".update_${java.util.UUID.randomUUID().toString.take(12)}")
-      updated.coalesce(1).write.mode("overwrite").parquet(aside.toString)
-      val dstDir = dirRel.foldLeft(root)((p, d) => new Path(p, d))
-      if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
-      val out = fs.listStatus(aside)
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .map { f =>
-          renameOrThrow(fs, f.getPath, new Path(dstDir, f.getPath.getName))
-          (dirRel :+ f.getPath.getName).mkString("/")
-        }.toSeq
-      fs.delete(aside, true)
-      out
-    }.flatten
+      }.toSeq: _*)
+    }
     commitManifest(spark, path,
       current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
   }
@@ -2653,35 +2696,22 @@ object ParquetLake {
     require(unknown.isEmpty,
       s"deletion vectors reference files outside the snapshot: ${unknown.take(3).mkString(",")}")
     val snapshot = readManifested(spark, path, Some(currentVersion), mergeSchema = true)
-    val rewritten = inParallel(affected, 8) { rel =>
-      val dirRel = rel.split('/').dropRight(1)
-      val partCols = dirRel.filter(_.contains('=')).map(_.split('=')(0))
-      val one = spark.read.schema(snapshot.schema).option("basePath", path)
-        .parquet(new Path(root, rel).toString)
+    // grouped rewrite (ONE distributed job per partition scheme, see
+    // [[cowRewriteGrouped]]): every affected file anti-joins its
+    // (file, position) pairs against the broadcast vector union in a
+    // single scan — _metadata.row_index is per physical file, so the
+    // positions stay correct however the scan bundles files into tasks
+    val rewritten = cowRewriteGrouped(
+      spark, path, snapshot.schema, affected, "dvmat_") { src =>
+      val one = src
         .withColumn("_graft_dv_file", relFileCol(rootPath))
         .withColumn("_graft_dv_pos", col("_metadata.row_index"))
-      val keep = one.join(broadcast(dv),
+      one.join(broadcast(dv),
           one("_graft_dv_file") === dv("file") &&
             one("_graft_dv_pos") === dv("pos"),
           "left_anti")
         .drop("_graft_dv_file", "_graft_dv_pos")
-        .drop(partCols.toSeq: _*)
-      if (keep.isEmpty) Seq.empty[String]
-      else {
-        val aside = new Path(root, s".dvmat_${java.util.UUID.randomUUID().toString.take(12)}")
-        keep.coalesce(1).write.mode("overwrite").parquet(aside.toString)
-        val dstDir = dirRel.foldLeft(root)((p, d) => new Path(p, d))
-        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
-        val out = fs.listStatus(aside)
-          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-          .map { f =>
-            renameOrThrow(fs, f.getPath, new Path(dstDir, f.getPath.getName))
-            (dirRel :+ f.getPath.getName).mkString("/")
-          }.toSeq
-        fs.delete(aside, true)
-        out
-      }
-    }.flatten
+    }
     commitManifest(spark, path,
       current.filterNot(affected.contains) ++ rewritten, Some(currentVersion))
   }

@@ -305,4 +305,59 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ParquetLake.readManifested(spark, dir, Some(v4), mergeSchema = true)
       .count() === 5)
   }
+
+  test("lk23/lk25: COW rewrite dispatches O(1) Spark jobs however many files the predicate touches") {
+    // the per-file job loop this pins against: at 10⁴-10⁵ affected
+    // files a job per file is a driver-dispatch bottleneck even with
+    // a thread pool. The grouped rewrite must issue a CONSTANT number
+    // of jobs per partition scheme — so doubling the affected file
+    // count must not change the job count at all.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    // the listener bus is async and private; settle by polling until
+    // the count stops moving (job STARTS all precede body returning,
+    // so this only waits out bus delivery, never a straggling job)
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+      cur
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try { body; settled() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def lakeWith(nFiles: Int): String = {
+      val dir = Files.createTempDirectory(s"graft_cowjobs$nFiles").toString
+      val df = spark.range(nFiles.toLong * 10)
+        .select(col("id"), (col("id") % nFiles).as("bucket"),
+          (col("id") % 2 === 0).as("victim"))
+        .repartition(col("bucket"))
+      df.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      ParquetLake.snapshotManifest(spark, dir)
+      assert(ParquetLake.readManifest(spark, dir, None).get.size >= nFiles)
+      dir
+    }
+    val small = lakeWith(8)
+    val big = lakeWith(16)
+    // predicate touches EVERY file but deletes only half of each
+    val jSmall = countJobs(ParquetLake.deleteManifested(spark, small, col("victim")))
+    val jBig = countJobs(ParquetLake.deleteManifested(spark, big, col("victim")))
+    assert(ParquetLake.readManifested(spark, small, None).count() === 40)
+    assert(ParquetLake.readManifested(spark, big, None).count() === 80)
+    assert(jBig === jSmall,
+      s"job count must be flat in affected-file count, got $jSmall → $jBig")
+    // same bar for UPDATE
+    val uSmall = countJobs(ParquetLake.updateManifested(
+      spark, small, col("victim") === false, Map("id" -> lit(-1L))))
+    val uBig = countJobs(ParquetLake.updateManifested(
+      spark, big, col("victim") === false, Map("id" -> lit(-1L))))
+    assert(ParquetLake.readManifested(spark, small, None).where(col("id") === -1L).count() === 40)
+    assert(uBig === uSmall,
+      s"update job count must be flat in affected-file count, got $uSmall → $uBig")
+  }
 }
