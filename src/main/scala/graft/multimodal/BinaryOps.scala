@@ -79,7 +79,12 @@ object BinaryOps {
     * design — run [[cdcNearDupPairs]] on the increment first when
     * that matters (documented, matching m8's separation of
     * concerns). Single-ingest-writer per index, as documented on
-    * [[graft.operators.Dedup.indexedIngest]].
+    * [[graft.operators.Dedup.indexedIngest]]. A null/empty payload
+    * produces zero chunks; such blobs ADMIT (no content ⇒ nothing to
+    * be contained by) and are reported in `admittedChunkless` — note
+    * they are invisible to this gate's replay protection (no chunks
+    * ever enter the index), so replaying a batch re-admits them; gate
+    * on lk41 exact fingerprints first when that matters.
     */
   def chunkIndexInit(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
@@ -94,7 +99,8 @@ object BinaryOps {
 
   final case class ChunkIngestReport(
       admitted: Long, rejectedContained: Long,
-      dataVersion: Int, indexVersion: Int)
+      dataVersion: Int, indexVersion: Int,
+      admittedChunkless: Long = 0L)
 
   def chunkGatedIngest(
       spark: org.apache.spark.sql.SparkSession,
@@ -118,11 +124,19 @@ object BinaryOps {
       .withColumn("reject",
         col("n_hit").cast("double") / col("n_chunks") >= maxContainment)
       .localCheckpoint(eager = false)
-    val admitted = inc.join(
-      contained.where(!col("reject")).select(col("id").as(idCol)),
-      Seq(idCol), "left_semi").localCheckpoint(eager = false)
-    val nAdmit = admitted.count()
-    val nReject = inc.count() - nAdmit
+    // a null/empty payload yields ZERO chunks, so it has no row in
+    // `contained` at all — a semi-join on the admit set would silently
+    // drop it (neither admitted, indexed, nor reported). Left-join and
+    // admit chunkless blobs explicitly (no content ⇒ nothing to be
+    // contained BY), accounted in their own report bucket
+    val rejectIds = contained.where(col("reject"))
+      .select(col("id").as(idCol)).localCheckpoint(eager = false)
+    val admitted = inc.join(rejectIds, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
+    val nInc = inc.count()
+    val nReject = rejectIds.count()
+    val nAdmit = nInc - nReject
+    val nChunkless = nInc - contained.count()
     val stage = s"chunk_${java.util.UUID.randomUUID().toString.take(8)}"
     val (dataVersion, indexVersion) =
       if (nAdmit == 0) (0, 0)
@@ -136,7 +150,7 @@ object BinaryOps {
         ParquetLake.stageAppend(spark, indexPath, newFps, stage)
         (dv, ParquetLake.publishStaged(spark, indexPath, stage))
       }
-    ChunkIngestReport(nAdmit, nReject, dataVersion, indexVersion)
+    ChunkIngestReport(nAdmit, nReject, dataVersion, indexVersion, nChunkless)
   }
 
   /** Chunk-grain dedup accounting over binary payloads via

@@ -798,8 +798,11 @@ object ParquetLake {
       throw new IllegalArgumentException(s"no stage '$stage' under $path"))
     val delta = spark.read.option("basePath", path)
       .parquet(staged.map(f => s"$path/$f"): _*)
+    // the head side is the MERGE-ON-READ view: a key whose only
+    // occurrence is tombstoned by a pending deletion vector is gone
+    // for every reader, so it must not count as a uniqueness clash
     val head = readManifest(spark, path, None)
-      .filter(_.nonEmpty).map(_ => readManifested(spark, path))
+      .filter(_.nonEmpty).map(_ => readManifestedMoR(spark, path))
     val bad = constraintViolations(delta, head, notNull, uniqueKey, ranges)
       .where(col("n_violations") > 0)
       .collect().map(r => s"${r.getString(0)}: ${r.getLong(1)}")
@@ -1015,15 +1018,21 @@ object ParquetLake {
   }
 
   /** Read a branch head (or an explicit branch version) — the
-    * branch-side twin of [[readManifested]].
+    * branch-side twin of [[readManifested]]. Deletion vectors
+    * pending at the fork travel in the branch header; the read
+    * applies them merge-on-read style, so a branch forked before
+    * materialization never resurrects vector-deleted rows.
     */
   def readBranch(
       spark: SparkSession, path: String, name: String,
       version: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
-    val (_, files, _) = branchListing(spark, path, name, version)
-    spark.read.option("basePath", path)
+    val (_, files, headers) = branchListing(spark, path, name, version)
+    val base = spark.read.option("basePath", path)
       .option("mergeSchema", mergeSchema)
       .parquet(files.map(f => s"$path/$f"): _*)
+    val dvs = headers.get(DvHeaderKey).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+    applyDvAntiJoin(spark, path, base, dvs)
   }
 
   /** Publish a branch: ONE fast-forward CAS makes the branch head
@@ -2556,8 +2565,19 @@ object ParquetLake {
       throw new IllegalStateException(s"no committed manifest under $path"))
     val v = version.getOrElse(latest)
     val base = readManifested(spark, path, Some(v), mergeSchema)
-    val dvs = dvList(spark, path, Some(v))
+    applyDvAntiJoin(spark, path, base, dvList(spark, path, Some(v)))
+  }
+
+  /** The merge-on-read reader core: anti-join `base` against the
+    * union of the given deletion-vector relations on
+    * `(file, position)` — broadcast, map-side, no shuffle of the
+    * data rows. No-op when `dvs` is empty.
+    */
+  private def applyDvAntiJoin(
+      spark: SparkSession, path: String, base: DataFrame,
+      dvs: Seq[String]): DataFrame = {
     if (dvs.isEmpty) return base
+    val (fs, root) = fsFor(spark, path)
     val rootPath = fs.makeQualified(root).toUri.getPath
     val dv = spark.read.parquet(dvs.map(f => s"$path/$f"): _*)
     val tagged = base
@@ -2889,10 +2909,17 @@ object ParquetLake {
     dataOrphans.foreach(f => fs.delete(new Path(root, f), false))
     // deletion vectors referenced by NO retained manifest header are
     // spent (materialized, or their version aged out) — same horizon
-    // guard as data files for in-flight deleteVectored commits
-    val keptDv = kept.flatMap { case (v, _) =>
+    // guard as data files for in-flight deleteVectored commits.
+    // Branch headers count too: a long-lived branch forked before
+    // materialization still needs its vectors for the MoR read,
+    // however old they are on main
+    val branchDv = branches(spark, path).toSeq.flatMap { case (n, vs) =>
+      vs.flatMap(v => branchListing(spark, path, n, Some(v))._3
+        .get(DvHeaderKey).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
+    }
+    val keptDv = (kept.flatMap { case (v, _) =>
       dvList(spark, path, Some(v))
-    }.toSet
+    } ++ branchDv).toSet
     val dvRoot = new Path(root, DvDir)
     val dvOrphans =
       if (!fs.exists(dvRoot)) Seq.empty[String]

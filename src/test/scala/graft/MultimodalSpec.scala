@@ -218,4 +218,40 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.admitted === 0L, r2.toString)
     assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === lakeN)
   }
+
+  test("lk43: a zero-chunk (empty/null) blob is admitted and accounted, never silently dropped") {
+    import java.nio.file.Files
+    import graft.multimodal.BinaryOps
+    val dataPath = Files.createTempDirectory("graft_blob0_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_blob0_idx").toString + "/index"
+    def blob(i: Int): String = (0 until 30).map(j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"e$i-$j".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString)
+      .mkString(" ")
+    val corpus = (0 until 10).map(i => (i.toLong, blob(i))).toDF("blob_id", "t")
+      .select(col("blob_id"), col("t").cast("binary").as("payload"))
+    corpus.write.parquet(dataPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, dataPath)
+    BinaryOps.chunkIndexInit(spark, indexPath, corpus, "payload", "blob_id",
+      minLen = 16, maskBits = 4, maxLen = 256)
+    // increment: one fresh blob, one near-copy, one EMPTY, one NULL
+    val inc = Seq(
+      (100L, Some(blob(100))),
+      (101L, Some(blob(0))), // exact copy → containment 1 → reject
+      (102L, Some("")),
+      (103L, Option.empty[String])).toDF("blob_id", "t")
+      .select(col("blob_id"), col("t").cast("binary").as("payload"))
+    val r = BinaryOps.chunkGatedIngest(spark, dataPath, indexPath, inc,
+      "payload", "blob_id", maxContainment = 0.5,
+      minLen = 16, maskBits = 4, maxLen = 256)
+    // the chunkless blobs ADMIT (nothing to be contained by) and are
+    // reported in their own bucket; accounting sums to the increment
+    assert(r.admitted === 3L, r.toString)
+    assert(r.rejectedContained === 1L, r.toString)
+    assert(r.admittedChunkless === 2L, r.toString)
+    val landed = graft.sources.ParquetLake.readManifested(spark, dataPath)
+      .select("blob_id").collect().map(_.getLong(0)).toSet
+    assert(landed.contains(102L) && landed.contains(103L) && landed.contains(100L))
+    assert(!landed.contains(101L))
+  }
 }

@@ -1489,4 +1489,60 @@ class ParquetLakeSpec extends SparkSpec {
     assert(ParquetLake.readManifestedMoR(spark, dir).count() === expectN)
     assert(ParquetLake.readManifested(spark, dir).count() === expectN)
   }
+
+  test("lk37 x lk38: a branch forked over pending deletion vectors reads merge-on-read; vacuum keeps its vectors") {
+    val dir = Files.createTempDirectory("graft_lake_dvbranch").toString
+    val ev = events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms")
+    ParquetLake.writePartitioned(ev, dir, "ts_ms", sortCols = Seq("user_id"))
+    ParquetLake.snapshotManifest(spark, dir)
+    val pred = col("event_type") === "click"
+    assert(ev.where(pred).count() > 0)
+    ParquetLake.deleteVectored(spark, dir, pred)
+    val expect = ev.where(!pred)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // the fork carries the pending vectors; a branch reader must see
+    // the merge-on-read view, never the resurrected rows
+    ParquetLake.createBranch(spark, dir, "exp")
+    assert(ParquetLake.readBranch(spark, dir, "exp")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq === expect)
+
+    // appends keep carrying the header: new rows visible, deleted gone
+    val tpl = ParquetLake.readManifestedMoR(spark, dir)
+      .orderBy(col("event_id").desc).limit(1).localCheckpoint()
+    val extra = tpl.select(lit(91000001L).as("event_id"), col("user_id"),
+      col("event_type"), col("ts_ms"), col("p_date"))
+    ParquetLake.appendBranch(spark, dir, "exp", extra, Some("p_date"))
+    val got2 = ParquetLake.readBranch(spark, dir, "exp")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 === (expect :+ 91000001L).sorted)
+
+    // main materializes its vectors and vacuums down to ONE retained
+    // version: the vector files are spent on main and referenced only
+    // by the branch header — the sweep must keep them alive
+    ParquetLake.materializeDeletes(spark, dir)
+    val swept = ParquetLake.vacuum(spark, dir, keepVersions = 1, retainMillis = 0)
+    assert(!swept.exists(_.startsWith(".dv/")), swept.mkString(","))
+    assert(ParquetLake.readBranch(spark, dir, "exp")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq === got2)
+  }
+
+  test("lk35 x lk37: uniqueness audits the merge-on-read head — a vector-deleted key is re-insertable") {
+    val dir = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, dir)
+    val head = ParquetLake.readManifested(spark, dir)
+    val victim = head.orderBy("event_id").limit(1).collect().head.getLong(0)
+    ParquetLake.deleteVectored(spark, dir, col("event_id") === victim)
+    // re-insert the tombstoned key: every reader sees it gone, so the
+    // uniqueness gate must not refuse the publish
+    val reborn = head.where(col("event_id") === victim)
+      .withColumn("user_id", col("user_id") + 1000L)
+    ParquetLake.stageAppend(spark, dir, reborn, "rebirth", Some("p_date"))
+    ParquetLake.publishStagedChecked(spark, dir, "rebirth",
+      uniqueKey = Seq("event_id"))
+    val after = ParquetLake.readManifestedMoR(spark, dir)
+      .where(col("event_id") === victim).collect()
+    assert(after.length === 1)
+    assert(after.head.getAs[Long]("user_id") >= 1000L)
+  }
 }
