@@ -56,6 +56,12 @@ package object functions {
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 
+  /** Image container sniff of a binary column:
+    * struct<format,width,height> from header bytes only (PNG / JPEG /
+    * GIF / BMP; "raw" + null dims otherwise) — see [[ImageMetaOps]].
+    */
+  def imageMeta(bin: Column): Column = col1(ImageMeta.apply)(bin)
+
   /** Content-defined chunk fingerprints of a binary column
     * (array<long>) — gear-hash CDC boundaries, FNV-1a identities;
     * see [[CdcOps]].

@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, and
   * process them in fixed-size frames.
   *
-  * The *decode* step is STUBBED — this container has no media codecs —
-  * with a deterministic fake (md5 of the frame bytes as the "feature",
-  * byte-sum as the "energy"). Everything Spark-side is real: the
-  * binary column, the frame/stride arithmetic, the per-partition batch
-  * iteration, and the output schema a real decoder would produce.
+  * The video/audio *decode* step is STUBBED — this container has no
+  * media codecs — with a deterministic fake (md5 of the frame bytes
+  * as the "feature", byte-sum as the "energy"). Everything Spark-side
+  * is real: the binary column, the frame/stride arithmetic, the
+  * per-partition batch iteration, and the output schema a real
+  * decoder would produce. The IMAGE path is fully real: the JDK ships
+  * ImageIO, so [[renderImages]] emits genuine PNG/JPEG/GIF/BMP bytes
+  * and [[graft.functions.imageMeta]] parses format + dimensions back
+  * out of the headers natively (m11).
   */
 object BinaryOps {
 
@@ -280,6 +284,48 @@ object BinaryOps {
             .map(b => f"$b%02x").mkString
           StubEmbedding(id, 8, ks.sum, eMd5, math.sqrt(ss))
         }
+      }
+    }
+  }
+
+  /** A rendered image: encode spec + the REAL container bytes the
+    * JDK's ImageIO produced for it.
+    */
+  case class RenderedImage(id: Long, fmt: String, w: Int, h: Int, payload: Array[Byte])
+
+  /** Render real image containers from (id, width, height, format)
+    * specs — javax.imageio is part of the JDK, so unlike the frame /
+    * embedding decoders this path is NOT stubbed: the bytes are
+    * genuine PNG / JPEG / GIF / BMP files with deterministic pixel
+    * content derived from (id, x, y). Same mapPartitions shape as
+    * [[embedBatched]] (encoder state amortized per partition); used
+    * with [[graft.functions.imageMeta]] it closes the loop
+    * encode → opaque binary column → header-sniffed typed metadata
+    * with no fake anywhere.
+    */
+  def renderImages(specs: Dataset[(Long, Int, Int, String)]): Dataset[RenderedImage] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { it =>
+      // real binding would initialize the codec once per partition here
+      it.map { case (id, w, h, fmt) =>
+        // 8-bit grayscale, raster written directly: deterministic
+        // bytes (no colorspace conversion) and ≤256 colors, which
+        // every JDK writer (incl. GIF's palette quantizer) accepts
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((x * 31 + y * 17 + id * 13) & 0xffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        RenderedImage(id, fmt, w, h, bos.toByteArray)
       }
     }
   }

@@ -154,9 +154,54 @@ object MultimodalQueries {
           docs.unionAll(copies), "payload", "doc_id", pct = 60,
           minLen = 8, maskBits = 4, maxLen = 128)
         .orderBy("id_a", "id_b")
+    }),
+
+    // REAL image containers end-to-end: render one PNG/JPEG/GIF/BMP
+    // per document via the JDK's ImageIO (no stub — genuine encoder
+    // bytes), then sniff format + dimensions back out of the headers
+    // with the native ImageMeta expression. The oracle pins the
+    // strong claim: EVERY rendered image must round-trip its spec
+    // exactly (n_parsed_exact == n_images per format), which only
+    // holds if both the encoder plumbing and the header parser are
+    // right. Per-row work is header-bounded; only (format, dims)
+    // aggregate — bytes never shuffle
+    "m11_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
+          (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
+          element_at(array(lit("png"), lit("jpeg"), lit("gif"), lit("bmp")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+        .as[(Long, Int, Int, String)]
+      BinaryOps.renderImages(specs).toDF()
+        .withColumn("meta", graft.functions.imageMeta(col("payload")))
+        .groupBy(col("fmt").as("format"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("meta.format") === col("fmt") &&
+              col("meta.width") === col("w") &&
+              col("meta.height") === col("h"), 1L).otherwise(0L))
+            .as("n_parsed_exact"),
+          sum(col("meta.width").cast("long")).as("sum_width"),
+          sum(col("meta.height").cast("long")).as("sum_height"))
+        .orderBy("format")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle asserts the round-trip invariant: every image the
+    // Spark side renders must parse back to exactly its spec, so
+    // n_parsed_exact == n_images and the dimension sums follow from
+    // the spec arithmetic alone
+    "m11_image_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id, (doc_id % 29) + 1 AS w, (doc_id % 17) + 1 AS h,
+        |    CASE (doc_id % 4) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |      WHEN 2 THEN 'gif' ELSE 'bmp' END AS format
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_images,
+        |count(*)::BIGINT AS n_parsed_exact,
+        |sum(w)::BIGINT AS sum_width, sum(h)::BIGINT AS sum_height
+        |FROM spec GROUP BY format ORDER BY format""".stripMargin,
     // replay of the byte-4-gram (8 hex chars, stride 2) SimHash
     "m4_binary_simhash" ->
       ("""WITH hx AS (

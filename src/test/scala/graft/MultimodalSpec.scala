@@ -219,6 +219,52 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === lakeN)
   }
 
+  test("m11: imageMeta parses real ImageIO containers exactly; malformed bytes degrade, never throw") {
+    import graft.functions.ImageMetaOps
+    def render(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, (x * 31 + y * 17) & 0xff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val dims = Seq((1, 1), (7, 5), (29, 17), (640, 480))
+    for (fmt <- Seq("png", "jpeg", "gif", "bmp"); (w, h) <- dims) {
+      val bytes = render(w, h, fmt)
+      assert(ImageMetaOps.sniff(bytes) === ((fmt, w, h)),
+        s"$fmt ${w}x$h header parse")
+      // robustness: EVERY truncation prefix parses without throwing
+      (0 to bytes.length).foreach(k => ImageMetaOps.sniff(bytes.take(k)))
+    }
+    // non-image bytes → raw, null dims; codegen path agrees with eval
+    import spark.implicits._
+    val df = Seq(
+      ("png", render(3, 2, "png")),
+      ("jpeg", render(3, 2, "jpeg")),
+      ("raw", "just text".getBytes("UTF-8")),
+      ("raw", Array.empty[Byte])).toDF("expect", "payload")
+    val got = df.select(col("expect"), graft.functions.imageMeta(col("payload")).as("m"))
+      .select(col("expect"), col("m.format"), col("m.width"), col("m.height"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) === r.getString(0))
+      if (r.getString(0) == "raw") assert(r.isNullAt(2) && r.isNullAt(3))
+      else assert(r.getInt(2) === 3 && r.getInt(3) === 2)
+    }
+  }
+
+  test("m11: the driver query reports every rendered image parsing back to its exact spec") {
+    val out = SparkEntry.queries("m11_image_meta")(spark, sf).collect()
+    assert(out.length === 4) // png / jpeg / gif / bmp
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_images") > 0)
+      assert(r.getAs[Long]("n_parsed_exact") === r.getAs[Long]("n_images"),
+        s"${r.getAs[String]("format")}: every rendered image must round-trip")
+    }
+  }
+
   test("lk43: a zero-chunk (empty/null) blob is admitted and accounted, never silently dropped") {
     import java.nio.file.Files
     import graft.multimodal.BinaryOps
