@@ -330,6 +330,52 @@ object BinaryOps {
     }
   }
 
+  /** An image thumbnail: source id + the re-encoded PNG bytes. */
+  case class ResizedImage(id: Long, srcW: Int, srcH: Int, payload: Array[Byte])
+
+  /** REAL image resize — decode (ImageIO.read), scale, re-encode
+    * (PNG) — the thumbnail/normalize step of an image-corpus
+    * pipeline, with no stub anywhere: the input bytes are a genuine
+    * container, the decode is the JDK's, and the output is a genuine
+    * PNG whose dimensions [[graft.functions.imageMeta]] can verify.
+    * Target dims use INTEGER arithmetic so an external oracle can
+    * replay them exactly: max(w,h) ≤ maxDim keeps the source size,
+    * else each side maps to max(1, side*maxDim / max(w,h)) with floor
+    * division. An undecodable payload maps to (-1,-1) source dims and
+    * empty bytes — flagged, never thrown, same corpus-robustness
+    * contract as the sniffer.
+    */
+  def resizeImages(
+      images: Dataset[(Long, Array[Byte])], maxDim: Int): Dataset[ResizedImage] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (src == null) ResizedImage(id, -1, -1, Array.empty[Byte])
+        else {
+          val w = src.getWidth; val h = src.getHeight
+          val mx = math.max(w, h)
+          val (tw, th) =
+            if (mx <= maxDim) (w, h)
+            else (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
+          val dst = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, tw, th, null) // synchronous for BufferedImage sources
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          ResizedImage(id, w, h, bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Per-partition batch "decoder" — the mapPartitions shape a real
     * codec binding would use (one codec instance per partition, rows
     * streamed through it). Decode itself is the deterministic stub.

@@ -185,6 +185,35 @@ object MultimodalQueries {
           sum(col("meta.width").cast("long")).as("sum_width"),
           sum(col("meta.height").cast("long")).as("sum_height"))
         .orderBy("format")
+    }),
+
+    // REAL decode → resize → re-encode (thumbnail normalization):
+    // ImageIO decodes the m11-rendered container, a bilinear scale
+    // maps it to max-dim 8 with integer target arithmetic, the PNG
+    // re-encode goes back through the header sniffer — so the emitted
+    // thumb dims come from actual output bytes, while the oracle
+    // recomputes them from the spec arithmetic alone. Whole path
+    // bytes-local (one mapPartitions chain, no shuffle before the
+    // final sort)
+    "m12_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
+          (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
+          element_at(array(lit("png"), lit("jpeg"), lit("gif"), lit("bmp")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+        .as[(Long, Int, Int, String)]
+      val rendered = BinaryOps.renderImages(specs)
+        .map(r => (r.id, r.payload))
+      BinaryOps.resizeImages(rendered, maxDim = 8).toDF()
+        .withColumn("meta", graft.functions.imageMeta(col("payload")))
+        .select(col("id").as("doc_id"),
+          col("srcW").cast("long").as("src_w"),
+          col("srcH").cast("long").as("src_h"),
+          col("meta.width").cast("long").as("thumb_w"),
+          col("meta.height").cast("long").as("thumb_h"))
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -202,6 +231,19 @@ object MultimodalQueries {
         |count(*)::BIGINT AS n_parsed_exact,
         |sum(w)::BIGINT AS sum_width, sum(h)::BIGINT AS sum_height
         |FROM spec GROUP BY format ORDER BY format""".stripMargin,
+    // the oracle replays the integer thumbnail arithmetic from the
+    // spec; the Spark side must have decoded, resized, re-encoded and
+    // re-parsed actual bytes to land on the same numbers
+    "m12_image_resize" ->
+      """WITH spec AS (
+        |  SELECT doc_id, (doc_id % 29) + 1 AS w, (doc_id % 17) + 1 AS h
+        |  FROM documents)
+        |SELECT doc_id, w::BIGINT AS src_w, h::BIGINT AS src_h,
+        |CASE WHEN greatest(w, h) <= 8 THEN w
+        |  ELSE greatest(1, (w * 8) // greatest(w, h)) END::BIGINT AS thumb_w,
+        |CASE WHEN greatest(w, h) <= 8 THEN h
+        |  ELSE greatest(1, (h * 8) // greatest(w, h)) END::BIGINT AS thumb_h
+        |FROM spec ORDER BY doc_id""".stripMargin,
     // replay of the byte-4-gram (8 hex chars, stride 2) SimHash
     "m4_binary_simhash" ->
       ("""WITH hx AS (

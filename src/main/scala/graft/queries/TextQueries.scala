@@ -275,6 +275,35 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // C4-style cross-document repeated-sentence removal: a sentence
+    // whose fingerprint occurs in MORE THAN ONE document is
+    // boilerplate (nav chrome, license banners, templated intros) and
+    // drops from every document; per-doc report of sentences seen /
+    // kept / surviving chars. Text leaves the scan once: the shuffle
+    // carries (doc_id, md5-fp, sentence length) only — duplicate
+    // detection is one fp-grain groupBy with map-side partials, the
+    // verdict joins back on fp. At 100 TB both wide ops key on
+    // sentence fingerprints (high cardinality, no skew); document
+    // text never shuffles.
+    "t33_line_dedup" -> ((s, dir) => {
+      val sents = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("raw"))
+        .withColumn("sent", trim(col("raw")))
+        .where(length(col("sent")) > 0)
+        .select(col("doc_id"), md5(col("sent")).as("fp"),
+          length(col("sent")).cast("long").as("slen"))
+      val dupFps = sents.groupBy("fp")
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") > 1)
+        .select(col("fp"), lit(true).as("dup"))
+      sents.join(dupFps, Seq("fp"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("dup").isNull, col("slen")).otherwise(0L)).as("kept_chars"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing: regex redaction of emails + IPv4s. The corpus is
     // synthetic, so deterministic PII is injected from doc_id first —
     // the scrub machinery (count, redact, fingerprint) is then fully
@@ -752,6 +781,21 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t33_line_dedup" ->
+      """WITH sents AS (
+        |  SELECT doc_id, trim(s) AS sent
+        |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
+        |  WHERE length(trim(s)) > 0
+        |), fps AS (
+        |  SELECT doc_id, md5(sent) AS fp, length(sent) AS slen FROM sents
+        |), dup AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+        |)
+        |SELECT f.doc_id, count(*)::BIGINT AS n_sents,
+        |sum(CASE WHEN d.fp IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |sum(CASE WHEN d.fp IS NULL THEN f.slen ELSE 0 END)::BIGINT AS kept_chars
+        |FROM fps f LEFT JOIN dup d ON f.fp = d.fp
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "t21_corpus_report" ->
       """WITH x AS (
         |  SELECT doc_id, source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t,

@@ -467,6 +467,51 @@ object LogStream {
       .outputMode("append")
       .start()
 
+  /** st37: streaming image-admission gate — every incoming blob's
+    * container header is sniffed by the native
+    * [[graft.functions.imageMeta]] expression (format + pixel dims
+    * from header bytes only — map-only, no decode, no shuffle, cost
+    * independent of payload size) and routed: parseable images whose
+    * dimensions fall inside [minDim, maxDim] admit; everything else
+    * (non-image bytes, truncated containers, out-of-range dims) goes
+    * to the reject sink with its sniffed metadata flattened on for
+    * triage. The m11 parser's never-throw contract is what makes this
+    * safe as a FRONT gate: one corrupt blob must not kill the ingest
+    * query. Exactly-once via the batch-id-partitioned idempotent
+    * overwrite (st12's pattern), same as the text quality gate st24.
+    */
+  def startImageGateSink(
+      stream: DataFrame, binCol: String,
+      passPath: String, rejectPath: String, checkpoint: String,
+      minDim: Int = 1, maxDim: Int = 1 << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val sniffed = batch.withColumn("__m",
+          graft.functions.imageMeta(col(binCol)))
+        val ok = col("__m.format") =!= "raw" &&
+          col("__m.width").isNotNull && col("__m.height").isNotNull &&
+          col("__m.width").between(minDim, maxDim) &&
+          col("__m.height").between(minDim, maxDim)
+        sniffed.where(ok)
+          .withColumn("format", col("__m.format"))
+          .withColumn("width", col("__m.width"))
+          .withColumn("height", col("__m.height"))
+          .drop("__m")
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(passPath)
+        sniffed.where(!ok)
+          .select(col("*"), col("__m.*")).drop("__m")
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(rejectPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** st28: streaming PII scrub at the ingest gate — every incoming
     * row's text column is rewritten through the SAME row-local
     * expression the batch pipeline uses

@@ -265,6 +265,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m12: resize decodes real containers, emits PNG thumbs at the integer target dims; junk flags (-1,-1)") {
+    import spark.implicits._
+    import graft.multimodal.BinaryOps
+    def render(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, (x * 7 + y) & 0xff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val in = Seq[(Long, Array[Byte])](
+      (1L, render(640, 480, "jpeg")), // downscale: 8 x 6
+      (2L, render(5, 3, "png")),      // under maxDim: kept as-is
+      (3L, render(100, 7, "gif")),    // extreme aspect: floor then clamp → 8 x 1
+      (4L, "garbage".getBytes("UTF-8")))
+    val got = BinaryOps.resizeImages(in.toDS(), maxDim = 8).collect()
+      .map(r => r.id -> r).toMap
+    def dims(id: Long): (Int, Int) = {
+      val (f, w, h) = graft.functions.ImageMetaOps.sniff(got(id).payload)
+      assert(f === "png"); (w, h)
+    }
+    assert((got(1L).srcW, got(1L).srcH) === ((640, 480)))
+    assert(dims(1L) === ((8, 6)))
+    assert(dims(2L) === ((5, 3)))
+    assert(dims(3L) === ((8, 1))) // 7*8/100 = 0 → clamped to 1
+    assert((got(4L).srcW, got(4L).srcH) === ((-1, -1)))
+    assert(got(4L).payload.isEmpty)
+  }
+
   test("lk43: a zero-chunk (empty/null) blob is admitted and accounted, never silently dropped") {
     import java.nio.file.Files
     import graft.multimodal.BinaryOps

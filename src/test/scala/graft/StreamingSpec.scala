@@ -356,6 +356,49 @@ class StreamingSpec extends SparkSpec {
       .subsetOf(spark.read.parquet(quarDir).columns.toSet))
   }
 
+  test("st37: streaming image gate admits in-range parseable containers, rejects raw/truncated/oversized") {
+    def render(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, (x + y) & 0xff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val inDir = Files.createTempDirectory("graft_imgate_in").toString
+    val rows = Seq[(Long, Array[Byte])](
+      (1L, render(10, 6, "png")),
+      (2L, render(3, 3, "jpeg")),
+      (3L, render(8, 2, "gif")),
+      (4L, render(5, 5, "bmp")),
+      (5L, render(200, 4, "png")), // width beyond maxDim → reject
+      (6L, "not an image at all".getBytes("UTF-8")), // raw → reject
+      (7L, render(10, 6, "png").take(12))) // truncated → reject
+    rows.toDF("img_id", "payload").write.mode("overwrite").parquet(inDir)
+    val passDir = Files.createTempDirectory("graft_imgate_pass").toString
+    val rejDir = Files.createTempDirectory("graft_imgate_rej").toString
+    val ckpt = Files.createTempDirectory("graft_imgate_ckpt").toString
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("img_id", LongType), StructField("payload", BinaryType))))
+      .parquet(inDir)
+    val q = LogStream.startImageGateSink(
+      stream, "payload", passDir, rejDir, ckpt, minDim = 1, maxDim = 100)
+    try { q.processAllAvailable() } finally q.stop()
+    val gotPass = spark.read.parquet(passDir)
+      .select("img_id", "format", "width", "height")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(gotPass === Set(
+      (1L, "png", 10, 6), (2L, "jpeg", 3, 3), (3L, "gif", 8, 2), (4L, "bmp", 5, 5)))
+    val gotRej = spark.read.parquet(rejDir)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    assert(gotRej === Set(5L, 6L, 7L))
+    // reject rows carry the sniffed metadata for triage
+    assert(Set("format", "width", "height")
+      .subsetOf(spark.read.parquet(rejDir).columns.toSet))
+  }
+
   test("st28: streaming PII scrub matches the batch transform byte-for-byte across micro-batches") {
     import graft.functions.TextFunctions
     val inDir = Files.createTempDirectory("graft_pii_in").toString
