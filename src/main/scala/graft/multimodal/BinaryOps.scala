@@ -303,30 +303,61 @@ object BinaryOps {
     * encode → opaque binary column → header-sniffed typed metadata
     * with no fake anywhere.
     */
+  /** One deterministic grayscale container (see [[renderImages]]):
+    * the raster is a pure function of (seed, x, y), so two renders
+    * with the same (seed, w, h) are pixel-identical whatever the
+    * container format — the property m13's cross-format dedup rests
+    * on. 8-bit grayscale, raster written directly: deterministic
+    * bytes (no colorspace conversion) and ≤256 colors, which every
+    * JDK writer (incl. GIF's palette quantizer) accepts.
+    */
+  private def renderOne(seed: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    // splitmix64 scramble: consecutive seeds must yield unrelated
+    // rasters (a LINEAR seed term shifts values mod 256, which can
+    // leave two seeds' 8×8 threshold patterns — and thus their
+    // aHashes — identical)
+    var z = seed * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          (((x * 31 + y * 17) + (z >>> ((x + y) & 56)) + z) & 0xffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
   def renderImages(specs: Dataset[(Long, Int, Int, String)]): Dataset[RenderedImage] = {
     import specs.sparkSession.implicits._
     specs.mapPartitions { it =>
       // real binding would initialize the codec once per partition here
       it.map { case (id, w, h, fmt) =>
-        // 8-bit grayscale, raster written directly: deterministic
-        // bytes (no colorspace conversion) and ≤256 colors, which
-        // every JDK writer (incl. GIF's palette quantizer) accepts
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            raster.setSample(x, y, 0, ((x * 31 + y * 17 + id * 13) & 0xffL).toInt)
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, fmt, bos)
-        RenderedImage(id, fmt, w, h, bos.toByteArray)
+        RenderedImage(id, fmt, w, h, renderOne(id, w, h, fmt))
       }
+    }
+  }
+
+  /** [[renderImages]] with the raster seed decoupled from the row id:
+    * rows sharing a seed are pixel-identical duplicates under
+    * different ids (and possibly different container formats) — the
+    * fixture generator for image-dedup operators.
+    */
+  def renderImagesSeeded(
+      specs: Dataset[(Long, Long, Int, Int, String)]): Dataset[(Long, Array[Byte])] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { it =>
+      it.map { case (id, seed, w, h, fmt) => (id, renderOne(seed, w, h, fmt)) }
     }
   }
 
@@ -371,6 +402,63 @@ object BinaryOps {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(dst, "png", bos)
           ResizedImage(id, w, h, bos.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** A perceptual image hash row: 64-bit average-hash as 16 hex
+    * chars; ok=false (empty hash) for undecodable payloads.
+    */
+  case class ImageHash(id: Long, ahash: String, ok: Boolean)
+
+  /** REAL perceptual image hashing (aHash, the average-hash family
+    * used for image-corpus near-dup detection): decode the container
+    * (ImageIO), bilinear-scale to an 8×8 grayscale thumb, threshold
+    * each cell against the thumb's mean → 64 bits, hex-encoded.
+    * Because the hash is computed from decoded PIXELS, the same image
+    * re-encoded in a different lossless container (PNG vs BMP vs GIF)
+    * hashes IDENTICALLY — which is exactly what byte-grain dedup
+    * (d1/lk41) can never see — and a lossy JPEG re-encode lands
+    * within small Hamming distance, pairing via the same
+    * Hamming-bucket machinery as d3's text SimHash. Map-only per row
+    * (bytes never shuffle; the 16-char hash is what aggregates), cost
+    * bounded by decode + 64 samples. Undecodable payloads flag
+    * ok=false, never throw.
+    */
+  def aHash(images: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (src == null) ImageHash(id, "", ok = false)
+        else {
+          val thumb = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = thumb.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, 8, 8, null)
+          } finally g.dispose()
+          val px = new Array[Int](64)
+          var i = 0
+          while (i < 64) {
+            px(i) = thumb.getRaster.getSample(i % 8, i / 8, 0)
+            i += 1
+          }
+          var sum = 0L
+          px.foreach(sum += _)
+          val mean = sum / 64.0
+          var bits = 0L
+          i = 0
+          while (i < 64) {
+            if (px(i) > mean) bits |= (1L << (63 - i))
+            i += 1
+          }
+          ImageHash(id, f"$bits%016x", ok = true)
         }
       }
     }

@@ -214,6 +214,34 @@ object MultimodalQueries {
           col("meta.width").cast("long").as("thumb_w"),
           col("meta.height").cast("long").as("thumb_h"))
         .orderBy("doc_id")
+    }),
+
+    // REAL perceptual image dedup: docs sharing a raster seed are
+    // pixel-identical images shipped in DIFFERENT lossless containers
+    // (png vs bmp by id parity — byte-grain dedup sees distinct
+    // blobs), so their decoded aHash collides exactly and the cluster
+    // report groups them; the oracle replays the seed arithmetic, so
+    // matching requires the decode→thumb→hash path to be both correct
+    // and container-invariant. Different seeds hash distinct (the 50
+    // possible rasters are data-independent; spec-pinned). Only the
+    // 16-char hash shuffles, never pixels
+    "m13_image_ahash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          pmod(col("doc_id"), lit(50)).cast("long").as("seed"))
+        .select(col("id"), col("seed"),
+          (pmod(col("seed"), lit(29)) + 1).cast("int").as("w"),
+          (pmod(col("seed"), lit(17)) + 1).cast("int").as("h"),
+          element_at(array(lit("png"), lit("bmp")),
+            (pmod(col("id"), lit(2)) + 1).cast("int")).as("fmt"))
+        .as[(Long, Long, Int, Int, String)]
+      BinaryOps.aHash(BinaryOps.renderImagesSeeded(specs)).toDF()
+        .groupBy("ahash")
+        .agg(min(col("id")).as("first_doc"), count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > 1)
+        .select(col("first_doc"), col("n_docs"))
+        .orderBy("first_doc")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -244,6 +272,13 @@ object MultimodalQueries {
         |CASE WHEN greatest(w, h) <= 8 THEN h
         |  ELSE greatest(1, (h * 8) // greatest(w, h)) END::BIGINT AS thumb_h
         |FROM spec ORDER BY doc_id""".stripMargin,
+    // seed-arithmetic replay of the pixel-identical clusters: every
+    // seed held by >1 document is one exact perceptual-dup cluster
+    "m13_image_ahash_dedup" ->
+      """WITH spec AS (SELECT doc_id, doc_id % 50 AS seed FROM documents)
+        |SELECT min(doc_id)::BIGINT AS first_doc, count(*)::BIGINT AS n_docs
+        |FROM spec GROUP BY seed HAVING count(*) > 1
+        |ORDER BY first_doc""".stripMargin,
     // replay of the byte-4-gram (8 hex chars, stride 2) SimHash
     "m4_binary_simhash" ->
       ("""WITH hx AS (

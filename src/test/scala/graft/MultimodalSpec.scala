@@ -296,6 +296,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L).payload.isEmpty)
   }
 
+  test("m13: aHash is container-invariant for lossless formats, near for jpeg, distinct across rasters") {
+    import spark.implicits._
+    import graft.multimodal.BinaryOps
+    // same (seed, w, h) in four containers: lossless must collide
+    // EXACTLY; jpeg's DCT loss lands within small Hamming distance
+    val specs = Seq(
+      (0L, 7L, 20, 12, "png"), (1L, 7L, 20, 12, "bmp"),
+      (2L, 7L, 20, 12, "gif"), (3L, 7L, 20, 12, "jpeg")).toDS()
+    val hs = BinaryOps.aHash(BinaryOps.renderImagesSeeded(specs))
+      .collect().map(h => h.id -> h).toMap
+    assert(hs.values.forall(_.ok))
+    assert(hs(0L).ahash === hs(1L).ahash)
+    assert(hs(0L).ahash === hs(2L).ahash)
+    def hamming(a: String, b: String): Int =
+      java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^
+        java.lang.Long.parseUnsignedLong(b, 16))
+    assert(hamming(hs(0L).ahash, hs(3L).ahash) <= 8,
+      s"jpeg drifted ${hamming(hs(0L).ahash, hs(3L).ahash)} bits")
+    // junk flags, never throws
+    val bad = BinaryOps.aHash(Seq((9L, "nope".getBytes("UTF-8"))).toDS()).collect()
+    assert(bad.head.ok === false && bad.head.ahash === "")
+    // the 50 m13 fixture rasters (seed → dims from the same
+    // arithmetic as the query) hash pairwise-distinct — the property
+    // the oracle's seed replay rests on, data-independent by
+    // construction so checking it once here pins it at every SF
+    val all = (0L until 50L).map(sd =>
+      (sd, sd, (sd % 29 + 1).toInt, (sd % 17 + 1).toInt, "png")).toDS()
+    val hashes = BinaryOps.aHash(BinaryOps.renderImagesSeeded(all))
+      .collect().map(_.ahash)
+    assert(hashes.distinct.length === 50, "seed rasters must hash distinct")
+  }
+
   test("lk43: a zero-chunk (empty/null) blob is admitted and accounted, never silently dropped") {
     import java.nio.file.Files
     import graft.multimodal.BinaryOps
