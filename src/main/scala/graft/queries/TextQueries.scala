@@ -426,6 +426,34 @@ object TextQueries {
     // Corpus stats are one agg broadcast back over the token stream.
     "t13_lm_score" -> ((s, dir) => lmScores(s, dir).orderBy("doc_id")),
 
+    // CCNet-style perplexity bucketing: per language, rank docs by
+    // the t13 unigram LM score (best = "head") and split head /
+    // middle / tail thirds — the pre-training corpus partition that
+    // trains on the head and discards or down-weights the tail.
+    // Bucket boundaries use INTEGER arithmetic (rank0*3 div n_lang,
+    // the front-loaded NTILE split) so both engines agree exactly.
+    // The rank comes from ScalableWindow.prefixSum — range-partition
+    // by (lang, score), local cumsum, broadcast per-partition offsets
+    // — NOT a Window.partitionBy(lang): with a handful of languages a
+    // plain window sorts the whole corpus in ~4 tasks at 100 TB,
+    // while this shape's parallelism tracks data size
+    "t34_perplexity_buckets" -> ((s, dir) => {
+      val scored = lmScores(s, dir)
+        .join(table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      val ranked = graft.operators.ScalableWindow.prefixSum(
+        scored, Seq("lang"),
+        Seq(col("avg_logprob").desc, col("doc_id")), lit(1L), "rank0")
+      ranked
+        .join(broadcast(scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))), "lang")
+        .withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            expr("cast(rank0 * 3 div n_lang as int)") + 1))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("avg_logprob").as("min_lp"), max("avg_logprob").as("max_lp"))
+        .orderBy("lang", "bucket")
+    }),
+
     // quality-signal agreement: per-source Pearson correlation between
     // the t2 heuristic score and the t13 LM log-prob — the "do our
     // filter signals agree, and where do they diverge" QC run before
@@ -781,6 +809,32 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "t34_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents
+        |), cc AS (
+        |  SELECT token, count(*) AS c FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) AS tot FROM toks
+        |), lp AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |  round(sum(ln(c::DOUBLE / tot)) / count(*), 4) AS avg_logprob
+        |  FROM toks JOIN cc USING (token) CROSS JOIN tot GROUP BY 1
+        |), sc AS (
+        |  SELECT d.lang, l.doc_id, l.n_tok, l.avg_logprob
+        |  FROM lp l JOIN documents d USING (doc_id)
+        |), r AS (
+        |  SELECT lang, n_tok, avg_logprob,
+        |  row_number() OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) - 1 AS rank0,
+        |  count(*) OVER (PARTITION BY lang) AS n_lang FROM sc
+        |)
+        |SELECT lang,
+        |CASE (rank0 * 3) // n_lang WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |  ELSE 'tail' END AS bucket,
+        |count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |min(avg_logprob) AS min_lp, max(avg_logprob) AS max_lp
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t33_line_dedup" ->
       """WITH sents AS (
         |  SELECT doc_id, trim(s) AS sent
