@@ -116,6 +116,108 @@ object Dedup {
     IngestReport(nAdmit, nIndexed, nIntra, dataVersion, indexVersion)
   }
 
+  // ---------------------------------------------------------------
+  // lk44: sentence-grain scrub ingest against a persisted line index.
+
+  /** Sentence decomposition shared by the lk44 gate and its t33
+    * batch twin: split on ". ", trim, drop empties; (pos, sent, fp).
+    */
+  private def sentences(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "raw")))
+      .withColumn("sent", trim(col("raw")))
+      .where(length(col("sent")) > 0)
+      .select(col("__id"), col("pos"), col("sent"), md5(col("sent")).as("fp"))
+
+  /** Seed the line index: the corpus's DISTINCT sentence
+    * fingerprints (one md5 per distinct sentence — text never
+    * stored). Note the init indexes EVERY corpus sentence, so a
+    * subsequent ingest scrubs sentences the corpus has ONCE —
+    * matching the gate's contract (membership = seen before), which
+    * is stricter than t33's batch report (>1 document). Seed from a
+    * t33-scrubbed corpus when the looser batch semantics are wanted.
+    */
+  def lineIndexInit(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, textCol: String, idCol: String): Int = {
+    sentences(spread(corpus), textCol, idCol)
+      .select("fp").distinct()
+      .write.mode("errorifexists").parquet(indexPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
+  }
+
+  final case class LineIngestReport(
+      docsIn: Long, docsAdmitted: Long, docsDroppedEmpty: Long,
+      sentsIn: Long, sentsKept: Long,
+      dataVersion: Int, indexVersion: Int)
+
+  /** lk44: continuous C4-style line dedup — [[indexedIngest]]'s
+    * SENTENCE-grain sibling, the scrubbing (not rejecting) member of
+    * the persisted-index family. Each increment document is split
+    * into sentences; a sentence already in the index (seen in the
+    * corpus or an earlier batch) or already kept by an EARLIER
+    * increment occurrence (min id, then min position — one window
+    * over the fp-grain, increment-sized) is REMOVED; the document is
+    * rebuilt from its survivors in original order and admitted unless
+    * nothing survived (a wholly-boilerplate doc drops). Surviving
+    * fingerprints append to the index distinct-against-it, so the
+    * gate's cost stays O(increment + index membership join) — the
+    * corpus is never rescanned — and a fully-landed batch replays to
+    * ZERO admits (every sentence now indexed ⇒ every doc scrubs to
+    * empty). Every wide op is INCREMENT-sized — the gate join probes
+    * the index but the corpus text is never read, let alone shuffled;
+    * the increment's own sentences shuffle once for the fp-grain
+    * first-occurrence window and once for reconstruction. Commit
+    * order data-then-index and the SINGLE-INGEST-WRITER contract as
+    * documented on [[indexedIngest]].
+    */
+  def lineGatedIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, indexPath: String,
+      increment: DataFrame, textCol: String, idCol: String): LineIngestReport = {
+    import graft.sources.ParquetLake
+    val inc = increment.localCheckpoint(eager = false)
+    val sents = sentences(spread(inc), textCol, idCol)
+      .localCheckpoint(eager = false) // feeds gate + survivors + index append
+    val index = ParquetLake.readManifested(spark, indexPath)
+    // first increment occurrence per fingerprint: min (id, pos)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      .orderBy(col("__id"), col("pos"))
+    val gated = sents
+      .join(index.select(col("fp"), lit(true).as("indexed")), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", col("indexed").isNull && col("rn") === 1)
+      .localCheckpoint(eager = false)
+    val survivors = gated.where(col("keep"))
+    val rebuilt = survivors
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("sent")))), _.getField("sent")),
+          ". ").as("__text"))
+    val admitted = inc
+      .join(rebuilt, inc(idCol) === rebuilt("__id"), "inner")
+      .withColumn(textCol, col("__text"))
+      .drop("__id", "__n_kept", "__text")
+      .localCheckpoint(eager = false)
+    val docsIn = inc.count()
+    val nAdmit = admitted.count()
+    val sentsIn = sents.count()
+    val sentsKept = survivors.count()
+    val stage = s"line_${java.util.UUID.randomUUID().toString.take(8)}"
+    val (dataVersion, indexVersion) =
+      if (nAdmit == 0) (0, 0)
+      else {
+        ParquetLake.stageAppend(spark, dataPath, admitted, stage)
+        val dv = ParquetLake.publishStaged(spark, dataPath, stage)
+        ParquetLake.stageAppend(spark, indexPath,
+          survivors.select("fp").distinct(), stage)
+        (dv, ParquetLake.publishStaged(spark, indexPath, stage))
+      }
+    LineIngestReport(docsIn, nAdmit, docsIn - nAdmit, sentsIn, sentsKept,
+      dataVersion, indexVersion)
+  }
+
   /** lk42: the NEAR-dup index as a lake table — [[indexedIngest]]'s
     * MinHash-LSH sibling. The persisted index is the corpus's BAND
     * KEYS (id, band, hash): ~bands rows per doc, text never stored.

@@ -403,6 +403,33 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** st38: continuous C4-style LINE scrubbing ingest — lk44's
+    * sentence-grain gate per micro-batch, the scrubbing (not
+    * rejecting) member of this sink family: each arriving document is
+    * rebuilt without the sentences the line index has already seen
+    * (corpus boilerplate, earlier batches' text, earlier occurrences
+    * within the batch), wholly-boilerplate docs drop, and the
+    * survivors' fingerprints extend the index — so cross-batch
+    * repeated sentences scrub for free and a re-delivered batch
+    * admits nothing (every sentence then indexed). Replay/crash
+    * semantics inherit lk44's.
+    */
+  def startLineScrubIngestSink(
+      docs: DataFrame, dataPath: String, indexPath: String,
+      textCol: String, idCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.lineGatedIngest(
+            batch.sparkSession, dataPath, indexPath, batch, textCol, idCol)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   /** st36: continuous chunk-gated BLOB ingest — lk43's gate per
     * micro-batch, the binary sibling of [[startDedupIngestSink]]: a
     * media/checkpoint/crawl-blob stream lands exactly-deduplicated at

@@ -432,4 +432,47 @@ class DedupSpec extends SparkSpec {
     assert(r2.rejectedIndexed === increment.count())
     assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === lake.count())
   }
+
+  test("lk44: line index scrubs ingest at sentence grain — rebuilds docs, drops boilerplate-only, replays to zero") {
+    import java.nio.file.Files
+    val dataPath = Files.createTempDirectory("graft_line_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_line_idx").toString + "/index"
+    val corpus = Seq(
+      (1L, "all rights reserved. alpha one. alpha two"),
+      (2L, "beta one. beta two")).toDF("doc_id", "text")
+    corpus.write.parquet(dataPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, dataPath)
+    Dedup.lineIndexInit(spark, indexPath, corpus, "text", "doc_id")
+    assert(graft.sources.ParquetLake.readManifested(spark, indexPath).count() === 5)
+
+    val inc = Seq(
+      (10L, "gamma one. gamma two"),                      // wholly fresh
+      (11L, "all rights reserved. delta one"),            // corpus boilerplate scrubs
+      (12L, "alpha one. beta two"),                       // wholly boilerplate → drops
+      (13L, "epsilon shared. eps own"),                   // first holder of the shared line
+      (14L, "epsilon shared. zeta own")                   // later occurrence scrubs
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineGatedIngest(spark, dataPath, indexPath, inc, "text", "doc_id")
+    assert(r.docsIn === 5L)
+    assert(r.docsAdmitted === 4L, r.toString)
+    assert(r.docsDroppedEmpty === 1L)
+    assert(r.sentsIn === 10L)
+    assert(r.sentsKept === 6L, r.toString) // gamma×2, delta, eps-shared, eps-own, zeta
+    val landed = graft.sources.ParquetLake.readManifested(spark, dataPath)
+      .where(col("doc_id") >= 10L)
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(landed === Map(
+      10L -> "gamma one. gamma two",
+      11L -> "delta one",
+      13L -> "epsilon shared. eps own",
+      14L -> "zeta own"))
+    // index grew by exactly the surviving fingerprints
+    assert(graft.sources.ParquetLake.readManifested(spark, indexPath).count() === 11)
+    // replay: every sentence indexed now → all docs scrub to empty
+    val r2 = Dedup.lineGatedIngest(spark, dataPath, indexPath, inc, "text", "doc_id")
+    assert(r2.docsAdmitted === 0L, r2.toString)
+    assert(r2.sentsKept === 0L)
+    assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === 6)
+  }
 }

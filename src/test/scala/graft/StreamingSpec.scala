@@ -1398,6 +1398,53 @@ class StreamingSpec extends SparkSpec {
     assert(lake.where(col("doc_id") >= 100000L).count() === 0)
   }
 
+  test("st38: continuous line-scrub ingest — cross-batch repeated sentences scrub, boilerplate-only docs drop") {
+    import org.apache.spark.sql.SaveMode
+    import graft.operators.Dedup
+    import graft.sources.ParquetLake
+    val inDir = Files.createTempDirectory("graft_ls_in").toString
+    val dataPath = Files.createTempDirectory("graft_ls_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_ls_idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_ls_ckpt").toString
+    val corpus = Seq((1L, "all rights reserved. alpha one")).toDF("doc_id", "text")
+    corpus.write.parquet(dataPath)
+    ParquetLake.snapshotManifest(spark, dataPath)
+    Dedup.lineIndexInit(spark, indexPath, corpus, "text", "doc_id")
+
+    val batch1 = Seq(
+      (10L, "fresh one. fresh two"),
+      (11L, "all rights reserved. fresh three")).toDF("doc_id", "text")
+    batch1.write.mode(SaveMode.Overwrite).parquet(inDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .parquet(inDir)
+    val q = LogStream.startLineScrubIngestSink(
+      stream, dataPath, indexPath, "text", "doc_id", ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2 repeats batch 1's sentences — the index batch 1 just
+      // extended must scrub them
+      Seq(
+        (20L, "fresh one. brand new"),     // "fresh one" scrubs (batch 1)
+        (21L, "fresh two. fresh three"))   // wholly seen → drops
+        .toDF("doc_id", "text")
+        .write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = ParquetLake.readManifested(spark, dataPath)
+      .where(col("doc_id") >= 10L)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(landed === Map(
+      10L -> "fresh one. fresh two",
+      11L -> "fresh three",
+      20L -> "brand new"))
+    // index holds exactly the corpus + surviving sentences
+    assert(ParquetLake.readManifested(spark, indexPath).count() === 6)
+  }
+
   test("st36: continuous chunk-gated blob ingest — near-copies reject across micro-batches") {
     import org.apache.spark.sql.SaveMode
     import graft.multimodal.BinaryOps
