@@ -639,6 +639,47 @@ object AnalyticsQueries {
         .orderBy("d")
     }),
 
+    // a7's ORACLE-CHECKED twin: the same sketch-reuse rolling-distinct
+    // shape with KMV bottom-k minima instead of HLL registers, so the
+    // whole estimator replays in DuckDB (a9's md5 arithmetic — both
+    // engines compute hash, merge, and (k-1)/u_k bit-identically) and
+    // the row hash-matches IN the estimating regime. The KMV merge
+    // property does the work: bottom-k(∪days) ⊆ ∪(per-day bottom-k),
+    // so each trailing-7-day estimate re-ranks ≤ 7k longs — per-day
+    // state is O(k), the fact is hashed/deduped ONCE, and the rolling
+    // series never rescans events (the day-grain self-join is bounded
+    // by the calendar, broadcast-class at any corpus size). When the
+    // minima union holds < k hashes every member day was exhaustive,
+    // so the count is exact — the same honest fallback a9 takes.
+    "a12_kmv_rolling" -> ((s, dir) => {
+      val k = 64
+      val u = lit(4503599627370496.0) // 2^52: 13 hex md5 digits, exact in a double
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+        .cast("long").as("h")
+      val ev = events(s, dir)
+      val perDay = ev.select(to_date(col("ts")).as("d"), h).distinct()
+        .groupBy("d")
+        .agg(graft.functions.topk(-col("h").cast("double") / u, col("h"), k).as("tk"))
+      val counts = ev.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_events"))
+      val days = perDay.join(counts, "d")
+        .localCheckpoint(eager = false) // feeds both sides of the window join
+      val joined = days.select(col("d").as("d0"))
+        .join(days, datediff(col("d0"), col("d")).between(0, 6))
+      val nev = joined.groupBy("d0").agg(sum("n_events").as("n_events_7d"))
+      val agg = joined.select(col("d0"), explode(col("tk")).as("e"))
+        .select(col("d0"), col("e.id").as("h")).distinct()
+        .groupBy("d0").agg(
+          graft.functions.topk(-col("h").cast("double") / u, col("h"), k).as("tk"),
+          count(lit(1)).as("n"))
+      val est = when(col("n") >= k,
+          lit((k - 1).toDouble) / -element_at(col("tk"), k).getField("score"))
+        .otherwise(col("n").cast("double"))
+      agg.join(nev, "d0")
+        .select(date_format(col("d0"), "yyyy-MM-dd").as("d"),
+          round(est, 4).as("kmv_users_7d"), col("n_events_7d"))
+        .orderBy("d")
+    }),
+
     "a2_sketch_merge" -> ((s, dir) => {
       val sk = events(s, dir)
         .groupBy("event_type")
@@ -1739,6 +1780,42 @@ object AnalyticsQueries {
         |  round(est, 4) AS kmv_est,
         |  round(abs(est - n) / n, 4) AS rel_err
         |FROM e ORDER BY event_type""".stripMargin,
+    "a12_kmv_rolling" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT ts::DATE AS d,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+        |  FROM events
+        |), perday AS (
+        |  SELECT d, h FROM (
+        |    SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        |    FROM hashed
+        |  ) WHERE rn <= 64
+        |), ev AS (
+        |  SELECT ts::DATE AS d, count(*) AS n_events FROM events GROUP BY 1
+        |), win AS (
+        |  SELECT d0.d AS d0, p.h
+        |  FROM (SELECT DISTINCT d FROM perday) d0
+        |  JOIN perday p ON date_diff('day', p.d, d0.d) BETWEEN 0 AND 6
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT d0, h,
+        |    row_number() OVER (PARTITION BY d0 ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY d0) AS n
+        |  FROM win
+        |), e AS (
+        |  SELECT d0, n,
+        |    CASE WHEN n >= 64 THEN 63.0 / (h / 4503599627370496.0)
+        |         ELSE n::DOUBLE END AS est
+        |  FROM r WHERE rn = least(n, 64)
+        |), evw AS (
+        |  SELECT d0.d AS d0, sum(ev.n_events) AS n_events_7d
+        |  FROM (SELECT DISTINCT d FROM ev) d0
+        |  JOIN ev ON date_diff('day', ev.d, d0.d) BETWEEN 0 AND 6
+        |  GROUP BY 1
+        |)
+        |SELECT strftime(e.d0, '%Y-%m-%d') AS d,
+        |  round(e.est, 4) AS kmv_users_7d, evw.n_events_7d
+        |FROM e JOIN evw ON e.d0 = evw.d0 ORDER BY 1""".stripMargin,
     "q27_market_share" ->
       """WITH f AS (
         |  SELECT year(o_orderdate)::BIGINT AS yr,

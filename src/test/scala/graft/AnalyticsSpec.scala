@@ -106,6 +106,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a12: rolling 7-day KMV estimates track the exact rolling distinct within 3/sqrt(k)") {
+    import org.apache.spark.sql.functions._
+    val approx = AnalyticsQueries.queries("a12_kmv_rolling")(spark, sf).collect()
+      .map(r => r.getAs[String]("d") -> r.getAs[Double]("kmv_users_7d")).toMap
+    val ev = graft.queries.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val exact = ev.select(col("d").as("d0")).distinct()
+      .join(ev, datediff(col("d0"), col("d")).between(0, 6))
+      .groupBy("d0").agg(countDistinct("user_id").as("exact_users"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("d0").toString -> r.getAs[Long]("exact_users")).toMap
+    assert(approx.keySet === exact.keySet)
+    // KMV stderr ~ 1/sqrt(k); 3-sigma bound at k=64 is 37.5%
+    approx.foreach { case (d, a) =>
+      val e = exact(d)
+      assert(math.abs(a - e) / e <= 0.375, s"day $d kmv=$a exact=$e")
+    }
+  }
+
   test("a3: approx quantiles land within rank tolerance of the exact answer") {
     import org.apache.spark.sql.functions._
     val approx = AnalyticsQueries.queries("a3_approx_quantiles")(spark, sf).collect()
