@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Scale-headroom bench: the worst (most expensive) rows timed at
+  * sf0.1 AND at 10× data (tmp/sf1), emitted as one JSON artifact so
+  * the per-round verdict can grade scale behavior from a file instead
+  * of hand-run notes. Protocol per (query, dir): one warmup pass, one
+  * measured pass, same JVM — the warm number is the steady-state cost
+  * the headroom ratio cares about (cold JIT/IO noise would swamp the
+  * 10× signal). Orchestrated by tools/headroom.py, which picks the
+  * worst-N rows from the committed bench detail and rebuilds tmp/sf1.
+  *
+  * Args: outFile sf01Dir sf1Dir query [query ...]
+  */
+object Headroom {
+  def main(args: Array[String]): Unit = {
+    val outFile = args(0)
+    val sf01 = args(1)
+    val sf1 = args(2)
+    val queries = args.drop(3).toSeq
+    val spark = GraftSession.builder(32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup pass over both dirs (JIT, codegen cache, FS metadata),
+    // then the measured pass in the same order
+    queries.foreach { q => run(q, sf01); run(q, sf1) }
+    val rows = queries.map { q =>
+      val a = run(q, sf01)
+      val b = run(q, sf1)
+      System.err.println(f"HEADROOM $q sf01=$a%.2f sf1=$b%.2f ratio=${b / a}%.1f")
+      f"""{"query":"$q","sf01_sec":${"%.3f".format(a)},"sf1_sec":${"%.3f".format(b)},"ratio":${"%.2f".format(b / a)}}"""
+    }
+    val json =
+      s"""{"protocol":"warm second pass, one JVM, local[32]","sf01_dir":"$sf01","sf1_dir":"$sf1","rows":[${rows.mkString(",")}]}"""
+    Files.writeString(Paths.get(outFile), json + "\n")
+    println(s"HEADROOM_DONE $outFile")
+    spark.stop()
+  }
+}

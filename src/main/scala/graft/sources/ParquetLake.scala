@@ -1057,6 +1057,61 @@ object ParquetLake {
     committed
   }
 
+  /** Publish an APPEND-ONLY branch atop a moved main — the delta
+    * rebase [[publishBranch]]'s fast-forward refuses. A branch whose
+    * every commit only added files carries a well-defined delta
+    * (head listing minus fork listing), and appends compose with any
+    * interleaving (the [[publishStaged]] argument, generalized from
+    * one pending stage to a branch chain), so the publish re-reads
+    * the CURRENT main head and commits head ++ delta via the same
+    * CAS-rebase loop — concurrent main commits just mean retry, and
+    * the current head's pending deletion vectors ride along (the
+    * fork's dv header is stale by construction: main owns those
+    * files now). A branch that rewrote or dropped any fork file
+    * refuses loudly — a replace cannot rebase a concurrent delta;
+    * use [[publishBranch]] at the fork head or re-branch and replay.
+    * Returns the committed main version.
+    */
+  def publishBranchRebase(
+      spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 8): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val (_, files, headers) = branchListing(spark, path, name, None)
+    val fork = headers.getOrElse("fork",
+      throw new IllegalStateException(
+        s"branch '$name' under $path has no fork header")).toInt
+    val forkFiles = readManifest(spark, path, Some(fork)).getOrElse(Seq.empty)
+    val removed = forkFiles.filterNot(files.toSet)
+    require(removed.isEmpty,
+      s"branch '$name' is not append-only (missing ${removed.length} fork " +
+        s"file(s), e.g. ${removed.take(3).mkString(", ")}); a rewrite cannot " +
+        "rebase onto a moved main — publishBranch at the fork head or re-branch")
+    val branchDelta = files.filterNot(forkFiles.toSet)
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      val latest = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $path"))
+      val base = readManifest(spark, path, Some(latest)).getOrElse(Seq.empty)
+      val delta = branchDelta.filterNot(base.toSet) // crash-replay guard
+      val dvs = dvList(spark, path, Some(latest))
+      try committed =
+        if (delta.isEmpty) latest
+        else commitManifest(spark, path, base ++ delta, Some(latest),
+          headers = if (dvs.isEmpty) Map.empty[String, String]
+            else Map(DvHeaderKey -> dvs.mkString(",")))
+      catch {
+        case e: ManifestConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          log.info(s"publishBranchRebase conflict on $path/$name " +
+            s"(attempt $attempt/$maxRetries), rebasing: ${e.getMessage}")
+      }
+    }
+    branchVersions(fs, root, name).foreach { case (_, p) => fs.delete(p, false) }
+    committed
+  }
+
   /** Drop a branch without publishing: its listings are deleted and
     * any files only it referenced become vacuum-collectable orphans.
     */
@@ -2929,5 +2984,194 @@ object ParquetLake {
         .filterNot(keptDv)
     dvOrphans.foreach(f => fs.delete(new Path(root, f), true))
     dataOrphans ++ dvOrphans ++ oldManifests.map(_._2.getName)
+  }
+
+  // ---------------------------------------------------------------
+  // lk45: incremental materialized aggregate (matview) — a
+  // count/sum/min/max rollup over the lake maintained from the
+  // MANIFEST DIFF, so the daily refresh of a corpus-wide report costs
+  // the day's appended files, not a 100 TB rescan. The algebra is
+  // deliberately the self-maintainable one: count and sum merge by
+  // addition, min/max by min/max, so an append-only diff folds the
+  // NEW files' partials into the stored group rows with one
+  // group-sized merge. Anything that rewrites or tombstones history
+  // (compaction, COW delete/update, a changed deletion-vector set)
+  // breaks pure addition — min/max are not subtractable — and the
+  // refresh honestly falls back to one full recompute of the
+  // merge-on-read view rather than risk a silently-stale rollup.
+  // Storage is the lake's own mechanism: a versioned CAS listing
+  // `_graft_matview_<name>.v<N>` whose headers pin the main version
+  // the rollup reflects (base) and the refresh mode, pointing at a
+  // group-sized parquet snapshot under the lake root.
+
+  /** One refresh outcome: the matview version now current, how it was
+    * produced (`full` | `incremental` | `noop`), how many data files
+    * the refresh scanned (the cost receipt: `incremental` scans
+    * exactly the appended files), and the main version it reflects.
+    */
+  final case class MatviewRefresh(
+      version: Int, mode: String, scannedFiles: Int, baseVersion: Int)
+
+  private def matviewPrefix(name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"matview name must be [A-Za-z0-9_-]+, got '$name'")
+    s"_graft_matview_${name}.v"
+  }
+
+  private def matviewVersions(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      name: String): Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val prefix = matviewPrefix(name)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.stripPrefix(prefix).toInt -> s.getPath)
+      .sortBy(_._1)
+  }
+
+  private def matviewAggregate(
+      df: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_rows"),
+      measures.flatMap(m => Seq(
+        sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
+        max(col(m)).as(s"max_$m"))): _*)
+
+  private def matviewMerge(
+      partials: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
+    partials.groupBy(keys.map(col): _*).agg(
+      sum(col("n_rows")).as("n_rows"),
+      measures.flatMap(m => Seq(
+        sum(col(s"sum_$m")).as(s"sum_$m"),
+        min(col(s"min_$m")).as(s"min_$m"),
+        max(col(s"max_$m")).as(s"max_$m"))): _*)
+
+  /** Bring the matview `name` up to the lake's current head. First
+    * call builds it full; later calls read the manifest diff since
+    * the recorded base version and take the cheapest SOUND path —
+    * `noop` when main hasn't moved, `incremental` (scan exactly the
+    * appended files, merge partials) when the diff is append-only
+    * and the deletion-vector set is unchanged, `full` (recompute
+    * from the MoR view) otherwise. `keys`/`measures` must match
+    * across refreshes of the same name (the stored schema is the
+    * contract). Multi-refresher safe via the manifest CAS: a loser
+    * re-reads and retries against the new state.
+    */
+  def matviewRefresh(
+      spark: SparkSession, path: String, name: String,
+      keys: Seq[String], measures: Seq[String] = Seq.empty,
+      maxRetries: Int = 5): MatviewRefresh = {
+    require(keys.nonEmpty, "matview needs at least one key column")
+    val (fs, root) = fsFor(spark, path)
+    var attempt = 0
+    while (true) {
+      val headV = manifestVersions(fs, root).lastOption.map(_._1).getOrElse(
+        throw new IllegalStateException(s"no committed manifest under $path"))
+      val headFiles = readManifest(spark, path, Some(headV)).get
+      val headDvs = dvList(spark, path, Some(headV)).sorted
+      val prev = matviewVersions(fs, root, name).lastOption
+      val prevState = prev.map { case (v, p) =>
+        val lines = manifestLines(fs, p)
+        val headers = lines.filter(_.startsWith("# ")).flatMap { l =>
+          val kv = l.stripPrefix("# "); val i = kv.indexOf('=')
+          if (i > 0) Some(kv.take(i) -> kv.drop(i + 1)) else None
+        }.toMap
+        (v, lines.filterNot(_.startsWith("#")), headers("base").toInt)
+      }
+      prevState match {
+        case Some((v, _, base)) if base == headV =>
+          return MatviewRefresh(v, "noop", 0, headV)
+        case _ =>
+      }
+      // decide incremental vs full: the base manifest must still be
+      // retained (vacuum may have dropped it), the diff append-only,
+      // and the dv set unchanged
+      val incremental: Option[Seq[String]] = prevState.flatMap { case (_, _, base) =>
+        val baseFiles = try readManifest(spark, path, Some(base))
+          catch { case _: IllegalArgumentException => None }
+        baseFiles.flatMap { bf =>
+          val baseDvs = dvList(spark, path, Some(base)).sorted
+          val removed = bf.filterNot(headFiles.toSet)
+          if (removed.isEmpty && baseDvs == headDvs)
+            Some(headFiles.filterNot(bf.toSet))
+          else None
+        }
+      }
+      val (mode, scanned, merged) = incremental match {
+        case Some(added) =>
+          val (mvV, mvFiles, _) = prevState.map(s => (s._1, s._2, s._3)).get
+          val stored = spark.read.option("basePath", path)
+            .parquet(mvFiles.map(f => s"$path/$f"): _*)
+          if (added.isEmpty) ("incremental", 0, stored)
+          else {
+            val fresh = matviewAggregate(
+              spark.read.option("basePath", path)
+                .parquet(added.map(f => s"$path/$f"): _*),
+              keys, measures)
+            ("incremental", added.length,
+              matviewMerge(stored.unionByName(fresh), keys, measures))
+          }
+        case None =>
+          ("full", headFiles.length,
+            matviewAggregate(readManifestedMoR(spark, path, Some(headV)),
+              keys, measures))
+      }
+      val nextV = prevState.map(_._1 + 1).getOrElse(1)
+      val dataDir = s"_graft_matview_data_$name/v$nextV"
+      merged.write.mode("overwrite").parquet(s"$path/$dataDir")
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
+        .toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$dataDir/${s.getPath.getName}")
+      try {
+        atomicPublishListing(fs, root, s"${matviewPrefix(name)}$nextV",
+          parts, Map("base" -> headV.toString, "mode" -> mode),
+          s"matview '$name' version $nextV already committed by a concurrent refresher under $path")
+        // retain the previous snapshot for in-flight readers; sweep older
+        matviewVersions(fs, root, name).dropRight(2).foreach { case (v, p) =>
+          fs.delete(p, false)
+          fs.delete(new org.apache.hadoop.fs.Path(root,
+            s"_graft_matview_data_$name/v$v"), true)
+        }
+        return MatviewRefresh(nextV, mode, scanned, headV)
+      } catch {
+        case e: ManifestConflictException =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, dataDir), true)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          log.info(s"matviewRefresh conflict on $path/$name " +
+            s"(attempt $attempt/$maxRetries), retrying: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Read the matview's current rollup: the stored group rows plus a
+    * derived `avg_<m>` per measure. Group-sized — the whole point is
+    * that readers (and the refresh itself) never touch the fact data.
+    */
+  def matviewRead(
+      spark: SparkSession, path: String, name: String,
+      measures: Seq[String] = Seq.empty): DataFrame = {
+    val (fs, root) = fsFor(spark, path)
+    val (_, p) = matviewVersions(fs, root, name).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no matview '$name' under $path"))
+    val files = manifestLines(fs, p).filterNot(_.startsWith("#"))
+    val df = spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+    measures.foldLeft(df)((d, m) =>
+      d.withColumn(s"avg_$m", col(s"sum_$m") / col("n_rows")))
+  }
+
+  /** The main version the matview currently reflects (its staleness
+    * probe: compare against the lake head before trusting it).
+    */
+  def matviewBase(spark: SparkSession, path: String, name: String): Int = {
+    val (fs, root) = fsFor(spark, path)
+    val (_, p) = matviewVersions(fs, root, name).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no matview '$name' under $path"))
+    manifestLines(fs, p).find(_.startsWith("# base=")).map(
+      _.stripPrefix("# base=").toInt).getOrElse(
+      throw new IllegalStateException(s"matview '$name' has no base header"))
   }
 }

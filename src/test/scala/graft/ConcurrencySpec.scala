@@ -267,4 +267,62 @@ class ConcurrencySpec extends SparkSpec {
     // main untouched throughout
     assert(ParquetLake.readManifested(spark, dir).count() === baseCount)
   }
+
+  test("lk38: append-only branch rebase-publishes atop a moved main; fast-forward still conflicts") {
+    import graft.sources.ParquetLake
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_branch_rebase").toString
+    ParquetLake.writePartitioned(
+      graft.queries.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir).localCheckpoint(eager = false)
+    val baseCount = base.count()
+    ParquetLake.createBranch(spark, dir, "feat")
+    // two branch appends (disjoint id ranges)
+    val b1 = base.where(col("event_id") % 4 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val b2 = base.where(col("event_id") % 4 === 1)
+      .withColumn("event_id", col("event_id") + 20000000L)
+    val (n1, n2) = (b1.count(), b2.count())
+    ParquetLake.appendBranch(spark, dir, "feat", b1, Some("p_date"))
+    ParquetLake.appendBranch(spark, dir, "feat", b2, Some("p_date"))
+    // main moves underneath: a concurrent append publishes
+    val m1 = base.where(col("event_id") % 4 === 2)
+      .withColumn("event_id", col("event_id") + 30000000L)
+    val nm = m1.count()
+    ParquetLake.stageAppend(spark, dir, m1, "mainmove", Some("p_date"))
+    ParquetLake.publishStaged(spark, dir, "mainmove")
+    // fast-forward publish refuses: main is no longer at the fork
+    intercept[ParquetLake.ManifestConflictException] {
+      ParquetLake.publishBranch(spark, dir, "feat")
+    }
+    // the rebase publish lands the branch DELTA on the new head
+    val v = ParquetLake.publishBranchRebase(spark, dir, "feat")
+    val head = ParquetLake.readManifested(spark, dir, Some(v))
+    assert(head.count() === baseCount + n1 + n2 + nm)
+    assert(head.where(col("event_id").between(10000000L, 19999999L)).count() === n1)
+    assert(head.where(col("event_id").between(20000000L, 29999999L)).count() === n2)
+    assert(head.where(col("event_id").between(30000000L, 39999999L)).count() === nm)
+    // branch listings consumed; lake consistent
+    assert(!ParquetLake.branches(spark, dir).contains("feat"))
+    assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
+    // the head's pending deletion vectors ride the rebase: tombstone a
+    // slice on main, rebase-publish another append-only branch, and the
+    // MoR view of the published head still excludes the deleted rows
+    val delCount = ParquetLake.readManifested(spark, dir)
+      .where(col("event_id") % 9 === 0 && col("event_id") < 10000000L).count()
+    ParquetLake.deleteVectored(spark, dir,
+      col("event_id") % 9 === 0 && col("event_id") < 10000000L)
+    ParquetLake.createBranch(spark, dir, "feat2")
+    val b3 = base.where(col("event_id") % 4 === 3)
+      .withColumn("event_id", col("event_id") + 40000000L)
+    val n3 = b3.count()
+    ParquetLake.appendBranch(spark, dir, "feat2", b3, Some("p_date"))
+    val v2 = ParquetLake.publishBranchRebase(spark, dir, "feat2")
+    val mor = ParquetLake.readManifestedMoR(spark, dir, Some(v2))
+    assert(mor.count() === baseCount + n1 + n2 + nm + n3 - delCount)
+    assert(mor.where(col("event_id") % 9 === 0 && col("event_id") < 10000000L).count() === 0)
+    assert(mor.where(col("event_id").between(40000000L, 49999999L)).count() === n3)
+  }
 }

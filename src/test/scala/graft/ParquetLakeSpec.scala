@@ -1545,4 +1545,60 @@ class ParquetLakeSpec extends SparkSpec {
     assert(after.length === 1)
     assert(after.head.getAs[Long]("user_id") >= 1000L)
   }
+
+  test("lk45: matview refreshes incrementally on append, falls back to full on rewrite/dv, stays exact") {
+    val dir = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, dir)
+    val keys = Seq("event_type")
+    val ms = Seq("user_id")
+    def expect() = ParquetLake.readManifestedMoR(spark, dir)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_rows"), sum("user_id").as("sum_user_id"),
+        min("user_id").as("min_user_id"), max("user_id").as("max_user_id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def got() = ParquetLake.matviewRead(spark, dir, "mv", ms)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_user_id"),
+          r.getAs[Long]("min_user_id"), r.getAs[Long]("max_user_id"))).toMap
+
+    // first build is full and exact
+    val r1 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
+    assert(r1.mode === "full")
+    assert(got() === expect())
+    // no movement → noop, same version
+    val r2 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
+    assert(r2 === ParquetLake.MatviewRefresh(r1.version, "noop", 0, r1.baseVersion))
+
+    // append-only movement → incremental, scanning EXACTLY the new files
+    val head0 = ParquetLake.readManifest(spark, dir, None).get.toSet
+    val batch = ParquetLake.readManifested(spark, dir)
+      .where(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("event_type", lit("appended"))
+    ParquetLake.stageAppend(spark, dir, batch, "mv-inc", Some("p_date"))
+    ParquetLake.publishStaged(spark, dir, "mv-inc")
+    val added = ParquetLake.readManifest(spark, dir, None).get.toSet -- head0
+    val r3 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
+    assert(r3.mode === "incremental")
+    assert(r3.scannedFiles === added.size)
+    assert(got() === expect())
+    assert(ParquetLake.matviewBase(spark, dir, "mv")
+      === ParquetLake.manifestLog(spark, dir).last._1)
+
+    // COW delete rewrites history → full fallback, still exact
+    ParquetLake.deleteManifested(spark, dir, col("event_type") === "appended")
+    val r4 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
+    assert(r4.mode === "full")
+    assert(got() === expect())
+    assert(!got().contains("appended"))
+
+    // a pending deletion vector changes the MoR view → full fallback
+    val delType = got().keySet.head
+    ParquetLake.deleteVectored(spark, dir, col("event_type") === lit(delType))
+    val r5 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
+    assert(r5.mode === "full")
+    assert(got() === expect())
+    assert(!got().contains(delType))
+  }
 }

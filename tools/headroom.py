@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Emit the per-round scale-headroom artifact (HEADROOM_r{N}.json).
+
+Usage: python3 tools/headroom.py <round> [n_worst] [--skip-sf1-build]
+
+1. Picks the N most expensive queries from BENCH_DETAIL.json (the
+   committed per-row bench), plus any queries named in WATCHLIST —
+   rows whose scale behavior past rounds flagged as worth re-checking.
+2. Rebuilds tmp/sf1 (10x sf0.1) via make_sf1.py unless present and
+   --skip-sf1-build given.
+3. One sbt runMain graft.Headroom invocation times every picked row at
+   sf0.1 and sf1 (warm second pass, one JVM) -> HEADROOM_r{N}.json.
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+# rows with documented nonlinear contracts or past flags — always timed
+WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
+             "a3_approx_quantiles", "q4_running_window"]
+
+
+def main():
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "12"
+    n_worst = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    times = {q: r["sec"] if isinstance(r, dict) else r
+             for q, r in detail["queries"].items()}
+    worst = sorted(times, key=lambda q: -times[q])[:n_worst]
+    picked = list(dict.fromkeys(worst + [w for w in WATCHLIST if w in times]))
+
+    sf1 = REPO / "tmp" / "sf1"
+    if not (sf1.exists() and "--skip-sf1-build" in sys.argv):
+        subprocess.run([sys.executable, str(REPO / "tools" / "make_sf1.py")],
+                       check=True, cwd=REPO)
+
+    out = REPO / f"HEADROOM_r{rnd}.json"
+    args = " ".join([str(out), "/root/testdata/sf0.1", str(sf1)] + picked)
+    subprocess.run(["sbt", "-batch", f"runMain graft.Headroom {args}"],
+                   check=True, cwd=REPO)
+    print(out.read_text())
+
+
+if __name__ == "__main__":
+    main()
