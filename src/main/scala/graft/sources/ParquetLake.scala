@@ -842,7 +842,7 @@ object ParquetLake {
     */
   def publishStaged(
       spark: SparkSession, path: String, stage: String,
-      maxRetries: Int = 5): Int = {
+      maxRetries: Int = 5, headers: Map[String, String] = Map.empty): Int = {
     val (fs, root) = fsFor(spark, path)
     val ref = stagedRefPath(root, stage)
     val staged = stagedManifests(spark, path).getOrElse(stage,
@@ -856,14 +856,15 @@ object ParquetLake {
       val delta = staged.filterNot(base.toSet) // crash-replay guard
       // an append changes no existing file, but the head's pending
       // deletion vectors must ride along or MoR readers of the new
-      // head would see the deleted rows return
+      // head would see the deleted rows return; caller `headers`
+      // (e.g. st39's stream-batch marker) ride the same commit
       val dvs = if (latest == 0) Seq.empty[String]
         else dvList(spark, path, Some(latest))
       try committed =
         if (delta.isEmpty) latest
         else commitManifest(spark, path, base ++ delta, Some(latest),
-          headers = if (dvs.isEmpty) Map.empty[String, String]
-            else Map(DvHeaderKey -> dvs.mkString(",")))
+          headers = headers ++ (if (dvs.isEmpty) Map.empty[String, String]
+            else Map(DvHeaderKey -> dvs.mkString(","))))
       catch {
         case e: ManifestConflictException =>
           attempt += 1

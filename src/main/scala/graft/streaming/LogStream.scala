@@ -430,6 +430,66 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** Batch body for [[startMatviewSink]], factored out so specs can
+    * drive replay directly: land the micro-batch in the manifested
+    * lake, then bring the lk45 matview up to the new head (the
+    * refresh takes the INCREMENTAL path — the batch's own files are
+    * the whole manifest diff, so per-batch rollup cost ∝ batch, never
+    * lake size). Replay idempotence comes from a `stream_batch`
+    * marker committed ATOMICALLY with the append in the manifest
+    * header: a re-delivered batch (foreachBatch is at-least-once)
+    * finds a retained manifest already carrying its id and appends
+    * nothing — no crash window between data and marker, unlike the
+    * two-commit index-gated sinks. Single-ingest-writer like all lake
+    * sinks; the marker scan is the retained-manifest listing
+    * (driver-side, bounded by vacuum retention — retention must
+    * cover at least the sink's restart gap, the st22 vacuum caveat).
+    */
+  def matviewBatchWriter(
+      dataPath: String, name: String, keys: Seq[String],
+      measures: Seq[String], partCol: Option[String])
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, id: Long) => {
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        import graft.sources.ParquetLake
+        val landed = ParquetLake.manifestLog(spark, dataPath).map(_._1)
+          .flatMap(v => ParquetLake.manifestHeaders(spark, dataPath, Some(v))
+            .get("stream_batch")).map(_.toLong)
+        if (!landed.exists(_ >= id)) {
+          val stage = s"st39_$id"
+          ParquetLake.stageAppend(spark, dataPath, batch, stage, partCol)
+          ParquetLake.publishStaged(spark, dataPath, stage,
+            headers = Map("stream_batch" -> id.toString))
+        }
+        ParquetLake.matviewRefresh(spark, dataPath, name, keys, measures)
+        ()
+      }
+    }
+
+  /** st39: continuous lake ingest with a LIVE rollup — lk45's
+    * incremental matview maintained per micro-batch, so the
+    * corpus-wide count/sum/min/max report (token mass per source,
+    * revenue per type, ...) is always current WITHOUT a nightly
+    * full-scan job: each batch pays one append commit plus a
+    * group-sized merge over exactly its own files. Readers get the
+    * rollup from [[graft.sources.ParquetLake.matviewRead]] — never
+    * touching the fact data — with the reflected lake version pinned
+    * for staleness probes. Replay/crash semantics documented on
+    * [[matviewBatchWriter]] (atomic batch marker — strictly stronger
+    * than the index-gated sinks' two-commit window).
+    */
+  def startMatviewSink(
+      rows: DataFrame, dataPath: String, name: String, keys: Seq[String],
+      measures: Seq[String], checkpoint: String,
+      partCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch(matviewBatchWriter(dataPath, name, keys, measures, partCol))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   /** st36: continuous chunk-gated BLOB ingest — lk43's gate per
     * micro-batch, the binary sibling of [[startDedupIngestSink]]: a
     * media/checkpoint/crawl-blob stream lands exactly-deduplicated at

@@ -1445,6 +1445,53 @@ class StreamingSpec extends SparkSpec {
     assert(ParquetLake.readManifested(spark, indexPath).count() === 6)
   }
 
+  test("st39: continuous matview sink — rollup tracks the lake per batch, replayed batch appends nothing") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.ParquetLake
+    val inDir = Files.createTempDirectory("graft_mv_in").toString
+    val dataPath = Files.createTempDirectory("graft_mv_data").toString + "/lake"
+    val ckpt = Files.createTempDirectory("graft_mv_ckpt").toString
+    val keys = Seq("event_type")
+    val ms = Seq("user_id")
+    val ev = events(spark, sf).select("event_id", "user_id", "event_type")
+    val b1 = ev.where(col("event_id") % 2 === 0)
+    val b2 = ev.where(col("event_id") % 2 === 1).localCheckpoint(eager = false)
+    def expect() = ParquetLake.readManifested(spark, dataPath)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("user_id").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def rollup() = ParquetLake.matviewRead(spark, dataPath, "mv")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_user_id"))).toMap
+
+    b1.write.mode(SaveMode.Overwrite).parquet(inDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType))))
+      .parquet(inDir)
+    val q = LogStream.startMatviewSink(stream, dataPath, "mv", keys, ms, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(ParquetLake.readManifested(spark, dataPath).count() === b1.count())
+      assert(rollup() === expect())
+      b2.write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ParquetLake.readManifested(spark, dataPath).count() === ev.count())
+    assert(rollup() === expect())
+    // the sink's refresh already reflects the head: another refresh is a noop
+    val again = ParquetLake.matviewRefresh(spark, dataPath, "mv", keys, ms)
+    assert(again.mode === "noop")
+    // at-least-once replay of the LAST batch (its stream_batch marker
+    // is in a retained manifest header): nothing lands twice
+    val headV = ParquetLake.manifestLog(spark, dataPath).last._1
+    LogStream.matviewBatchWriter(dataPath, "mv", keys, ms, None)(b2, 1L)
+    assert(ParquetLake.manifestLog(spark, dataPath).last._1 === headV)
+    assert(ParquetLake.readManifested(spark, dataPath).count() === ev.count())
+    assert(rollup() === expect())
+  }
+
   test("st36: continuous chunk-gated blob ingest — near-copies reject across micro-batches") {
     import org.apache.spark.sql.SaveMode
     import graft.multimodal.BinaryOps
