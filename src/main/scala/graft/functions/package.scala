@@ -62,6 +62,13 @@ package object functions {
     */
   def imageMeta(bin: Column): Column = col1(ImageMeta.apply)(bin)
 
+  /** Audio container sniff of a binary column:
+    * struct<format,sample_rate,channels,bits,n_frames> from header
+    * bytes only (WAV / AIFF / AU; "raw" + null fields otherwise) —
+    * see [[AudioMetaOps]].
+    */
+  def audioMeta(bin: Column): Column = col1(AudioMeta.apply)(bin)
+
   /** Content-defined chunk fingerprints of a binary column
     * (array<long>) — gear-hash CDC boundaries, FNV-1a identities;
     * see [[CdcOps]].

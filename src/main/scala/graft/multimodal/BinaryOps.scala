@@ -361,6 +361,72 @@ object BinaryOps {
     }
   }
 
+  /** A rendered audio clip: encode spec + the REAL container bytes
+    * the JDK's sound stack produced for it.
+    */
+  case class RenderedAudio(
+      id: Long, fmt: String, sampleRate: Int, channels: Int,
+      nFrames: Int, payload: Array[Byte])
+
+  /** Render real audio containers from (id, sampleRate, channels,
+    * nFrames, format) specs — javax.sound.sampled ships with the JDK
+    * (like ImageIO for [[renderImages]]), so the bytes are genuine
+    * WAV / AIFF / AU files: RIFF chunk layout, AIFF's 80-bit
+    * extended-float rate, AU's word header all come from the real
+    * encoder, and [[graft.functions.audioMeta]] closes the loop
+    * encode → opaque binary → header-sniffed typed metadata with no
+    * fake anywhere. 16-bit signed PCM throughout (every JDK file
+    * writer accepts it); samples are a deterministic function of
+    * (id, frame, channel) — content is irrelevant to the metadata
+    * path but must be reproducible for byte-grain fixtures. Same
+    * mapPartitions shape as [[renderImages]].
+    */
+  def renderAudio(
+      specs: Dataset[(Long, Int, Int, Int, String)]): Dataset[RenderedAudio] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { it =>
+      it.map { case (id, rate, ch, frames, fmt) =>
+        RenderedAudio(id, fmt, rate, ch, frames,
+          renderOneAudio(id, rate, ch, frames, fmt))
+      }
+    }
+  }
+
+  private def renderOneAudio(
+      seed: Long, rate: Int, ch: Int, frames: Int, fmt: String): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // WAVE is little-endian PCM by spec; AIFF and AU are big-endian
+    val bigEndian = fmt != "wav"
+    val af = new AudioFormat(rate.toFloat, 16, ch, true, bigEndian)
+    val pcm = new Array[Byte](frames * ch * 2)
+    var z = seed * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+    z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+    z ^= z >>> 27; z *= 0x94d049bb133111ebL
+    z ^= z >>> 31
+    var i = 0
+    while (i < frames * ch) {
+      val s = ((z >>> ((i & 3) * 16)) + i * 2654435761L).toShort
+      if (bigEndian) {
+        pcm(2 * i) = (s >> 8).toByte; pcm(2 * i + 1) = s.toByte
+      } else {
+        pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+      }
+      i += 1
+    }
+    val tpe = fmt match {
+      case "wav" => AudioFileFormat.Type.WAVE
+      case "aiff" => AudioFileFormat.Type.AIFF
+      case "au" => AudioFileFormat.Type.AU
+      case other => throw new IllegalArgumentException(
+        s"unsupported audio container '$other' (wav|aiff|au)")
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), af, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(in, tpe, bos) finally in.close()
+    bos.toByteArray
+  }
+
   /** An image thumbnail: source id + the re-encoded PNG bytes. */
   case class ResizedImage(id: Long, srcW: Int, srcH: Int, payload: Array[Byte])
 

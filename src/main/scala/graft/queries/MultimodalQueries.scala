@@ -242,6 +242,42 @@ object MultimodalQueries {
         .where(col("n_docs") > 1)
         .select(col("first_doc"), col("n_docs"))
         .orderBy("first_doc")
+    }),
+
+    // m11's AUDIO twin: render genuine WAV/AIFF/AU containers via the
+    // JDK's sound stack (javax.sound.sampled — no stub), then sniff
+    // sample rate / channels / bit depth / frame count back out of
+    // the header bytes alone with the native AudioMeta expression
+    // (RIFF chunk walk, AIFF 80-bit extended-float rate, AU word
+    // header — samples never read). Oracle pins the round-trip: every
+    // rendered clip must parse back to exactly its spec, incl. the
+    // 16-bit depth every JDK writer emits. Header-bounded per-row
+    // work; only typed metadata aggregates — bytes never shuffle
+    "m14_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          element_at(
+            array(lit(8000), lit(16000), lit(22050), lit(44100)),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+          (pmod(col("doc_id"), lit(2)) + 1).cast("int"),
+          (pmod(col("doc_id"), lit(997)) + 1).cast("int"),
+          element_at(array(lit("aiff"), lit("au"), lit("wav")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+        .as[(Long, Int, Int, Int, String)]
+      BinaryOps.renderAudio(specs).toDF()
+        .withColumn("meta", graft.functions.audioMeta(col("payload")))
+        .groupBy(col("fmt").as("format"))
+        .agg(count(lit(1)).as("n_audio"),
+          sum(when(col("meta.format") === col("fmt") &&
+              col("meta.sample_rate") === col("sampleRate") &&
+              col("meta.channels") === col("channels") &&
+              col("meta.bits") === 16 &&
+              col("meta.n_frames") === col("nFrames"), 1L).otherwise(0L))
+            .as("n_parsed_exact"),
+          sum(col("meta.n_frames")).as("sum_frames"),
+          sum(col("meta.sample_rate").cast("long")).as("sum_rate"))
+        .orderBy("format")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -249,6 +285,22 @@ object MultimodalQueries {
     // Spark side renders must parse back to exactly its spec, so
     // n_parsed_exact == n_images and the dimension sums follow from
     // the spec arithmetic alone
+    // the oracle replays the spec arithmetic; matching requires the
+    // JDK-encoded container bytes to have parsed back exactly
+    "m14_audio_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id % 4) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+        |    (doc_id % 2) + 1 AS ch,
+        |    (doc_id % 997) + 1 AS nf,
+        |    CASE (doc_id % 3) WHEN 0 THEN 'aiff' WHEN 1 THEN 'au'
+        |      ELSE 'wav' END AS format
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_audio,
+        |count(*)::BIGINT AS n_parsed_exact,
+        |sum(nf)::BIGINT AS sum_frames, sum(sr)::BIGINT AS sum_rate
+        |FROM spec GROUP BY format ORDER BY format""".stripMargin,
     "m11_image_meta" ->
       """WITH spec AS (
         |  SELECT doc_id, (doc_id % 29) + 1 AS w, (doc_id % 17) + 1 AS h,

@@ -265,6 +265,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m14: audioMeta parses real JDK audio containers exactly; malformed bytes degrade, never throw") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import graft.functions.AudioMetaOps
+    def render(rate: Int, ch: Int, frames: Int, fmt: String): Array[Byte] = {
+      val af = new AudioFormat(rate.toFloat, 16, ch, true, fmt != "wav")
+      val pcm = new Array[Byte](frames * ch * 2)
+      (0 until pcm.length).foreach(i => pcm(i) = ((i * 131) & 0xff).toByte)
+      val tpe = fmt match {
+        case "wav" => AudioFileFormat.Type.WAVE
+        case "aiff" => AudioFileFormat.Type.AIFF
+        case "au" => AudioFileFormat.Type.AU
+      }
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), af, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try AudioSystem.write(in, tpe, bos) finally in.close()
+      bos.toByteArray
+    }
+    val specs = Seq((8000, 1, 1), (22050, 2, 997), (44100, 1, 480), (16000, 2, 1))
+    for (fmt <- Seq("wav", "aiff", "au"); (rate, ch, frames) <- specs) {
+      val bytes = render(rate, ch, frames, fmt)
+      assert(AudioMetaOps.sniff(bytes) === ((fmt, rate, ch, 16, frames.toLong)),
+        s"$fmt rate=$rate ch=$ch frames=$frames header parse")
+      // robustness: EVERY truncation prefix parses without throwing
+      (0 to bytes.length).foreach(k => AudioMetaOps.sniff(bytes.take(k)))
+    }
+    // non-audio bytes → raw, null fields; codegen path agrees with eval
+    import spark.implicits._
+    val df = Seq(
+      ("wav", render(8000, 1, 5, "wav")),
+      ("aiff", render(44100, 2, 5, "aiff")),
+      ("au", render(16000, 1, 5, "au")),
+      ("raw", "just text".getBytes("UTF-8")),
+      ("raw", Array.empty[Byte])).toDF("expect", "payload")
+    val got = df.select(col("expect"), graft.functions.audioMeta(col("payload")).as("m"))
+      .select(col("expect"), col("m.format"), col("m.sample_rate"),
+        col("m.channels"), col("m.bits"), col("m.n_frames"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) === r.getString(0))
+      if (r.getString(0) == "raw")
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+      else {
+        assert(r.getInt(4) === 16)
+        assert(r.getLong(5) === 5L)
+      }
+    }
+  }
+
+  test("m14: the driver query reports every rendered clip parsing back to its exact spec") {
+    val out = SparkEntry.queries("m14_audio_meta")(spark, sf).collect()
+    assert(out.length === 3) // wav / aiff / au
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_audio") > 0)
+      assert(r.getAs[Long]("n_parsed_exact") === r.getAs[Long]("n_audio"),
+        s"${r.getAs[String]("format")}: every rendered clip must round-trip")
+    }
+  }
+
   test("m12: resize decodes real containers, emits PNG thumbs at the integer target dims; junk flags (-1,-1)") {
     import spark.implicits._
     import graft.multimodal.BinaryOps
