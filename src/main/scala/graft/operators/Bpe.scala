@@ -235,4 +235,74 @@ object Bpe {
     }
     (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), switchRank)
   }
+
+  /** The tokenizer-APPLY step: encode the corpus with a learned merge
+    * table ([[learnMerges]] output). Scale shape mirrors learning —
+    * the merge fold runs over the DISTINCT-WORD relation
+    * (vocab-sized, imperative mapPartitions: a per-word symbol loop
+    * is exactly the "genuine per-partition imperative logic" case),
+    * and the corpus then pays ONE join from its words to their
+    * encodings; 100 TB of text never runs through the fold. The
+    * merge table is config-sized by construction (`numMerges` rows),
+    * so it collects to the driver and ships in the closure, and the
+    * word→encoding join is broadcast-class for real vocabularies.
+    * Per word, merges apply in rank order, each as the same
+    * left-to-right non-overlapping fold as [[mergePair]] — parity is
+    * spec-pinned, and concatenating a word's symbols always
+    * reconstructs the word (char mass is merge-invariant).
+    */
+  def encodeVocab(
+      words: DataFrame, wordCol: String, merges: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ms: Array[(String, String)] = merges.orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    words.select(col(wordCol).cast("string")).distinct().as[String]
+      .mapPartitions(it => it.map(w => (w, applyMerges(w, ms))))
+      .toDF(wordCol, "syms")
+  }
+
+  /** Encode whole documents: (id, token) rows in document order —
+    * words explode positionally, encodings join back from the
+    * vocab-sized [[encodeVocab]] relation (broadcast), symbols
+    * re-explode with a stable (word_pos, sym_pos) order key. The
+    * only corpus-sized shuffle is the output's own.
+    */
+  def encode(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: DataFrame): DataFrame = {
+    val words = df.select(col(idCol),
+      posexplode(T.tokens(col(textCol))).as(Seq("word_pos", "w")))
+      .where(length(col("w")) > 0)
+    val enc = encodeVocab(words.select("w"), "w", merges)
+    words.join(broadcast(enc), Seq("w"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "token")))
+      .select(col(idCol), col("word_pos"), col("sym_pos"), col("token"))
+  }
+
+  private[graft] def applyMerges(
+      w: String, ms: Array[(String, String)]): Seq[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    var i = 0
+    while (i < ms.length && syms.length >= 2) {
+      val l = ms(i)._1; val r = ms(i)._2
+      // left-to-right non-overlapping fold, identical to mergePair
+      val out = Array.newBuilder[String]
+      var pend: String = null
+      var j = 0
+      while (j < syms.length) {
+        val s = syms(j)
+        if (pend == null) pend = s
+        else if (pend == l && s == r) { out += (l + r); pend = null }
+        else { out += pend; pend = s }
+        j += 1
+      }
+      if (pend != null) out += pend
+      syms = out.result()
+      i += 1
+    }
+    syms.toSeq
+  }
 }

@@ -800,6 +800,33 @@ object TextQueries {
       graft.operators.Bpe.learnMerges(table(s, dir, "documents"), "text", 16)
         .orderBy("merge_rank")),
 
+    // BPE tokenizer APPLY (t22's other half — learn → ENCODE): the
+    // merge fold runs over the vocab-sized distinct-word relation,
+    // the corpus pays one broadcast join from words to their token
+    // counts, so per-lang token mass under the learned tokenizer
+    // costs a word aggregate, never a corpus-through-the-fold pass.
+    // The compression column (chars per BPE token) is the number a
+    // pretraining budget actually needs. No SQL oracle (iterative
+    // learn + fold apply) → rows-only + TextOpsSpec (hand-computed
+    // merges, round-trip, corpus parity).
+    "t35_bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = graft.operators.Bpe.learnMerges(docs, "text", 16)
+      val words = docs
+        .select(col("lang"), explode(T.tokens(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+      val enc = graft.operators.Bpe.encodeVocab(words.select("w"), "w", merges)
+        .select(col("w"), size(col("syms")).as("n_syms"))
+      words.join(broadcast(enc), Seq("w"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_syms").cast("long")).as("n_tokens"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_tokens"), 4))
+        .orderBy("lang")
+    }),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")

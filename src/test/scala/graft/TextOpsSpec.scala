@@ -131,6 +131,49 @@ class TextOpsSpec extends SparkSpec {
     assert(merges(1) === ((2, "aa", "aa", 4L)))
   }
 
+  test("t35: BPE encode applies the learned table exactly; symbols reconstruct every word") {
+    import spark.implicits._
+    // the t22 Sennrich fixture: merges are (e,r), (l,o), (lo,w)
+    val docs = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++
+        Seq.fill(6)("newer") ++ Seq.fill(3)("wider")).toDF("text")
+    val merges = graft.operators.Bpe.learnMerges(docs, "text", 3)
+    val enc = graft.operators.Bpe.encodeVocab(
+      docs.select(col("text").as("w")).distinct(), "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // hand-applied: er first, then lo, then low
+    assert(enc("low") === Seq("low"))
+    assert(enc("lowest") === Seq("low", "e", "s", "t"))
+    assert(enc("newer") === Seq("n", "e", "w", "er"))
+    assert(enc("wider") === Seq("w", "i", "d", "er"))
+    // round-trip on real corpus vocab: concatenated symbols == word
+    val corpus = graft.queries.table(spark, sf, "documents")
+    val m16 = graft.operators.Bpe.learnMerges(corpus, "text", 8)
+    val vocab = corpus
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0).distinct().limit(500)
+    val bad = graft.operators.Bpe.encodeVocab(vocab, "w", m16)
+      .where(concat_ws("", col("syms")) =!= col("w")).count()
+    assert(bad === 0L)
+    // document encode preserves order: tokens re-assemble per doc
+    val two = Seq((1L, "newer lowest"), (2L, "low wider low")).toDF("doc_id", "text")
+    val tok = graft.operators.Bpe.encode(two, "text", "doc_id", merges)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(tok.filter(_._1 == 1L).map(_._2).toSeq
+      === Seq("n", "e", "w", "er", "low", "e", "s", "t"))
+    assert(tok.filter(_._1 == 2L).map(_._2).toSeq
+      === Seq("low", "w", "i", "d", "er", "low"))
+    // the driver row: per-lang mass, token count between word and char mass
+    val rows = TextQueries.queries("t35_bpe_encode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_chars"))
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+  }
+
   test("t8: every doc has injected PII found, and scrub is idempotent-clean") {
     val rows = TextQueries.queries("t8_pii_scrub")(spark, sf).collect()
     assert(rows.nonEmpty)
