@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{CosineSimilarity, DotProduct, GunzipBytes, GzipBytes, SimHash64, UnzstdBytes, ZstdBytes}
+import graft.functions.{AudioMeta, CosineSimilarity, DotProduct, GunzipBytes, GzipBytes, ImageMeta, SimHash64, UnzstdBytes, ZstdBytes}
 
 /** Session bootstrap for the graft engine.
   *
@@ -40,7 +40,9 @@ object GraftSession {
       case Seq(child, n) => new BloomFilterAggregate(child, n)
       case _ => new BloomFilterAggregate(es(0), es(1), es(2))
     }),
-    "graft_might_contain" -> ((es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
+    "graft_might_contain" -> ((es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))),
+    "graft_image_meta" -> ((es: Seq[Expression]) => ImageMeta(es.head)),
+    "graft_audio_meta" -> ((es: Seq[Expression]) => AudioMeta(es.head)))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
