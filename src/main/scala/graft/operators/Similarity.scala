@@ -29,6 +29,44 @@ object Similarity {
     topKOut(scored, k)
   }
 
+  /** Metadata-FILTERED exact kNN — "nearest neighbors among rows
+    * matching a predicate" (lang = 'en', license = permissive,
+    * source != contaminated), the retrieval shape every RAG /
+    * curriculum query actually runs. The predicate applies to the
+    * corpus SCAN, before any scoring: Catalyst pushes it to the
+    * parquet reader (PushedFilters), so the cosine kernel and the
+    * bounded top-k heap only ever see the filtered set — cost ∝
+    * selectivity, not corpus. This is the exact baseline;
+    * [[ivfKnnFiltered]] is the index-served form.
+    */
+  def filteredKnn(
+      corpus: DataFrame, vecCol: String, idCol: String, pred: Column,
+      queries: DataFrame, k: Int): DataFrame =
+    bruteKnn(corpus.where(pred), vecCol, idCol, queries, k)
+
+  /** Metadata-filtered kNN served from a built IVF index: the
+    * allowed-id set (the predicate, evaluated once against corpus
+    * metadata) semi-joins the inverted cells BEFORE scoring, so the
+    * exact-cosine work inside probed cells is filtered-set-sized.
+    * The allowed relation broadcasts when the predicate is selective
+    * (the common case — that's why you filter); pass
+    * `broadcastAllowed = false` for broad predicates and the semi
+    * join shuffles on n_id instead. The honest ANN caveat rides
+    * along: a selective predicate thins every cell, so fixed nprobe
+    * returns fewer than k for some queries — raise nprobe with
+    * selectivity (the s17 sweep applies verbatim) or fall back to
+    * [[filteredKnn]] below a corpus-size cutoff. Recall vs the exact
+    * filtered baseline is spec-pinned.
+    */
+  def ivfKnnFiltered(
+      index: IvfIndex, allowed: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, broadcastAllowed: Boolean = true): DataFrame = {
+    val ids = allowed.toDF("n_id")
+    val cells = index.cells.join(
+      if (broadcastAllowed) broadcast(ids) else ids, Seq("n_id"), "left_semi")
+    ivfKnnWith(index.copy(cells = cells), queries, k, nprobe)
+  }
+
   /** All corpus neighbors within a cosine radius of each query —
     * similarity range search, the retrieval twin of Dedup's
     * threshold pairs. Queries broadcast; scoring is the codegen'd
@@ -143,16 +181,33 @@ object Similarity {
     * SLO before probing a 100 TB corpus. The index builds ONCE and
     * the truth leg runs once — only the probe leg re-runs per sweep
     * point.
+    *
+    * `maxQueries` is the scale guard the r12 headroom run proved
+    * necessary: a PERCENTAGE sample alone makes the truth leg
+    * |sample| × N ∝ N² (measured 48× wall at 10× data), because the
+    * query count grows with the corpus. The absolute cap (lowest-md5
+    * rank cut, deterministic, applied after the pct filter) pins the
+    * query count, so truth cost is maxQueries × N — linear — while a
+    * ≤512-query recall estimate still carries a ~±2% CI. The cap
+    * does not bind at oracle/spec scales (sample < cap), so
+    * small-scale results are unchanged.
     */
   def nprobeSweep(
       corpus: DataFrame, vecCol: String, idCol: String, k: Int,
       nprobes: Seq[Int] = Seq(1, 2, 4, 8), nlist: Int = 8,
-      samplePct: Int = 20, lloydIters: Int = 3): DataFrame = {
+      samplePct: Int = 20, lloydIters: Int = 3,
+      maxQueries: Int = 512): DataFrame = {
     val q0 = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val q = (if (samplePct >= 100) q0
+    val q1 = if (samplePct >= 100) q0
       else q0.where(
         conv(substring(md5(col("q_id").cast("string")), 1, 7), 16, 10)
-          .cast("long") % 100 < samplePct))
+          .cast("long") % 100 < samplePct)
+    val q = (if (maxQueries > 0)
+        q1.orderBy(
+          conv(substring(md5(col("q_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").asc, col("q_id").asc)
+          .limit(maxQueries).select("q_id", "q_vec")
+      else q1)
       .localCheckpoint(eager = false)
     val nQ = q.count()
     val truth = bruteKnn(corpus, vecCol, idCol, q, k)
@@ -185,18 +240,27 @@ object Similarity {
     * (`samplePct`, the t5/d16 split arithmetic — no RNG). Sampling
     * QUERIES, never the corpus, keeps the estimate unbiased for what
     * production sees: each sampled query's truth is its exact top-k
-    * over the FULL corpus, so truth cost is |sample| × N exact
-    * scores — linear in the corpus, scaled down by the sample — not
-    * the N² of an all-pairs evaluation.
+    * over the FULL corpus. A pct sample alone still grows the query
+    * count with the corpus (truth ∝ N² — the s17 headroom lesson),
+    * so `maxQueries` additionally caps the set with a deterministic
+    * lowest-md5 rank cut: truth cost maxQueries × N, linear. The cap
+    * does not bind at oracle scales, so s9 stays hash-matched.
     */
   def annRecallEval(
       corpus: DataFrame, vecCol: String, idCol: String, k: Int,
-      samplePct: Int = 100, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+      samplePct: Int = 100, numPlanes: Int = 4, dim: Int = 64,
+      maxQueries: Int = 512): DataFrame = {
     val q0 = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val q = (if (samplePct >= 100) q0
+    val q1 = if (samplePct >= 100) q0
       else q0.where(
         conv(substring(md5(col("q_id").cast("string")), 1, 7), 16, 10)
-          .cast("long") % 100 < samplePct))
+          .cast("long") % 100 < samplePct)
+    val q = (if (maxQueries > 0)
+        q1.orderBy(
+          conv(substring(md5(col("q_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").asc, col("q_id").asc)
+          .limit(maxQueries).select("q_id", "q_vec")
+      else q1)
       .localCheckpoint(eager = false) // feeds truth, approx, and n_q
     val truth = bruteKnn(corpus, vecCol, idCol, q, k)
       .select(col("q_id"), col("neighbor_id"))

@@ -22,6 +22,19 @@ object SimilarityQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
+    // metadata-filtered exact kNN (the RAG/curriculum shape: nearest
+    // among rows matching a predicate). The filter hits the scan
+    // before any scoring — cost ∝ selectivity; the IVF-served form
+    // (ivfKnnFiltered: allowed-set semi-join on the cells before
+    // in-cell scoring) is spec-pinned against this exact baseline.
+    "s18_knn_filtered" -> ((s, dir) =>
+      Similarity.filteredKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        pmod(col("label"), lit(3)) === 0,
+        querySet(s, dir), k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("q_id", "rank")),
+
     // LSH-bucketed ANN: same shape, approximate but fully
     // deterministic (seeded hyperplanes) — replayed exactly by the
     // DuckDB oracle below; recall vs s1 additionally asserted in
@@ -425,6 +438,21 @@ object SimilarityQueries {
         |)
         |SELECT q_id, n_label AS pred_label, votes, best_sim
         |FROM p WHERE rn = 1 ORDER BY q_id""".stripMargin,
+    "s18_knn_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT q_id, a.vec_id AS n_id,
+        |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(a.v, x -> x*x)))) AS c
+        |  FROM e a, q WHERE a.vec_id <> q_id AND a.label % 3 = 0
+        |), r AS (
+        |  SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM sc
+        |)
+        |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s1_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

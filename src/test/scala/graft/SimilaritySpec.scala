@@ -60,6 +60,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size === 50)
   }
 
+  test("s18: filtered kNN returns only predicate rows; filtered IVF keeps recall and is exact at full probe") {
+    val pred = pmod(col("label"), lit(3)) === 0
+    val exact = Similarity.filteredKnn(emb, "embedding", "vec_id", pred, queries, 10)
+    val rows = exact.collect()
+    assert(rows.length === 50) // 5 queries x 10
+    // every neighbor satisfies the predicate
+    val allowedIds = emb.where(pred).select("vec_id").as[Long].collect().toSet
+    rows.foreach(r => assert(allowedIds.contains(r.getAs[Long]("neighbor_id"))))
+    val exactSet = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // IVF-served: allowed set semi-joins the cells before scoring
+    val index = Similarity.ivfIndexBuild(emb, "embedding", "vec_id", nlist = 16)
+    val allowed = emb.where(pred).select("vec_id")
+    val served = Similarity.ivfKnnFiltered(index, allowed, queries, 10, nprobe = 4)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    served.foreach { case (_, n) => assert(allowedIds.contains(n)) }
+    val recall = (exactSet & served).size.toDouble / exactSet.size
+    assert(recall >= 0.3, s"filtered ivf recall@10 = $recall")
+    // full probe scans every cell → identical to the exact baseline
+    val full = Similarity.ivfKnnFiltered(index, allowed, queries, 10, nprobe = 16)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exactSet)
+    // shuffled allowed-set path serves the same rows as the broadcast one
+    val shuffled = Similarity.ivfKnnFiltered(
+      index, allowed, queries, 10, nprobe = 4, broadcastAllowed = false)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(shuffled === served)
+  }
+
   test("s11: persisted IVF index round-trips and serves bit-identical results to the fresh index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     val fresh = Similarity.ivfIndexBuild(emb, "embedding", "vec_id")
