@@ -311,7 +311,7 @@ object BinaryOps {
     * bytes (no colorspace conversion) and ≤256 colors, which every
     * JDK writer (incl. GIF's palette quantizer) accepts.
     */
-  private def renderOne(seed: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+  private def rasterize(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -333,8 +333,12 @@ object BinaryOps {
       }
       y += 1
     }
+    img
+  }
+
+  private def renderOne(seed: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, fmt, bos)
+    javax.imageio.ImageIO.write(rasterize(seed, w, h), fmt, bos)
     bos.toByteArray
   }
 
@@ -492,6 +496,39 @@ object BinaryOps {
     * bounded by decode + 64 samples. Undecodable payloads flag
     * ok=false, never throw.
     */
+  /** aHash of an already-decoded image: bilinear 8×8 gray thumb,
+    * threshold against the thumb mean, 64 bits hex-encoded. Shared by
+    * the single-image and per-GIF-frame hashers, so a frame decoded
+    * out of an animated container hashes identically to the same
+    * raster rendered standalone.
+    */
+  private def hashDecoded(src: java.awt.image.BufferedImage): String = {
+    val thumb = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = thumb.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val px = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      px(i) = thumb.getRaster.getSample(i % 8, i / 8, 0)
+      i += 1
+    }
+    var sum = 0L
+    px.foreach(sum += _)
+    val mean = sum / 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i) > mean) bits |= (1L << (63 - i))
+      i += 1
+    }
+    f"$bits%016x"
+  }
+
   def aHash(images: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
     import images.sparkSession.implicits._
     images.mapPartitions { it =>
@@ -500,31 +537,77 @@ object BinaryOps {
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           catch { case _: java.io.IOException => null }
         if (src == null) ImageHash(id, "", ok = false)
-        else {
-          val thumb = new java.awt.image.BufferedImage(
-            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val g = thumb.createGraphics()
+        else ImageHash(id, hashDecoded(src), ok = true)
+      }
+    }
+  }
+
+  /** Render a real ANIMATED GIF per spec row — a genuine multi-frame
+    * video-like container from the JDK's ImageIO sequence writer (no
+    * stub): frame f of a row is the deterministic [[rasterize]] of
+    * `frameSeeds(f)`, so two blobs sharing a seed at any frame
+    * position carry pixel-identical frames — the fixture property
+    * frame-grain dedup (m15) rests on. Grayscale rasters use ≤256
+    * colors, which GIF's palette encodes losslessly, so the decoded
+    * frame round-trips pixel-exact.
+    */
+  def renderAnimatedGifs(
+      specs: Dataset[(Long, Int, Int, Array[Long])]): Dataset[(Long, Array[Byte])] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { it =>
+      it.map { case (id, w, h, frameSeeds) =>
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          frameSeeds.foreach { seed =>
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(rasterize(seed, w, h), null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        (id, bos.toByteArray)
+      }
+    }
+  }
+
+  case class FrameHash(id: Long, frameIdx: Int, ahash: String, ok: Boolean)
+
+  /** REAL frame extraction — the de-stubbed core of the m2 shape for
+    * the one multi-frame container the JDK can decode: an ImageIO GIF
+    * reader walks every frame of the animated container and each
+    * decoded frame gets the same perceptual [[hashDecoded]] as a
+    * standalone image, so frame-grain dedup sees repeats ACROSS blobs
+    * and frame positions (shared intros, repeated stills) that
+    * byte-grain dedup cannot. Map-only per row — bytes never shuffle,
+    * only (id, frameIdx, 16-char hash) rows leave the scan; per-row
+    * cost ∝ payload frames. Undecodable payloads yield one
+    * ok=false row, never throw (at corpus scale some blob is always
+    * corrupt; the gate must not kill the job).
+    */
+  def gifFrameHashes(
+      images: Dataset[(Long, Array[Byte])]): Dataset[FrameHash] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        try {
+          val reader =
+            javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
           try {
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(src, 0, 0, 8, 8, null)
-          } finally g.dispose()
-          val px = new Array[Int](64)
-          var i = 0
-          while (i < 64) {
-            px(i) = thumb.getRaster.getSample(i % 8, i / 8, 0)
-            i += 1
-          }
-          var sum = 0L
-          px.foreach(sum += _)
-          val mean = sum / 64.0
-          var bits = 0L
-          i = 0
-          while (i < 64) {
-            if (px(i) > mean) bits |= (1L << (63 - i))
-            i += 1
-          }
-          ImageHash(id, f"$bits%016x", ok = true)
+            reader.setInput(iis, false, false)
+            val n = reader.getNumImages(true)
+            if (n <= 0) Seq(FrameHash(id, -1, "", ok = false))
+            else (0 until n).map { i =>
+              FrameHash(id, i, hashDecoded(reader.read(i)), ok = true)
+            }
+          } finally { reader.dispose(); iis.close() }
+        } catch {
+          case _: Exception => Seq(FrameHash(id, -1, "", ok = false))
         }
       }
     }

@@ -278,6 +278,39 @@ object MultimodalQueries {
           sum(col("meta.n_frames")).as("sum_frames"),
           sum(col("meta.sample_rate").cast("long")).as("sum_rate"))
         .orderBy("format")
+    }),
+
+    // REAL frame-grain dedup over a multi-frame container (m15): each
+    // doc renders as a genuine ANIMATED GIF (ImageIO sequence writer,
+    // (doc_id % 3) + 2 frames, frame f's raster seeded by
+    // (id*7 + f*13) % 40 so stills repeat across blobs), the frames
+    // are decoded BACK out of the container and perceptually hashed
+    // (BinaryOps.gifFrameHashes — the de-stubbed m2 shape), and
+    // repeated frames across the corpus group by hash. The oracle
+    // replays the seed arithmetic only, so matching requires the
+    // encode → multi-frame decode → per-frame hash path to be exact
+    // and frame-order-preserving. Only (id, frameIdx, hash) rows
+    // leave the scan — frame bytes never shuffle; min(id*10+f) is a
+    // unique lexicographic group key (frames per blob < 10)
+    "m15_gif_frame_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          lit(16).as("w"), lit(16).as("h"),
+          transform(
+            sequence(lit(0L), pmod(col("doc_id").cast("long"), lit(3L)) + 1L),
+            f => pmod(col("doc_id").cast("long") * 7 + f * 13, lit(40L))).as("seeds"))
+        .as[(Long, Int, Int, Array[Long])]
+      BinaryOps.gifFrameHashes(BinaryOps.renderAnimatedGifs(specs)).toDF()
+        .groupBy("ahash")
+        .agg(min(col("id") * 10 + col("frameIdx")).as("fk"),
+          count(lit(1)).as("n_frames"),
+          countDistinct(col("id")).as("n_blobs"))
+        .where(col("n_frames") > 1)
+        .select(expr("fk DIV 10").as("first_doc"),
+          pmod(col("fk"), lit(10)).as("first_frame"),
+          col("n_frames"), col("n_blobs"))
+        .orderBy("first_doc", "first_frame")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -311,6 +344,23 @@ object MultimodalQueries {
         |count(*)::BIGINT AS n_parsed_exact,
         |sum(w)::BIGINT AS sum_width, sum(h)::BIGINT AS sum_height
         |FROM spec GROUP BY format ORDER BY format""".stripMargin,
+    // seed-arithmetic replay of the repeated-frame groups: every seed
+    // reached by >1 (doc, frame) position is one exact frame-dup
+    // cluster; matching requires the Spark side's animated-GIF
+    // encode → frame decode → per-frame hash to be exact, complete
+    // (every frame recovered), and frame-order-preserving
+    "m15_gif_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id::BIGINT AS id,
+        |    unnest(generate_series(0, (doc_id % 3) + 1, 1)) AS fr
+        |  FROM documents),
+        |s AS (SELECT id, fr, (id * 7 + fr * 13) % 40 AS seed FROM f)
+        |SELECT (min(id * 10 + fr) // 10)::BIGINT AS first_doc,
+        |(min(id * 10 + fr) % 10)::BIGINT AS first_frame,
+        |count(*)::BIGINT AS n_frames,
+        |count(DISTINCT id)::BIGINT AS n_blobs
+        |FROM s GROUP BY seed HAVING count(*) > 1
+        |ORDER BY first_doc, first_frame""".stripMargin,
     // the oracle replays the integer thumbnail arithmetic from the
     // spec; the Spark side must have decoded, resized, re-encoded and
     // re-parsed actual bytes to land on the same numbers

@@ -422,4 +422,54 @@ class MultimodalSpec extends SparkSpec {
     assert(landed.contains(102L) && landed.contains(103L) && landed.contains(100L))
     assert(!landed.contains(101L))
   }
+
+  test("m15: animated GIF round-trips every frame; frame hashes are container-invariant and order-preserving") {
+    import spark.implicits._
+    // blob 0: 3 frames (seeds 5, 9, 2); blob 1: 2 frames sharing seed
+    // 9 at a DIFFERENT frame position; blob 2: junk bytes
+    val gifs = BinaryOps.renderAnimatedGifs(Seq(
+      (0L, 16, 16, Array(5L, 9L, 2L)),
+      (1L, 16, 16, Array(9L, 33L))).toDS())
+    val fh = BinaryOps.gifFrameHashes(gifs).collect()
+      .map(f => (f.id, f.frameIdx) -> f).toMap
+    // every frame recovered, in order, all ok
+    assert(fh.size === 5 && fh.values.forall(_.ok))
+    // cross-blob repeat: blob 0 frame 1 (seed 9) == blob 1 frame 0
+    assert(fh((0L, 1)).ahash === fh((1L, 0)).ahash)
+    // frame-grain container invariance: a frame decoded out of the
+    // animated container hashes EXACTLY like the same seed rendered
+    // as a standalone single-image GIF — the property the m15 oracle's
+    // seed replay rests on
+    val solo = BinaryOps.aHash(BinaryOps.renderImagesSeeded(Seq(
+      (100L, 5L, 16, 16, "gif"), (101L, 9L, 16, 16, "gif"),
+      (102L, 2L, 16, 16, "gif"), (103L, 33L, 16, 16, "gif")).toDS()))
+      .collect().map(h => h.id -> h.ahash).toMap
+    assert(fh((0L, 0)).ahash === solo(100L))
+    assert(fh((0L, 1)).ahash === solo(101L))
+    assert(fh((0L, 2)).ahash === solo(102L))
+    assert(fh((1L, 1)).ahash === solo(103L))
+    // junk payload: one ok=false row, never a throw
+    val bad = BinaryOps.gifFrameHashes(
+      Seq((9L, "not a gif".getBytes("UTF-8"))).toDS()).collect()
+    assert(bad.length === 1 && !bad.head.ok && bad.head.frameIdx === -1)
+    // the 40 m15 fixture seeds hash pairwise-distinct at the query's
+    // 16x16 dims — data-independent, so pinning it once here pins the
+    // oracle's seed↔hash bijection at every SF
+    val all = (0L until 40L).map(sd => (sd, sd, 16, 16, "gif")).toDS()
+    val hashes = BinaryOps.aHash(BinaryOps.renderImagesSeeded(all))
+      .collect().map(_.ahash)
+    assert(hashes.distinct.length === 40, "seed rasters must hash distinct")
+  }
+
+  test("m15: the driver query's dup groups match the seed-arithmetic replay") {
+    import graft.queries.MultimodalQueries
+    val rows = MultimodalQueries.queries("m15_gif_frame_dedup")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // every group is a genuine repeat and group keys are unique
+    assert(rows.forall(_.getAs[Long]("n_frames") > 1))
+    val keys = rows.map(r =>
+      (r.getAs[Long]("first_doc"), r.getAs[Long]("first_frame")))
+    assert(keys.distinct.length === keys.length)
+  }
 }
