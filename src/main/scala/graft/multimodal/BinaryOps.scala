@@ -112,12 +112,33 @@ object BinaryOps {
       increment: DataFrame, binCol: String, idCol: String,
       maxContainment: Double = 0.5,
       minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096): ChunkIngestReport = {
-    import graft.sources.ParquetLake
     val inc = increment.localCheckpoint(eager = false)
     val chunks = inc
       .select(col(idCol).as("id"),
         explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
       .distinct()
+    fpGatedIngest(spark, dataPath, indexPath, inc, idCol, chunks,
+      maxContainment, "chunk")
+  }
+
+  /** The shared containment-gate core of the index-gated BLOB ingest
+    * family (lk43 chunk grain / lk46 frame grain): given the
+    * increment's distinct (id, fp) fingerprint relation, reject rows
+    * whose fingerprints are ≥ maxContainment contained in the
+    * persisted index, land the rest, and extend the index
+    * distinct-against-it — one membership join against the index,
+    * corpus never rescanned, bytes never shuffled (only fingerprints
+    * move). Fingerprint-less rows (empty/corrupt payloads — zero
+    * CDC chunks, undecodable containers) admit explicitly in their
+    * own report bucket, never silently dropped.
+    */
+  private def fpGatedIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, indexPath: String,
+      inc: DataFrame, idCol: String, fpRelation: DataFrame,
+      maxContainment: Double, stagePrefix: String): ChunkIngestReport = {
+    import graft.sources.ParquetLake
+    val chunks = fpRelation
       .localCheckpoint(eager = false) // feeds containment AND the index append
     val index = ParquetLake.readManifested(spark, indexPath)
     val contained = chunks
@@ -141,7 +162,7 @@ object BinaryOps {
     val nReject = rejectIds.count()
     val nAdmit = nInc - nReject
     val nChunkless = nInc - contained.count()
-    val stage = s"chunk_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stage = s"${stagePrefix}_${java.util.UUID.randomUUID().toString.take(8)}"
     val (dataVersion, indexVersion) =
       if (nAdmit == 0) (0, 0)
       else {
@@ -155,6 +176,61 @@ object BinaryOps {
         (dv, ParquetLake.publishStaged(spark, indexPath, stage))
       }
     ChunkIngestReport(nAdmit, nReject, dataVersion, indexVersion, nChunkless)
+  }
+
+  /** The increment's distinct (id, frame-hash) relation via the REAL
+    * multi-frame decode ([[gifFrameHashes]]): only ok frames count —
+    * an undecodable blob contributes no fingerprints and lands in the
+    * gate's frameless bucket.
+    */
+  private def frameFps(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    gifFrameHashes(
+      df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])])
+      .toDF()
+      .where(col("ok"))
+      .select(col("id"), col("ahash").as("fp"))
+      .distinct()
+  }
+
+  /** lk46: persisted FRAME-HASH index init — the video-grain member
+    * of the index-gated ingest family (lk41 exact text / lk42 LSH
+    * bands / lk43 CDC chunks / lk44 lines / lk46 decoded frames): the
+    * index is the corpus's distinct perceptual frame hashes (16 chars
+    * per distinct STILL, container bytes never stored or shuffled),
+    * built with the real ImageIO multi-frame decode, so a re-encoded
+    * or re-muxed copy of seen footage still collides.
+    */
+  def frameIndexInit(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, binCol: String, idCol: String): Int = {
+    frameFps(corpus, binCol, idCol).select("fp").distinct()
+      .write.mode("errorifexists").parquet(indexPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
+  }
+
+  /** lk46: frame-gated blob ingest — an incoming multi-frame blob
+    * rejects when ≥ maxContainment of its decoded frames' perceptual
+    * hashes are already indexed (the re-uploaded clip with a new
+    * intro, the re-encoded copy, the shared-footage compilation —
+    * shapes byte- and chunk-grain gates miss once the container is
+    * re-encoded, because the PIXELS survive re-encoding but the bytes
+    * don't); admitted blobs land in the lake and extend the index by
+    * exactly their unseen frame hashes. Cost per batch: one decode
+    * pass over the increment + one membership join against the
+    * index — the corpus is never rescanned, and a landed batch
+    * replays to zero admits (every frame indexed ⇒ containment 1).
+    * Same single-ingest-writer / data-then-index commit contract as
+    * lk41-44.
+    */
+  def frameGatedIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, indexPath: String,
+      increment: DataFrame, binCol: String, idCol: String,
+      maxContainment: Double = 0.5): ChunkIngestReport = {
+    val inc = increment.localCheckpoint(eager = false)
+    fpGatedIngest(spark, dataPath, indexPath, inc, idCol,
+      frameFps(inc, binCol, idCol), maxContainment, "frame")
   }
 
   /** Chunk-grain dedup accounting over binary payloads via

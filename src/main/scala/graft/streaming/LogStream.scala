@@ -517,6 +517,34 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** st40: continuous FRAME-gated blob ingest — lk46's gate per
+    * micro-batch, [[startChunkIngestSink]]'s decoded-pixel sibling: a
+    * multi-frame media stream lands exactly-deduplicated at the
+    * FRAME grain (a re-encoded or re-muxed copy of seen footage
+    * rejects by perceptual-hash containment against the persisted
+    * frame index — the case the chunk gate misses once re-encoding
+    * rewrites every byte; the index grows by each batch's unseen
+    * stills only). Undecodable blobs admit in the frameless bucket,
+    * never kill the query. Replay/crash semantics inherit lk46's.
+    */
+  def startFrameIngestSink(
+      blobs: DataFrame, dataPath: String, indexPath: String,
+      binCol: String, idCol: String, checkpoint: String,
+      maxContainment: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    blobs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.multimodal.BinaryOps.frameGatedIngest(
+            batch.sparkSession, dataPath, indexPath, batch, binCol, idCol,
+            maxContainment)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   /** st24: streaming quality-gate admission — every incoming document
     * is scored by the ROW-LOCAL Gopher flags
     * ([[graft.functions.TextFunctions.qualityFlags]]: no explode, no

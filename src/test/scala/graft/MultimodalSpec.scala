@@ -423,6 +423,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!landed.contains(101L))
   }
 
+  test("lk46: frame-gated ingest rejects re-encoded seen footage, admits fresh and frameless, index tracks unique stills") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dataPath = Files.createTempDirectory("graft_fgate_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_fgate_idx").toString + "/index"
+    def gifs(specs: Seq[(Long, Array[Long])]) =
+      BinaryOps.renderAnimatedGifs(specs.map { case (id, seeds) =>
+        (id, 16, 16, seeds) }.toDS()).toDF("blob_id", "payload")
+    // corpus: 5 blobs x 3 frames, seeds 0..14 all distinct
+    val corpus = gifs((0L until 5L).map(i => i -> Array(i * 3, i * 3 + 1, i * 3 + 2)))
+    corpus.write.parquet(dataPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, dataPath)
+    BinaryOps.frameIndexInit(spark, indexPath, corpus, "payload", "blob_id")
+    assert(graft.sources.ParquetLake.readManifested(spark, indexPath).count() === 15L)
+    // increment: fresh clip; a re-encoded copy of blob 0's footage
+    // with one new intro frame (3/4 frames seen -> containment .75);
+    // an undecodable blob (frameless bucket)
+    val inc = gifs(Seq(100L -> Array(100L, 101L, 102L), 101L -> Array(999L, 0L, 1L, 2L)))
+      .union(Seq((102L, "not a gif".getBytes("UTF-8"))).toDF("blob_id", "payload"))
+    val r = BinaryOps.frameGatedIngest(spark, dataPath, indexPath, inc,
+      "payload", "blob_id", maxContainment = 0.5)
+    assert(r.admitted === 2L, r.toString)
+    assert(r.rejectedContained === 1L, r.toString)
+    assert(r.admittedChunkless === 1L, r.toString)
+    val landed = graft.sources.ParquetLake.readManifested(spark, dataPath)
+      .select("blob_id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(0L, 1L, 2L, 3L, 4L, 100L, 102L))
+    // index grew by exactly the admitted clip's 3 unseen stills — the
+    // rejected blob's fresh intro frame (seed 999) must NOT leak in
+    assert(graft.sources.ParquetLake.readManifested(spark, indexPath).count() === 18L)
+    // replay: the landed clip is now fully contained -> zero framed admits
+    val r2 = BinaryOps.frameGatedIngest(spark, dataPath, indexPath,
+      gifs(Seq(100L -> Array(100L, 101L, 102L))), "payload", "blob_id",
+      maxContainment = 0.5)
+    assert(r2.admitted === 0L && r2.rejectedContained === 1L, r2.toString)
+  }
+
   test("m15: animated GIF round-trips every frame; frame hashes are container-invariant and order-preserving") {
     import spark.implicits._
     // blob 0: 3 frames (seeds 5, 9, 2); blob 1: 2 frames sharing seed

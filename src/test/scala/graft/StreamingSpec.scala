@@ -1540,6 +1540,49 @@ class StreamingSpec extends SparkSpec {
     assert(lake.where(col("blob_id") >= 1000L).count() === 0)
   }
 
+  test("st40: continuous frame-gated blob ingest — re-encoded seen footage rejects across micro-batches") {
+    import org.apache.spark.sql.SaveMode
+    import graft.multimodal.BinaryOps
+    import graft.sources.ParquetLake
+    val inDir = Files.createTempDirectory("graft_fi_in").toString
+    val dataPath = Files.createTempDirectory("graft_fi_data").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_fi_idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_fi_ckpt").toString
+    def gifs(specs: Seq[(Long, Array[Long])]) =
+      BinaryOps.renderAnimatedGifs(specs.map { case (id, seeds) =>
+        (id, 16, 16, seeds) }.toDS()).toDF("blob_id", "payload")
+    // corpus: 10 clips x 3 frames, seeds 0..29
+    val corpus = gifs((0L until 10L).map(i => i -> Array(i * 3, i * 3 + 1, i * 3 + 2)))
+    corpus.write.parquet(dataPath)
+    ParquetLake.snapshotManifest(spark, dataPath)
+    BinaryOps.frameIndexInit(spark, indexPath, corpus, "payload", "blob_id")
+    // batch 1: 3 fresh clips + a re-cut of corpus footage (3/4 seen);
+    // batch 2: 3 fresh + a re-cut of BATCH 1's footage (cross-batch)
+    val b1 = gifs((10L until 13L).map(i => i -> Array(i * 3, i * 3 + 1, i * 3 + 2)) :+
+      (1000L -> Array(500L, 0L, 1L, 2L)))
+    val b2 = gifs((13L until 16L).map(i => i -> Array(i * 3, i * 3 + 1, i * 3 + 2)) :+
+      (2000L -> Array(501L, 30L, 31L, 32L)))
+    b1.write.mode(SaveMode.Overwrite).parquet(inDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("blob_id", LongType), StructField("payload", BinaryType))))
+      .parquet(inDir)
+    val q = LogStream.startFrameIngestSink(
+      stream, dataPath, indexPath, "payload", "blob_id", ckpt,
+      maxContainment = 0.5)
+    try {
+      q.processAllAvailable()
+      b2.write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val lake = ParquetLake.readManifested(spark, dataPath)
+    assert(lake.count() === 16L) // 10 corpus + 6 fresh; both re-cuts rejected
+    assert(lake.where(col("blob_id") >= 1000L).count() === 0)
+    // the index holds exactly the landed clips' distinct stills —
+    // rejected re-cuts' fresh intro frames (seeds 500/501) never leak
+    assert(ParquetLake.readManifested(spark, indexPath).count() === 48L)
+  }
+
   private def st34Body(tag: String): Unit = {
     import org.apache.spark.sql.SaveMode
     val inDir = Files.createTempDirectory("graft_trend_in").toString
