@@ -103,4 +103,32 @@ object TextFunctions {
     size(regexp_extract_all(c, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
       .as("scrubbed"))
+
+  /** t36: a REAL model-free document embedding via the feature-
+    * hashing trick (Weinberger et al. 2009, the sklearn
+    * HashingVectorizer family) — NOT the md5 stand-in of the m5
+    * inference plumbing: each token hashes to a dimension
+    * (md5 % dims) with a ±1 sign hash to unbias collisions, and a
+    * document's vector is the signed term-frequency sum per
+    * dimension. Every number is an INTEGER sum of ±1s, so the
+    * embedding is bit-replayable in SQL — unlike a neural encoder —
+    * while still being a genuine embedding: cosine over it IS
+    * unigram similarity, so it feeds the whole s-family (kNN,
+    * dedup, clustering) with zero model dependency. Emitted sparse
+    * as (id, dim, weight ≠ 0): a shuffle carries one integer triple
+    * per distinct (doc, dim), never text, and map-side combine
+    * collapses repeated tokens at the scan.
+    */
+  def hashEmbedSparse(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      dims: Int = 64): org.apache.spark.sql.DataFrame = {
+    val h = md5(col("tok"))
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        pmod(conv(substring(h, 1, 7), 16, 10).cast("long"), lit(dims.toLong)).as("dim"),
+        (lit(1L) - lit(2L) * pmod(conv(substring(h, 8, 1), 16, 10).cast("long"), lit(2L))).as("sgn"))
+      .groupBy("id", "dim")
+      .agg(sum(col("sgn")).as("weight"))
+      .where(col("weight") =!= 0)
+  }
 }

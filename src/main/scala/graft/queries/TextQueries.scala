@@ -827,6 +827,16 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // REAL model-free document embedding (t36): the feature-hashing
+    // trick — token → md5 dimension with a ±1 sign hash, vector =
+    // signed term-frequency sums. Integer arithmetic end to end, so
+    // the embedding itself (not a proxy) hash-matches the DuckDB
+    // replay; emitted sparse (one integer triple per nonzero
+    // (doc, dim)) — the shuffle never carries text
+    "t36_hash_embed" -> ((s, dir) =>
+      T.hashEmbedSparse(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id", "dim")),
+
     // order-insensitive content fingerprint (bag-of-words md5)
     "t4_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -836,6 +846,20 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // bit-exact replay of the feature-hashed embedding: same
+    // tokenizer split, same md5 dimension/sign hashes, integer sums
+    "t36_hash_embed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 7))::BIGINT % 64 AS dim,
+        |    1 - 2 * (('0x' || substr(md5(tok), 8, 1))::BIGINT % 2) AS sgn
+        |  FROM tok)
+        |SELECT doc_id AS id, dim, sum(sgn)::BIGINT AS weight
+        |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+        |ORDER BY id, dim""".stripMargin,
     "t34_perplexity_buckets" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token

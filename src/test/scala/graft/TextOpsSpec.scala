@@ -306,4 +306,30 @@ class TextOpsSpec extends SparkSpec {
     assert(local.collect().map(_.toString).sorted.toSeq ===
       relational.collect().map(_.toString).sorted.toSeq)
   }
+test("t36: feature-hashed embedding is bag-of-words invariant, sign-balanced, and collision-additive") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "gamma ALPHA  beta\talpha"), // shuffled + case/ws noise: same bag
+      (3L, "alpha beta gamma"),          // one fewer alpha
+      (4L, "")).toDF("doc_id", "text")
+    val e = TextFunctions.hashEmbedSparse(docs, "text", "doc_id")
+    val rows = e.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // dims in range
+    assert(rows.keys.forall { case (_, d) => d >= 0 && d < 64 })
+    // bag-of-words invariance: docs 1 and 2 embed IDENTICALLY
+    val v1 = rows.collect { case ((1L, d), w) => d -> w }.toMap
+    val v2 = rows.collect { case ((2L, d), w) => d -> w }.toMap
+    assert(v1 === v2 && v1.nonEmpty)
+    // doc 3 differs from doc 1 by exactly one 'alpha' occurrence: the
+    // vectors differ by +/-1 in alpha's single dimension
+    val v3 = rows.collect { case ((3L, d), w) => d -> w }.toMap
+    val diff = (v1.keySet ++ v3.keySet).toSeq
+      .map(d => d -> (v1.getOrElse(d, 0L) - v3.getOrElse(d, 0L)))
+      .filter(_._2 != 0)
+    assert(diff.length === 1 && math.abs(diff.head._2) === 1)
+    // weights are signed sums: total mass over doc 1 is bounded by its token count
+    assert(v1.values.map(math.abs).sum <= 4)
+  }
 }
