@@ -418,9 +418,24 @@ object BinaryOps {
     bos.toByteArray
   }
 
+  /** Fan a small-bytes/high-CPU relation out to the cluster's
+    * parallelism before a codec-bound mapPartitions: a spec or blob
+    * relation read from one small parquet file arrives as 1-2
+    * partitions (the scan partitions by BYTES), which would pin the
+    * whole encode/decode stage to 1-2 cores while the rest idle —
+    * the classic CPU-bound-narrow-stage trap. Only widens (an
+    * already-parallel input is left alone, so at 100 TB where the
+    * scan is thousands of partitions this is a no-op); the shuffle
+    * it adds moves the small spec rows, never rendered bytes.
+    */
+  private def fanOut[T](ds: Dataset[T]): Dataset[T] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+  }
+
   def renderImages(specs: Dataset[(Long, Int, Int, String)]): Dataset[RenderedImage] = {
     import specs.sparkSession.implicits._
-    specs.mapPartitions { it =>
+    fanOut(specs).mapPartitions { it =>
       // real binding would initialize the codec once per partition here
       it.map { case (id, w, h, fmt) =>
         RenderedImage(id, fmt, w, h, renderOne(id, w, h, fmt))
@@ -436,7 +451,7 @@ object BinaryOps {
   def renderImagesSeeded(
       specs: Dataset[(Long, Long, Int, Int, String)]): Dataset[(Long, Array[Byte])] = {
     import specs.sparkSession.implicits._
-    specs.mapPartitions { it =>
+    fanOut(specs).mapPartitions { it =>
       it.map { case (id, seed, w, h, fmt) => (id, renderOne(seed, w, h, fmt)) }
     }
   }
@@ -464,7 +479,7 @@ object BinaryOps {
   def renderAudio(
       specs: Dataset[(Long, Int, Int, Int, String)]): Dataset[RenderedAudio] = {
     import specs.sparkSession.implicits._
-    specs.mapPartitions { it =>
+    fanOut(specs).mapPartitions { it =>
       it.map { case (id, rate, ch, frames, fmt) =>
         RenderedAudio(id, fmt, rate, ch, frames,
           renderOneAudio(id, rate, ch, frames, fmt))
@@ -630,7 +645,7 @@ object BinaryOps {
   def renderAnimatedGifs(
       specs: Dataset[(Long, Int, Int, Array[Long])]): Dataset[(Long, Array[Byte])] = {
     import specs.sparkSession.implicits._
-    specs.mapPartitions { it =>
+    fanOut(specs).mapPartitions { it =>
       it.map { case (id, w, h, frameSeeds) =>
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
