@@ -154,11 +154,16 @@ object Bench {
       if (tiny.isDirectory) tiny.getPath else sfDir
     }
     // warmup defers to the deadline at its half-point: an unwarmed
-    // measured pass is noisy, an unfinished artifact is worthless
+    // measured pass is noisy, an unfinished artifact is worthless.
+    // warmupCompleted is RECORDED in the detail artifact: a query
+    // past the cutoff measures cold (first-call codegen cost in its
+    // number), and the comparison tooling needs to know which.
+    var warmupCompleted = 0
     ordered.foreach { case (_, fn) =>
       if (elapsedSec <= deadlineSec / 2 || deadlineSec <= 0) {
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
+        warmupCompleted += 1
       }
     }
     if (hygiene) BlockHygiene.freeBlocks(spark)
@@ -227,7 +232,8 @@ object Bench {
     }.mkString(",\n")
     val detailJson =
       s"""{\n"method":"min-of-$passes-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +
-        s""""skipped":${skipped.size},\n"queries":{\n$detail\n}}\n"""
+        s""""skipped":${skipped.size},"warmup_completed":$warmupCompleted,"warmup_total":${ordered.size},""" +
+        s"""\n"queries":{\n$detail\n}}\n"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.write(detailJson) finally out.close()
 

@@ -52,9 +52,14 @@ object AudioMetaOps {
 
   /** (format, sampleRate, channels, bitsPerSample, nFrames); -1 for
     * any field that can't be parsed, format "raw" when no magic
-    * matches.
+    * matches. The catch-all backstops the 'malformed bytes never
+    * throw' contract against any index arithmetic a crafted header
+    * might still slip past the bounds checks.
     */
-  def sniff(b: Array[Byte]): (String, Int, Int, Int, Long) = {
+  def sniff(b: Array[Byte]): (String, Int, Int, Int, Long) =
+    try sniffImpl(b) catch { case _: RuntimeException => NoMeta }
+
+  private def sniffImpl(b: Array[Byte]): (String, Int, Int, Int, Long) = {
     val n = b.length
     // WAV: "RIFF" <size> "WAVE", then little-endian (id, size) chunks;
     // "fmt " carries rate/channels/bits, "data"'s declared size over
@@ -77,7 +82,12 @@ object AudioMetaOps {
           if (block > 0) frames = size / block
           return ("wav", rate, ch, bits, frames)
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+        // Long cursor: a declared size near Int.MaxValue must not wrap
+        // `i` negative (a ~28-byte corrupt header could otherwise index
+        // out of bounds) — chunks pad to even
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next > n) return ("wav", rate, ch, bits, frames)
+        i = next.toInt
       }
       return ("wav", rate, ch, bits, frames)
     }
@@ -98,7 +108,9 @@ object AudioMetaOps {
           val rate = extended80(b, i + 16)
           return ("aiff", rate.toInt, ch, bits, frames)
         }
-        i += 8 + size.toInt + (size.toInt & 1)
+        val next = i.toLong + 8L + size + (size & 1L)
+        if (next > n) return ("aiff", -1, -1, -1, -1L)
+        i = next.toInt
       }
       return ("aiff", -1, -1, -1, -1L)
     }

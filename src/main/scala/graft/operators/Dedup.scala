@@ -24,6 +24,23 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Deterministic absolute-count doc cap for the quadratic
+    * evaluation harnesses (d16/d20; the s9/s17 `maxQueries` pattern
+    * at the doc grain): keep the `maxDocs` lowest-md5 ids — stable
+    * across runs, engines, and cluster sizes; no RNG — so pair work
+    * is maxDocs²-bounded no matter the corpus. The 13-hex-digit
+    * prefix compares identically as a string and as a number (fixed
+    * width), so `ORDER BY substr(md5(id),1,13), id LIMIT n` replays
+    * it in DuckDB verbatim. orderBy+limit plans as
+    * TakeOrderedAndProject: per-partition bounded heaps, never a
+    * global sort.
+    */
+  private def mdCap(df: DataFrame, idCol: String, maxDocs: Int): DataFrame =
+    if (maxDocs <= 0) df
+    else df.orderBy(
+      substring(md5(col(idCol).cast("string")), 1, 13).asc, col(idCol).asc)
+      .limit(maxDocs)
+
   /** Exact dedup by normalized-content fingerprint: one row per
     * distinct content, keeping the minimum id.
     */
@@ -621,12 +638,13 @@ object Dedup {
     */
   def containmentPairs(
       df: DataFrame, textCol: String, idCol: String, pct: Int,
-      samplePct: Int = 100): DataFrame = {
-    val base =
+      samplePct: Int = 100, maxDocs: Int = 0): DataFrame = {
+    val base = mdCap(
       if (samplePct >= 100) df
       else df.where(
         conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
-          .cast("long") % 100 < samplePct)
+          .cast("long") % 100 < samplePct),
+      idCol, maxDocs)
     val sh = spread(base).select(
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
@@ -713,15 +731,26 @@ object Dedup {
     * posting-list-quadratic by nature, which is WHY this mode
     * exists: at 100 TB the evaluation runs at p% (truth pair work
     * scales ~p²) while the production d2 path stays full-corpus.
+    *
+    * A pct sample alone still scales ∝(pN)² — quadratic (the s9/s17
+    * headroom lesson, measured 15× at 10× data on this row).
+    * `maxDocs` therefore additionally caps the evaluated doc set
+    * with a deterministic lowest-md5 rank cut: pair work is then
+    * maxDocs²-bounded no matter the corpus. Defaults OFF (0) so
+    * existing callers' rates never shift silently; the driver row
+    * opts in (non-binding at oracle scale, mirrored in the oracle
+    * SQL so the hash-match stands regardless).
     */
   def lshRecallEval(
       df: DataFrame, textCol: String, idCol: String, threshold: Double,
-      samplePct: Int = 100, numPerms: Int = 12, bands: Int = 4): DataFrame = {
-    val docs =
+      samplePct: Int = 100, numPerms: Int = 12, bands: Int = 4,
+      maxDocs: Int = 0): DataFrame = {
+    val docs = mdCap(
       if (samplePct >= 100) df
       else df.where(
         conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
-          .cast("long") % 100 < samplePct)
+          .cast("long") % 100 < samplePct),
+      idCol, maxDocs)
     val truth = exactJaccardPairs(docs, textCol, idCol, threshold)
       .select("id_a", "id_b")
       .localCheckpoint(eager = false) // counted AND joined below

@@ -16,6 +16,8 @@ import graft.functions.{cosine, topk, vecsum}
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`: (q_id, q_vec). Self-matches (same id) are excluded.
     */
@@ -189,14 +191,16 @@ object Similarity {
     * rank cut, deterministic, applied after the pct filter) pins the
     * query count, so truth cost is maxQueries × N — linear — while a
     * ≤512-query recall estimate still carries a ~±2% CI. The cap
-    * does not bind at oracle/spec scales (sample < cap), so
-    * small-scale results are unchanged.
+    * defaults OFF (0) on this public API so an existing caller's
+    * recall numbers never shift silently; the benchmarked driver
+    * rows opt in with 512, and a WARN is logged whenever the cap
+    * actually binds so a changed number is traceable.
     */
   def nprobeSweep(
       corpus: DataFrame, vecCol: String, idCol: String, k: Int,
       nprobes: Seq[Int] = Seq(1, 2, 4, 8), nlist: Int = 8,
       samplePct: Int = 20, lloydIters: Int = 3,
-      maxQueries: Int = 512): DataFrame = {
+      maxQueries: Int = 0): DataFrame = {
     val q0 = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val q1 = if (samplePct >= 100) q0
       else q0.where(
@@ -210,6 +214,9 @@ object Similarity {
       else q1)
       .localCheckpoint(eager = false)
     val nQ = q.count()
+    if (maxQueries > 0 && nQ == maxQueries)
+      log.warn(s"nprobeSweep maxQueries=$maxQueries bound the sampled " +
+        "query set — recall is estimated on the capped subset")
     val truth = bruteKnn(corpus, vecCol, idCol, q, k)
       .select(col("q_id"), col("neighbor_id"))
       .localCheckpoint(eager = false)
@@ -244,12 +251,15 @@ object Similarity {
     * count with the corpus (truth ∝ N² — the s17 headroom lesson),
     * so `maxQueries` additionally caps the set with a deterministic
     * lowest-md5 rank cut: truth cost maxQueries × N, linear. The cap
-    * does not bind at oracle scales, so s9 stays hash-matched.
+    * defaults OFF (0) here so existing callers' recall is never
+    * silently re-based; the driver row opts in with 512 (non-binding
+    * at oracle scale, so s9 stays hash-matched) and the emitted
+    * `n_q` column always exposes the evaluated query count.
     */
   def annRecallEval(
       corpus: DataFrame, vecCol: String, idCol: String, k: Int,
       samplePct: Int = 100, numPlanes: Int = 4, dim: Int = 64,
-      maxQueries: Int = 512): DataFrame = {
+      maxQueries: Int = 0): DataFrame = {
     val q0 = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val q1 = if (samplePct >= 100) q0
       else q0.where(

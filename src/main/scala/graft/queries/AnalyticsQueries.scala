@@ -674,9 +674,14 @@ object AnalyticsQueries {
       val est = when(col("n") >= k,
           lit((k - 1).toDouble) / -element_at(col("tk"), k).getField("score"))
         .otherwise(col("n").cast("double"))
+      // Floor-grid rounding (q51 discipline): round(DOUBLE, 4) is
+      // engine-version-dependent at representation boundaries (half-up
+      // vs half-even on the shortest-repr digit), but floor(x*1e4+0.5)
+      // /1e4 is pure IEEE-754 arithmetic — bit-identical wherever the
+      // incoming quotient is, so the driver hash can never drift.
       agg.join(nev, "d0")
         .select(date_format(col("d0"), "yyyy-MM-dd").as("d"),
-          round(est, 4).as("kmv_users_7d"), col("n_events_7d"))
+          (floor(est * 10000d + 0.5d) / 10000d).as("kmv_users_7d"), col("n_events_7d"))
         .orderBy("d")
     }),
 
@@ -1814,7 +1819,7 @@ object AnalyticsQueries {
         |  GROUP BY 1
         |)
         |SELECT strftime(e.d0, '%Y-%m-%d') AS d,
-        |  round(e.est, 4) AS kmv_users_7d, evw.n_events_7d
+        |  floor(e.est * 10000 + 0.5) / 10000 AS kmv_users_7d, evw.n_events_7d
         |FROM e JOIN evw ON e.d0 = evw.d0 ORDER BY 1""".stripMargin,
     "q27_market_share" ->
       """WITH f AS (

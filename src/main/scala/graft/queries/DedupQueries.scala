@@ -68,7 +68,7 @@ object DedupQueries {
     // pair work ~p²; full-vs-sampled agreement spec'd in DedupSpec)
     "d20_containment" -> ((s, dir) =>
       Dedup.containmentPairs(table(s, dir, "documents"), "text", "doc_id", 80,
-        samplePct = 50)
+        samplePct = 50, maxDocs = 2048) // pct alone still scales ∝(pN)²
         .orderBy("id_a", "id_b")),
 
     // cross-source duplication matrix — the provenance report behind
@@ -138,7 +138,8 @@ object DedupQueries {
     // mode (Dedup.lshRecallEval samplePct, spec'd vs full in
     // DedupSpec).
     "d16_lsh_recall_eval" -> ((s, dir) =>
-      Dedup.lshRecallEval(table(s, dir, "documents"), "text", "doc_id", 0.5)),
+      Dedup.lshRecallEval(table(s, dir, "documents"), "text", "doc_id", 0.5,
+        maxDocs = 2048)), // absolute cap: truth pair work maxDocs²-bounded
 
     // sub-quadratic LSH-bucketed variant (recall < 1 at thresholds
     // near the bulk angle — exactness spec'd on clustered data in
@@ -381,7 +382,9 @@ object DedupQueries {
     // (complete ≡ the inverted-index candidates at any positive τ)
     "d20_containment" -> (shingleCtes.replace(
       "FROM documents",
-      "FROM documents WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 50") +
+      "FROM (SELECT * FROM documents" +
+        " WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 100 < 50" +
+        " ORDER BY substr(md5(doc_id::VARCHAR), 1, 13), doc_id LIMIT 2048)") +
       """
         |SELECT id_a, id_b, n_common, n_a, n_b,
         |round(n_common * 1.0 / n_a, 4) AS cont_a,
@@ -429,8 +432,14 @@ object DedupQueries {
         |WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // candidates = d2's band-key replay; truth = d4's full-pairwise
-    // exact Jaccard — composed into one counts row
-    "d16_lsh_recall_eval" -> (shingleCtes + minhashSigSql +
+    // exact Jaccard — composed into one counts row, over the same
+    // deterministic lowest-md5 maxDocs=2048 cut as the Spark side
+    // (non-binding at oracle scale, pair-work bound at 100 TB)
+    "d16_lsh_recall_eval" -> (shingleCtes.replace(
+      "FROM documents",
+      "FROM (SELECT * FROM documents" +
+        " ORDER BY substr(md5(doc_id::VARCHAR), 1, 13), doc_id LIMIT 2048)") +
+      minhashSigSql +
       """, bh AS (
         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band, * FROM sig
         |), keys AS (

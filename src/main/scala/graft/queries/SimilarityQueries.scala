@@ -70,7 +70,8 @@ object SimilarityQueries {
     // the full-probe ceiling, and determinism.
     "s17_nprobe_sweep" -> ((s, dir) =>
       Similarity.nprobeSweep(
-        table(s, dir, "embeddings"), "embedding", "vec_id", k = 5)),
+        table(s, dir, "embeddings"), "embedding", "vec_id", k = 5,
+        maxQueries = 512)), // absolute cap: truth leg stays linear in N
 
     // ANN recall evaluation: LSH-kNN recall@5 against exact truth on
     // an md5-sampled 20% query slice, full corpus on the truth side —
@@ -79,7 +80,8 @@ object SimilarityQueries {
     "s9_ann_recall" -> ((s, dir) =>
       Similarity.annRecallEval(
         table(s, dir, "embeddings"), "embedding", "vec_id",
-        k = 5, samplePct = 20)),
+        k = 5, samplePct = 20,
+        maxQueries = 512)), // absolute cap: truth leg stays linear in N
 
     // IVF-lite ANN: inverted lists by coarse centroid, nprobe probing.
     "s3_knn_ivf" -> ((s, dir) =>
@@ -137,9 +139,15 @@ object SimilarityQueries {
     // materialize. Banding floors the 4-dp-rounded cosine × 20: both
     // engines floor the same IEEE double, so bands are engine-stable.
     "s10_sim_histogram" -> ((s, dir) => {
+      // pct sample + absolute lowest-md5 cap (the d16/s9 pattern):
+      // pair work is 2048²-bounded no matter the corpus; the cap is
+      // non-binding at oracle scale and replayed in the oracle SQL
       val sample = table(s, dir, "embeddings").where(
         conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10)
           .cast("long") % 100 < 50)
+        .orderBy(substring(md5(col("vec_id").cast("string")), 1, 13).asc,
+          col("vec_id").asc)
+        .limit(2048)
       Dedup.embeddingPairs(sample, "embedding", "vec_id", -1.0)
         .groupBy(floor(col("cos_sim") * 20).cast("long").as("band"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -296,8 +304,10 @@ object SimilarityQueries {
     // same rounded-double × 20 product on both engines
     "s10_sim_histogram" ->
       """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 100 < 50
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM (
+        |    SELECT * FROM embeddings
+        |    WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 100 < 50
+        |    ORDER BY substr(md5(vec_id::VARCHAR), 1, 13), vec_id LIMIT 2048)
         |), p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))

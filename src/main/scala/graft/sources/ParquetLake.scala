@@ -3031,13 +3031,16 @@ object ParquetLake {
       .sortBy(_._1)
   }
 
+  // cnt_<m> (per-measure non-null count) rides beside sum_<m> so the
+  // derived average divides by the rows sum() actually saw — SQL AVG
+  // semantics — not by n_rows, which counts null-measure rows too
   private def matviewAggregate(
       df: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n_rows"),
       measures.flatMap(m => Seq(
-        sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
-        max(col(m)).as(s"max_$m"))): _*)
+        sum(col(m)).as(s"sum_$m"), count(col(m)).as(s"cnt_$m"),
+        min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m"))): _*)
 
   private def matviewMerge(
       partials: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
@@ -3045,6 +3048,7 @@ object ParquetLake {
       sum(col("n_rows")).as("n_rows"),
       measures.flatMap(m => Seq(
         sum(col(s"sum_$m")).as(s"sum_$m"),
+        sum(col(s"cnt_$m")).as(s"cnt_$m"),
         min(col(s"min_$m")).as(s"min_$m"),
         max(col(s"max_$m")).as(s"max_$m"))): _*)
 
@@ -3119,7 +3123,14 @@ object ParquetLake {
               keys, measures))
       }
       val nextV = prevState.map(_._1 + 1).getOrElse(1)
-      val dataDir = s"_graft_matview_data_$name/v$nextV"
+      // Attempt-unique staging dir (same discipline as publishStaged's
+      // stage names): two racing refreshers both compute nextV from the
+      // same prevState, and a shared `v$nextV` dir would let the CAS
+      // loser's overwrite/cleanup delete the winner's published part
+      // files. The listing records the actual per-file paths, so
+      // readers never derive the dir from the version number.
+      val dataDir = s"_graft_matview_data_$name/v$nextV-" +
+        java.util.UUID.randomUUID().toString.take(8)
       merged.write.mode("overwrite").parquet(s"$path/$dataDir")
       val parts = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
         .toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -3128,11 +3139,15 @@ object ParquetLake {
         atomicPublishListing(fs, root, s"${matviewPrefix(name)}$nextV",
           parts, Map("base" -> headV.toString, "mode" -> mode),
           s"matview '$name' version $nextV already committed by a concurrent refresher under $path")
-        // retain the previous snapshot for in-flight readers; sweep older
-        matviewVersions(fs, root, name).dropRight(2).foreach { case (v, p) =>
+        // retain the previous snapshot for in-flight readers; sweep
+        // older — data dirs are derived from each swept listing's own
+        // part paths (dirs are attempt-unique, never version-derived)
+        matviewVersions(fs, root, name).dropRight(2).foreach { case (_, p) =>
+          val oldDirs = manifestLines(fs, p).filterNot(_.startsWith("#"))
+            .map(f => f.take(f.lastIndexOf('/'))).filter(_.nonEmpty).distinct
           fs.delete(p, false)
-          fs.delete(new org.apache.hadoop.fs.Path(root,
-            s"_graft_matview_data_$name/v$v"), true)
+          oldDirs.foreach(d =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
         }
         return MatviewRefresh(nextV, mode, scanned, headV)
       } catch {
@@ -3160,8 +3175,11 @@ object ParquetLake {
     val files = manifestLines(fs, p).filterNot(_.startsWith("#"))
     val df = spark.read.option("basePath", path)
       .parquet(files.map(f => s"$path/$f"): _*)
+    // avg = sum / non-null count (SQL AVG): null for all-null groups
+    // (Divide yields null on a zero divisor), never a diluted quotient
     measures.foldLeft(df)((d, m) =>
-      d.withColumn(s"avg_$m", col(s"sum_$m") / col("n_rows")))
+      d.withColumn(s"avg_$m", col(s"sum_$m") /
+        when(col(s"cnt_$m") > 0, col(s"cnt_$m"))))
   }
 
   /** The main version the matview currently reflects (its staleness

@@ -444,23 +444,36 @@ object LogStream {
     * sinks; the marker scan is the retained-manifest listing
     * (driver-side, bounded by vacuum retention — retention must
     * cover at least the sink's restart gap, the st22 vacuum caveat).
+    *
+    * The marker is NAMESPACED by `sinkId` (`stream_batch_<sinkId>`,
+    * derived from the checkpoint path in [[startMatviewSink]]): batch
+    * ids restart at 0 with a fresh checkpoint, so an un-namespaced
+    * high-water check against a lake whose markers came from an older
+    * checkpoint would silently skip every new batch — data loss with
+    * no error. A NEW checkpoint location gets a new namespace and
+    * appends from scratch; DELETING and recreating a checkpoint at
+    * the SAME path reuses the namespace and is therefore not
+    * supported against a non-empty lake (start a fresh lake or a
+    * fresh checkpoint path instead).
     */
   def matviewBatchWriter(
       dataPath: String, name: String, keys: Seq[String],
-      measures: Seq[String], partCol: Option[String])
+      measures: Seq[String], partCol: Option[String],
+      sinkId: String = "default")
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, id: Long) => {
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         import graft.sources.ParquetLake
+        val marker = s"stream_batch_$sinkId"
         val landed = ParquetLake.manifestLog(spark, dataPath).map(_._1)
           .flatMap(v => ParquetLake.manifestHeaders(spark, dataPath, Some(v))
-            .get("stream_batch")).map(_.toLong)
+            .get(marker)).map(_.toLong)
         if (!landed.exists(_ >= id)) {
           val stage = s"st39_$id"
           ParquetLake.stageAppend(spark, dataPath, batch, stage, partCol)
           ParquetLake.publishStaged(spark, dataPath, stage,
-            headers = Map("stream_batch" -> id.toString))
+            headers = Map(marker -> id.toString))
         }
         ParquetLake.matviewRefresh(spark, dataPath, name, keys, measures)
         ()
@@ -485,10 +498,21 @@ object LogStream {
       partCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
-      .foreachBatch(matviewBatchWriter(dataPath, name, keys, measures, partCol))
+      .foreachBatch(matviewBatchWriter(dataPath, name, keys, measures, partCol,
+        matviewSinkId(checkpoint)))
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .start()
+
+  /** Deterministic per-checkpoint marker namespace for
+    * [[matviewBatchWriter]]: the same checkpoint path resumes its own
+    * `stream_batch_<id>` line; a different checkpoint path starts a
+    * fresh namespace (and therefore appends from batch 0 without
+    * being masked by an older sink's high-water marks).
+    */
+  def matviewSinkId(checkpoint: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      checkpoint.getBytes("UTF-8")).toString.take(8)
 
   /** st36: continuous chunk-gated BLOB ingest — lk43's gate per
     * micro-batch, the binary sibling of [[startDedupIngestSink]]: a

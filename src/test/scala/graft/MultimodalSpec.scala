@@ -314,6 +314,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m14: crafted chunk sizes near Int.MaxValue never wrap the cursor or throw") {
+    import graft.functions.AudioMetaOps
+    // RIFF/WAVE header whose first chunk declares size 0x7ffffff0:
+    // passes the (size > Int.MaxValue) guard, and before the Long
+    // cursor fix wrapped `i` negative → ArrayIndexOutOfBoundsException
+    def crafted(magic: (Char, Char, Char, Char), form: (Char, Char, Char, Char), le: Boolean): Array[Byte] = {
+      val b = new Array[Byte](28)
+      b(0) = magic._1.toByte; b(1) = magic._2.toByte; b(2) = magic._3.toByte; b(3) = magic._4.toByte
+      b(8) = form._1.toByte; b(9) = form._2.toByte; b(10) = form._3.toByte; b(11) = form._4.toByte
+      b(12) = 'J'.toByte; b(13) = 'U'.toByte; b(14) = 'N'.toByte; b(15) = 'K'.toByte
+      val size = 0x7ffffff0
+      if (le) { b(16) = (size & 0xff).toByte; b(17) = ((size >> 8) & 0xff).toByte
+        b(18) = ((size >> 16) & 0xff).toByte; b(19) = ((size >> 24) & 0xff).toByte }
+      else { b(16) = ((size >> 24) & 0xff).toByte; b(17) = ((size >> 16) & 0xff).toByte
+        b(18) = ((size >> 8) & 0xff).toByte; b(19) = (size & 0xff).toByte }
+      b
+    }
+    val wav = crafted(('R', 'I', 'F', 'F'), ('W', 'A', 'V', 'E'), le = true)
+    val aiff = crafted(('F', 'O', 'R', 'M'), ('A', 'I', 'F', 'F'), le = false)
+    assert(AudioMetaOps.sniff(wav)._1 === "wav")   // degrades, no throw
+    assert(AudioMetaOps.sniff(aiff)._1 === "aiff")
+    // fuzz: random junk after valid magics never throws either
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(junk)
+      AudioMetaOps.sniff("RIFF".getBytes ++ junk)
+      AudioMetaOps.sniff("FORM".getBytes ++ junk)
+      AudioMetaOps.sniff(".snd".getBytes ++ junk)
+    }
+  }
+
   test("m14: the driver query reports every rendered clip parsing back to its exact spec") {
     val out = SparkEntry.queries("m14_audio_meta")(spark, sf).collect()
     assert(out.length === 3) // wav / aiff / au

@@ -1484,12 +1484,23 @@ class StreamingSpec extends SparkSpec {
     val again = ParquetLake.matviewRefresh(spark, dataPath, "mv", keys, ms)
     assert(again.mode === "noop")
     // at-least-once replay of the LAST batch (its stream_batch marker
-    // is in a retained manifest header): nothing lands twice
+    // is in a retained manifest header): nothing lands twice — the
+    // replay must run under the SAME checkpoint-derived marker
+    // namespace the sink used
     val headV = ParquetLake.manifestLog(spark, dataPath).last._1
-    LogStream.matviewBatchWriter(dataPath, "mv", keys, ms, None)(b2, 1L)
+    LogStream.matviewBatchWriter(dataPath, "mv", keys, ms, None,
+      LogStream.matviewSinkId(ckpt))(b2, 1L)
     assert(ParquetLake.manifestLog(spark, dataPath).last._1 === headV)
     assert(ParquetLake.readManifested(spark, dataPath).count() === ev.count())
     assert(rollup() === expect())
+    // a DIFFERENT checkpoint's sink is a different namespace: its
+    // batch 0 is NOT masked by this sink's high-water marker (the
+    // fresh-checkpoint data-loss mode the namespacing exists to kill)
+    val otherId = LogStream.matviewSinkId(ckpt + "_other")
+    LogStream.matviewBatchWriter(dataPath, "mv", keys, ms, None, otherId)(
+      b2.limit(1), 0L)
+    assert(ParquetLake.manifestLog(spark, dataPath).last._1 === headV + 1)
+    assert(ParquetLake.readManifested(spark, dataPath).count() === ev.count() + 1)
   }
 
   test("st36: continuous chunk-gated blob ingest — near-copies reject across micro-batches") {
