@@ -143,6 +143,28 @@ object Bench {
     // between queries only — never interrupts a running query.
     val jvmStart = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "480").toDouble
+    // Machine-speed anchor: a fixed single-thread xorshift fold, timed
+    // after one untimed JIT pass. Identical work every run, so the
+    // recorded seconds calibrate THIS host+JVM against the pinned
+    // baseline's — the r12→r13 lesson, where a uniform ~1.4× per-row
+    // drift (median over 150 rows, pure-JVM no-data rows included) was
+    // a host-speed shift, not a plan regression, and nothing in the
+    // artifact could prove it. bench_compare can divide ratios by
+    // anchor-ratio before flagging.
+    val machineAnchorSec = {
+      def spin(): Long = {
+        var x = 0x9e3779b97f4a7c15L; var s = 0L; var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1 }
+        s
+      }
+      val sink = spin() // JIT warm (result consumed below so it can't DCE)
+      val t0 = System.nanoTime()
+      val sink2 = spin()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sink == 42 && sink2 == 43) println("") // defeat dead-code elim
+      math.rint(sec * 1000) / 1000
+    }
     def elapsedSec: Double = (System.currentTimeMillis() - jvmStart) / 1e3
     def pastDeadline: Boolean = deadlineSec > 0 && elapsedSec > deadlineSec
     // JIT/codegen warmup: run the suite once at the smallest SF so the
@@ -233,6 +255,7 @@ object Bench {
     val detailJson =
       s"""{\n"method":"min-of-$passes-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +
         s""""skipped":${skipped.size},"warmup_completed":$warmupCompleted,"warmup_total":${ordered.size},""" +
+        s""""machine_anchor_sec":$machineAnchorSec,""" +
         s"""\n"queries":{\n$detail\n}}\n"""
     val out = new java.io.PrintWriter("BENCH_DETAIL.json")
     try out.write(detailJson) finally out.close()

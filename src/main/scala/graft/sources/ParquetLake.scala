@@ -1023,6 +1023,17 @@ object ParquetLake {
     * pending at the fork travel in the branch header; the read
     * applies them merge-on-read style, so a branch forked before
     * materialization never resurrects vector-deleted rows.
+    *
+    * CONTRACT for main-side deletes AFTER the fork: branch reads are
+    * snapshot-isolated at the fork — a mid-branch `deleteVectored`
+    * on main is invisible here, exactly as mid-branch main APPENDS
+    * are (this is the branch's reason to exist, not resurrection:
+    * the rows were live in the forked snapshot). The deletes cannot
+    * be lost at publication either: [[publishBranch]]'s fast-forward
+    * refuses because main moved, and [[publishBranchRebase]] adopts
+    * the CURRENT head's dv header, so the published main head keeps
+    * the deletes and gains only the branch's appended files. Pinned
+    * by the lk38 mid-branch-delete spec (ConcurrencySpec).
     */
   def readBranch(
       spark: SparkSession, path: String, name: String,

@@ -325,4 +325,46 @@ class ConcurrencySpec extends SparkSpec {
     assert(mor.where(col("event_id") % 9 === 0 && col("event_id") < 10000000L).count() === 0)
     assert(mor.where(col("event_id").between(40000000L, 49999999L)).count() === n3)
   }
+
+  test("lk38: mid-branch main delete — branch reads stay snapshot-isolated at the fork, publication never loses the delete") {
+    import graft.sources.ParquetLake
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_branch_middel").toString
+    ParquetLake.writePartitioned(
+      graft.queries.events(spark, sf).select("event_id", "user_id", "event_type", "ts_ms"),
+      dir, "ts_ms", sortCols = Nil)
+    ParquetLake.snapshotManifest(spark, dir)
+    val base = ParquetLake.readManifested(spark, dir).localCheckpoint(eager = false)
+    val baseCount = base.count()
+    ParquetLake.createBranch(spark, dir, "mid")
+    val b1 = base.where(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val n1 = b1.count()
+    ParquetLake.appendBranch(spark, dir, "mid", b1, Some("p_date"))
+    // main deletes a slice AFTER the fork, mid-branch
+    val delPred = col("event_id") % 7 === 0 && col("event_id") < 10000000L
+    val delCount = ParquetLake.readManifested(spark, dir).where(delPred).count()
+    assert(delCount > 0)
+    ParquetLake.deleteVectored(spark, dir, delPred)
+    // CONTRACT 1: the branch reader is snapshot-isolated at the fork —
+    // the mid-branch main delete is invisible (these rows were live in
+    // the forked snapshot; this is the same isolation that hides
+    // mid-branch main APPENDS, not resurrection)
+    val branch = ParquetLake.readBranch(spark, dir, "mid")
+    assert(branch.count() === baseCount + n1)
+    assert(branch.where(delPred).count() === delCount)
+    // CONTRACT 2: fast-forward publish refuses — main moved
+    intercept[ParquetLake.ManifestConflictException] {
+      ParquetLake.publishBranch(spark, dir, "mid")
+    }
+    // CONTRACT 3: the rebase publish adopts the CURRENT head's dv
+    // header — the published main head keeps the delete and gains
+    // only the branch's appended files; nothing resurrects
+    val v = ParquetLake.publishBranchRebase(spark, dir, "mid")
+    val mor = ParquetLake.readManifestedMoR(spark, dir, Some(v))
+    assert(mor.count() === baseCount + n1 - delCount)
+    assert(mor.where(delPred).count() === 0)
+    assert(mor.where(col("event_id") >= 10000000L).count() === n1)
+    assert(ParquetLake.fsck(spark, dir).missing.isEmpty)
+  }
 }

@@ -42,18 +42,32 @@ def main():
     new_p = args[0] if len(args) > 0 else "BENCH_DETAIL.json"
     old_p = args[1] if len(args) > 1 else "BENCH_DETAIL_prev.json"
     new, old = load(new_p), load(old_p)
+    # host-speed normalization: when BOTH details carry the fixed
+    # single-thread machine anchor (added r13), divide per-row ratios
+    # by the anchor ratio so a uniformly slower/faster host doesn't
+    # read as a per-query regression (the r12 1.91x lesson).
+    d_new = json.loads(Path(new_p).read_text())
+    d_old = json.loads(Path(old_p).read_text())
+    anchor = 1.0
+    if d_new.get("machine_anchor_sec") and d_old.get("machine_anchor_sec"):
+        anchor = d_new["machine_anchor_sec"] / d_old["machine_anchor_sec"]
+        print(f"host anchor: {d_old['machine_anchor_sec']}s -> "
+              f"{d_new['machine_anchor_sec']}s ({anchor:.2f}x); "
+              f"per-row ratios normalized by it")
     flags = []
     for name in sorted(set(new) & set(old)):
         # sub-100ms queries are scheduler noise, not signal
-        if old[name] >= 0.1 and new[name] > ratio * old[name]:
+        if old[name] >= 0.1 and new[name] / anchor > ratio * old[name]:
             flags.append((name, old[name], new[name]))
     for name, o, n in flags:
-        print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
+        print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s "
+              f"({n / o:.1f}x raw, {n / o / anchor:.1f}x normalized)")
     common = set(new) & set(old)
     tn = sum(v for k, v in new.items() if k in common)
     to = sum(v for k, v in old.items() if k in common)
-    print(f"== common-query total: {to:.1f}s -> {tn:.1f}s ({tn / to:.2f}x); "
-          f"{len(flags)} flagged of {len(set(new) & set(old))} common ==")
+    print(f"== common-query total: {to:.1f}s -> {tn:.1f}s ({tn / to:.2f}x raw"
+          + (f", {tn / to / anchor:.2f}x host-normalized" if anchor != 1.0 else "")
+          + f"); {len(flags)} flagged of {len(set(new) & set(old))} common ==")
     sys.exit(1 if flags else 0)
 
 

@@ -19,7 +19,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 # rows with documented nonlinear contracts or past flags — always timed
 WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
-             "a3_approx_quantiles", "q4_running_window"]
+             "a3_approx_quantiles", "q4_running_window",
+             # r12 flags re-checked post-fix: capped evaluators (should
+             # now be ~linear) and the codec-bound m-family rows
+             "d16_lsh_recall_eval", "s17_nprobe_sweep", "s9_ann_recall",
+             "d20_containment", "s10_sim_histogram",
+             "m12_image_resize", "m13_image_ahash_dedup",
+             "m15_gif_frame_dedup"]
 
 
 def main():
