@@ -456,6 +456,68 @@ object BinaryOps {
     }
   }
 
+  /** m16: one row of the full-resolution pixel round-trip audit —
+    * the decode-side twin of [[RenderedImage]]'s encode claim.
+    */
+  case class PixelRoundtrip(
+      id: Long, fmt: String, w: Int, h: Int, nPix: Long,
+      decodeOk: Boolean, exact: Boolean)
+
+  /** m16: render → decode → compare EVERY pixel against the
+    * construction raster. m11 pins header round-trips and m13 pins an
+    * 8×8 perceptual thumb; this is the strongest claim in the family:
+    * for each raster-exact container (png/bmp; the JDK GIF writer
+    * palette-quantizes dense-gray rasters, measured ~18% off-by-a-
+    * level on the m11 spec mix, which is why the GIF-grain operators
+    * m13/m15 hash a thumb instead), the decoded image must reproduce
+    * the encoder's full-resolution samples bit-for-bit. The whole
+    * chain is partition-local (render, decode, and compare never
+    * leave the task); only (fmt, flags, dims) aggregate afterwards —
+    * bytes and pixels never shuffle, so the audit is linear in corpus
+    * and embarrassingly parallel at 100 TB.
+    *
+    * Sample extraction avoids colorspace math entirely: single-band
+    * rasters are read directly; palette (GIF) rasters map the index
+    * through the IndexColorModel's red channel (entries are (v,v,v)
+    * grays, so red IS the sample) — no luminance weighting, no sRGB
+    * gamma, nothing that could be off-by-one.
+    */
+  def pixelRoundtrip(
+      specs: Dataset[(Long, Int, Int, String)]): Dataset[PixelRoundtrip] = {
+    import specs.sparkSession.implicits._
+    fanOut(specs).mapPartitions { it =>
+      it.map { case (id, w, h, fmt) =>
+        val bytes = renderOne(id, w, h, fmt)
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (src == null) PixelRoundtrip(id, fmt, w, h, 0L, decodeOk = false, exact = false)
+        else {
+          val want = rasterize(id, w, h).getRaster
+          val got = src.getRaster
+          val icm = src.getColorModel match {
+            case m: java.awt.image.IndexColorModel => m
+            case _ => null
+          }
+          var ok = src.getWidth == w && src.getHeight == h &&
+            (icm != null || got.getNumBands == 1)
+          var y = 0
+          while (ok && y < h) {
+            var x = 0
+            while (ok && x < w) {
+              val s = got.getSample(x, y, 0)
+              val v = if (icm != null) icm.getRed(s) else s
+              ok = v == want.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          PixelRoundtrip(id, fmt, w, h, w.toLong * h, decodeOk = true, exact = ok)
+        }
+      }
+    }
+  }
+
   /** A rendered audio clip: encode spec + the REAL container bytes
     * the JDK's sound stack produced for it.
     */
@@ -638,9 +700,11 @@ object BinaryOps {
     * stub): frame f of a row is the deterministic [[rasterize]] of
     * `frameSeeds(f)`, so two blobs sharing a seed at any frame
     * position carry pixel-identical frames — the fixture property
-    * frame-grain dedup (m15) rests on. Grayscale rasters use ≤256
-    * colors, which GIF's palette encodes losslessly, so the decoded
-    * frame round-trips pixel-exact.
+    * frame-grain dedup (m15) rests on. The GIF palette encode is
+    * deterministic but NOT sample-exact on dense-gray rasters (the
+    * m16 audit measures the quantization) — identical inputs still
+    * produce identical outputs, and m15 compares frames through the
+    * quantization-absorbing 8×8 aHash, so dedup is unaffected.
     */
   def renderAnimatedGifs(
       specs: Dataset[(Long, Int, Int, Array[Long])]): Dataset[(Long, Array[Byte])] = {

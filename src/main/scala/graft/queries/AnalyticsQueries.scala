@@ -1491,6 +1491,31 @@ object AnalyticsQueries {
         .orderBy("user_id", "grid_ms")
     }),
 
+    // q57: time-BOUNDED conversion funnel — q22 orders steps but
+    // never constrains the gap; this is the attribution-window form
+    // (did a purchase land within 1h of the user's FIRST click?),
+    // grouped by the click's day. Two user-keyed aggregations and
+    // one co-partitioned join — every shuffle is on user_id, all
+    // linear; the rate is floor-grid 4dp (q51 discipline).
+    "q57_funnel_windows" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_type", "ts_ns")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts_ns").as("t0"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .join(clicks, "user_id")
+        .where(col("ts_ns") > col("t0") &&
+          col("ts_ns") <= col("t0") + lit(3600L * 1000 * 1000 * 1000))
+        .select("user_id").distinct()
+        .withColumn("converted", lit(1L))
+      clicks.join(conv, Seq("user_id"), "left")
+        .groupBy(expr("t0 div 86400000000000").as("day_idx"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+        .withColumn("conv_rate",
+          floor(col("n_converted") * 10000.0 / col("n_users") + 0.5) / 10000.0)
+        .orderBy("day_idx")
+    }),
+
     // per-group OLS trend fit (slope/intercept/R²) from ONE pass of
     // numerically-stable co-moments (covar_pop/var_pop are
     // Welford-style centered updates in both engines — no Σxy−ΣxΣy
@@ -1572,6 +1597,22 @@ object AnalyticsQueries {
         |SELECT g.user_id, g.grid_ms, round(e.value, 4) AS value_ffill
         |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND e.ms <= g.grid_ms
         |ORDER BY 1, 2""".stripMargin,
+    "q57_funnel_windows" ->
+      """WITH c AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT DISTINCT c.user_id FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t0
+        |    AND epoch_ns(e.ts) <= c.t0 + 3600000000000
+        |)
+        |SELECT (t0 // 86400000000000)::BIGINT AS day_idx,
+        |count(*)::BIGINT AS n_users,
+        |count(p.user_id)::BIGINT AS n_converted,
+        |floor(count(p.user_id) * 10000.0 / count(*) + 0.5) / 10000.0 AS conv_rate
+        |FROM c LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_trend_fit" ->
       """WITH b AS (
         |  SELECT event_type,

@@ -311,6 +311,35 @@ object MultimodalQueries {
           pmod(col("fk"), lit(10)).as("first_frame"),
           col("n_frames"), col("n_blobs"))
         .orderBy("first_doc", "first_frame")
+    }),
+
+    // FULL-RESOLUTION pixel round-trip audit: m11 pins headers, m13
+    // pins an 8×8 thumb hash — this pins every sample of every
+    // RASTER-EXACT container bit-for-bit against the construction
+    // raster (render → decode → compare, all partition-local; only
+    // typed flags aggregate). png/bmp only: the JDK's GIF writer
+    // palette-QUANTIZES dense-gray rasters (measured: ~18% of the
+    // m11-spec'd images come back off-by-a-level), which is exactly
+    // why m15's frame dedup hashes an 8×8 thumb instead of raw
+    // samples. The oracle predicts n_pixel_exact == n_images and the
+    // pixel totals from the spec arithmetic alone — green only if
+    // the encoder AND decoder are sample-exact.
+    "m16_pixel_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long"),
+          (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
+          (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
+          element_at(array(lit("png"), lit("bmp")),
+            (pmod(col("doc_id"), lit(2)) + 1).cast("int")))
+        .as[(Long, Int, Int, String)]
+      BinaryOps.pixelRoundtrip(specs).toDF()
+        .groupBy(col("fmt").as("format"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("decodeOk") && col("exact"), 1L).otherwise(0L))
+            .as("n_pixel_exact"),
+          sum(col("nPix")).as("n_pixels"))
+        .orderBy("format")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -318,6 +347,15 @@ object MultimodalQueries {
     // Spark side renders must parse back to exactly its spec, so
     // n_parsed_exact == n_images and the dimension sums follow from
     // the spec arithmetic alone
+    "m16_pixel_roundtrip" ->
+      """WITH spec AS (
+        |  SELECT doc_id, (doc_id % 29) + 1 AS w, (doc_id % 17) + 1 AS h,
+        |    CASE (doc_id % 2) WHEN 0 THEN 'png' ELSE 'bmp' END AS format
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n_images,
+        |count(*)::BIGINT AS n_pixel_exact,
+        |sum(w * h)::BIGINT AS n_pixels
+        |FROM spec GROUP BY format ORDER BY format""".stripMargin,
     // the oracle replays the spec arithmetic; matching requires the
     // JDK-encoded container bytes to have parsed back exactly
     "m14_audio_meta" ->

@@ -843,9 +843,56 @@ object TextQueries {
         .groupBy(T.bowFingerprint(col("text")).as("fingerprint"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
         .orderBy("fingerprint")
+    }),
+
+    // duplicated-n-gram fraction (the FineWeb/Gopher inter-document
+    // duplication signal): per doc, the fraction of its DISTINCT
+    // 3-word shingles that also occur in at least one other doc —
+    // reported as a decile histogram. Shingles shuffle as 52-bit
+    // md5-derived hashes (engine-replayable, and a fixed-width key
+    // instead of arbitrary-length strings — at 100 TB the shuffle is
+    // 8 bytes/shingle, not the text). Two linear shuffles (by hash,
+    // by doc); bucket = integer floor division, engine-stable.
+    "t37_dup_fraction" -> ((s, dir) => {
+      val sh = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(T.wordShingles(T.tokens(col("text")))).as("sng"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sng")), 1, 13), 16, 10)
+            .cast("long").as("h"))
+      val shared = sh.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+      sh.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .groupBy(expr("(n_dup * 10) div n_sh").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("sum_shingles"))
+        .orderBy("bucket")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // same tokenizer split / shingle construction / 52-bit md5 hash
+    // as the Spark side; bucket arithmetic is pure integer division
+    "t37_dup_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM toks
+        |), hx AS (
+        |  SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 13))::BIGINT AS h FROM sh
+        |), nd AS (
+        |  SELECT h, count(DISTINCT doc_id) AS nd FROM hx GROUP BY 1
+        |), per AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_sh,
+        |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |  FROM hx JOIN nd USING (h) GROUP BY 1
+        |)
+        |SELECT ((n_dup * 10) // n_sh)::BIGINT AS bucket,
+        |count(*)::BIGINT AS n_docs, sum(n_sh)::BIGINT AS sum_shingles
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // bit-exact replay of the feature-hashed embedding: same
     // tokenizer split, same md5 dimension/sign hashes, integer sums
     "t36_hash_embed" ->

@@ -824,6 +824,14 @@ object LogStream {
   case class DriftIn(label: Int, vec: Array[Float])
   case class DriftState(sum: Array[Double], n: Long)
   case class DriftOut(label: Int, n: Long, centroidCos: Double, drifted: Boolean)
+  case class FfillIn(
+      userId: Long, tsMs: Long, eventId: Long, value: Double,
+      heartbeat: Boolean)
+  case class FfillState(
+      bNext: Long, hasVal: Boolean, value: Double,
+      hasCur: Boolean, curT: Long, curId: Long, curVal: Double)
+  case class FfillOut(
+      userId: Long, gridMs: Long, valueFfill: java.lang.Double)
   case class TrendIn(key: String, tsMs: Long, value: Double)
   case class TrendState(n: Long, mx: Double, my: Double, m2x: Double, m2y: Double, cxy: Double)
   case class TrendOut(key: String, n: Long, slope: Double, interceptAtEpoch: Double, r2: Double)
@@ -1165,6 +1173,83 @@ object LogStream {
           state.update(st)
           Iterator.single(EwmaOut(uid, st.lastTs, st.n,
             st.acc * math.exp(-ln2 * (st.lastTs - st.t0) / halfLifeMs)))
+      }
+  }
+
+  /** st41: streaming resample/forward-fill — q56's stateful twin.
+    * Per-key state is three small scalars plus the open same-ms run:
+    * the next unemitted grid bucket, the last FOLDED value (the
+    * forward-fill carry), and the (ts, max event_id, value) of the
+    * current millisecond's run — q56 collapses same-ms events with
+    * max_by(value, event_id) BEFORE the fill, so the run must stay
+    * open until time moves past it. A grid bucket b (grid time
+    * b·step) emits exactly when an arrival proves no further input
+    * can have ts ≤ b·step — i.e. the first event with ts > b·step —
+    * carrying the value as of b·step (null before the key's first
+    * event lands, exactly q56's unaligned-first-bucket null). The
+    * fill itself does no arithmetic (it carries a value), so
+    * streaming-vs-batch parity is bit-exact by construction.
+    *
+    * `heartbeat = true` rows are pure punctuation: they advance
+    * emission (flushing every bucket with b·step < ts) without
+    * contributing a value — the stream-side stand-in for "the day is
+    * over" that a batch job gets for free from max(ts). To close a
+    * key at exactly q56's last bucket, send its heartbeat at
+    * (max_ts div step + 1)·step. Per-key time-ordered delivery
+    * across batches is the replay contract (st25/st26/st31's).
+    */
+  def streamFfill(
+      events: Dataset[FfillIn], stepMs: Long = 86400000L): Dataset[FfillOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FfillState, FfillOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FfillIn], state: GroupState[FfillState]) =>
+          val batch = it.toArray.sortBy(e => (e.tsMs, e.eventId))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FfillOut]
+          var st = state.getOption.orNull
+          batch.foreach { e =>
+            if (st == null) {
+              // first arrival pins the grid origin: bucket(min ts)
+              st = FfillState(e.tsMs / stepMs, hasVal = false, 0.0,
+                hasCur = false, 0L, 0L, 0.0)
+            }
+            // fold the open same-ms run once time moves past it; any
+            // bucket whose grid time precedes the run sees the value
+            // WITHOUT it (ts ≤ grid time is the fill predicate)
+            if (st.hasCur && st.curT < e.tsMs) {
+              var b = st.bNext
+              while (b * stepMs < st.curT) {
+                out += FfillOut(uid, b * stepMs,
+                  if (st.hasVal) st.value else null)
+                b += 1
+              }
+              st = FfillState(b, hasVal = true, st.curVal,
+                hasCur = false, 0L, 0L, 0.0)
+            }
+            // buckets strictly below the arrival are final: emit them
+            // with the carry (which now includes any run at their ts)
+            var b = st.bNext
+            while (b * stepMs < e.tsMs) {
+              out += FfillOut(uid, b * stepMs,
+                if (st.hasVal) st.value else null)
+              b += 1
+            }
+            st = st.copy(bNext = b)
+            if (!e.heartbeat) {
+              // open/extend the same-ms run (max_by(value, event_id))
+              st =
+                if (st.hasCur && st.curT == e.tsMs) {
+                  if (e.eventId > st.curId)
+                    st.copy(curId = e.eventId, curVal = e.value)
+                  else st
+                } else st.copy(hasCur = true, curT = e.tsMs,
+                  curId = e.eventId, curVal = e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
       }
   }
 

@@ -346,6 +346,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m16: png/bmp round-trip every sample; the JDK gif writer quantizes dense-gray rasters") {
+    import graft.multimodal.BinaryOps
+    import spark.implicits._
+    val specs = (0L until 300L).map(i =>
+      (i, (i % 29 + 1).toInt, (i % 17 + 1).toInt,
+        Seq("png", "bmp", "gif")((i % 3).toInt))).toDS()
+    val out = BinaryOps.pixelRoundtrip(specs).collect()
+    assert(out.length === 300)
+    val lossless = out.filter(r => r.fmt == "png" || r.fmt == "bmp")
+    assert(lossless.nonEmpty && lossless.forall(r => r.decodeOk && r.exact),
+      "png/bmp must reproduce every encoder sample bit-for-bit")
+    // the documented reason gif is EXCLUDED from m16 (and why m13/m15
+    // hash an 8x8 thumb instead of raw samples): the JDK gif writer
+    // palette-quantizes dense-gray rasters
+    val gif = out.filter(_.fmt == "gif")
+    assert(gif.forall(_.decodeOk))
+    assert(gif.exists(!_.exact), "expected the measured gif quantization")
+  }
+
   test("m14: the driver query reports every rendered clip parsing back to its exact spec") {
     val out = SparkEntry.queries("m14_audio_meta")(spark, sf).collect()
     assert(out.length === 3) // wav / aiff / au

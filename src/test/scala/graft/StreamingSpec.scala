@@ -1264,6 +1264,60 @@ class StreamingSpec extends SparkSpec {
       assert((ts, n, score) === q53(u), s"user $u") }
   }
 
+  private def st41Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_ffill_in").toString
+    val step = 86400000L
+    val ev = events(spark, sf)
+      .select(col("user_id").as("userId"), col("ts_ms").as("tsMs"),
+        col("event_id").as("eventId"), col("value"),
+        lit(false).as("heartbeat"))
+    val cut = ev.agg(expr("percentile_approx(tsMs, 0.5)")).head().getLong(0)
+    def writeIn(df: org.apache.spark.sql.DataFrame, mode: SaveMode): Unit =
+      df.write.mode(mode).parquet(inDir)
+    writeIn(ev.where(col("tsMs") <= cut), SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsMs", LongType),
+        StructField("eventId", LongType), StructField("value", DoubleType),
+        StructField("heartbeat", BooleanType))))
+      .parquet(inDir)
+      .as[LogStream.FfillIn]
+    val q = LogStream.streamFfill(stream)
+      .writeStream.format("memory").queryName(s"st41_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(ev.where(col("tsMs") > cut), SaveMode.Append)
+      q.processAllAvailable()
+      // punctuation batch: one heartbeat per key at (max div step + 1)·step
+      // closes the key at exactly q56's last bucket
+      writeIn(ev.groupBy("userId")
+        .agg(expr(s"(max(tsMs) div $step + 1) * $step").as("tsMs"))
+        .select(col("userId"), col("tsMs"), lit(0L).as("eventId"),
+          lit(0.0).as("value"), lit(true).as("heartbeat")),
+        SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the fill carries values verbatim (no arithmetic), so parity with
+    // the oracle-checked batch q56 is bit-exact row-set equality after
+    // the same final rounding
+    val got = spark.table(s"st41_out$tag")
+      .select(col("userId").as("user_id"), col("gridMs").as("grid_ms"),
+        round(col("valueFfill"), 4).as("value_ffill"))
+    val want = SparkEntry.queries("q56_resample_ffill")(spark, sf)
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty, "stream emitted rows batch q56 does not have")
+    assert(want.exceptAll(got).isEmpty, "batch q56 rows missing from the stream")
+  }
+
+  test("st41: streaming resample/forward-fill matches batch q56 exactly across micro-batches") {
+    st41Body("")
+  }
+
+  test("st41 (rocksdb): forward-fill under the RocksDB state store") {
+    withRocksDb(st41Body("_rdb"))
+  }
+
   private def st32Body(tag: String): Unit = {
     import org.apache.spark.sql.SaveMode
     val inDir = Files.createTempDirectory("graft_trans_in").toString
