@@ -584,6 +584,76 @@ object BinaryOps {
     bos.toByteArray
   }
 
+  /** [[renderAudio]] with the PCM seed decoupled from the row id —
+    * rows sharing a seed carry sample-identical audio under different
+    * ids and (by id-driven format choice) different containers: the
+    * fixture generator for audio-content dedup, exactly
+    * [[renderImagesSeeded]]'s role for images.
+    */
+  def renderAudioSeeded(
+      specs: Dataset[(Long, Long, Int, Int, Int, String)]): Dataset[(Long, Array[Byte])] = {
+    import specs.sparkSession.implicits._
+    fanOut(specs).mapPartitions { it =>
+      it.map { case (id, seed, rate, ch, frames, fmt) =>
+        (id, renderOneAudio(seed, rate, ch, frames, fmt))
+      }
+    }
+  }
+
+  /** One audio content fingerprint row. */
+  case class AudioFingerprint(id: Long, fp: String, ok: Boolean)
+
+  /** m17: container-invariant audio CONTENT fingerprint — m13's audio
+    * twin. The JDK decodes the container (javax.sound.sampled reads
+    * WAV/AIFF/AU), the frames are re-serialized to a canonical form
+    * (16-bit samples big-endian in frame order, prefixed by the
+    * channel count), and the md5 of that canonical PCM is the
+    * fingerprint: the same recording shipped as little-endian WAV and
+    * big-endian AIFF/AU hashes identically, while byte-grain dedup
+    * sees three distinct blobs. 16-bit PCM is lossless in every JDK
+    * container writer, so — unlike gif pixels (see
+    * [[pixelRoundtrip]]) — content equality here is sample-exact, not
+    * perceptual. Decode and hash are partition-local; only the
+    * 32-char fingerprint shuffles, never samples. Malformed bytes
+    * yield ok=false, never a throw.
+    */
+  def audioFingerprint(
+      clips: Dataset[(Long, Array[Byte])]): Dataset[AudioFingerprint] = {
+    import clips.sparkSession.implicits._
+    clips.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = in.getFormat
+            if (f.getSampleSizeInBits != 16) AudioFingerprint(id, "", ok = false)
+            else {
+              val raw = in.readAllBytes()
+              val canon = new Array[Byte](raw.length + 1)
+              canon(0) = f.getChannels.toByte
+              var i = 0
+              while (i + 1 < raw.length) {
+                // normalize to big-endian sample order
+                if (f.isBigEndian) {
+                  canon(i + 1) = raw(i); canon(i + 2) = raw(i + 1)
+                } else {
+                  canon(i + 1) = raw(i + 1); canon(i + 2) = raw(i)
+                }
+                i += 2
+              }
+              val md = java.security.MessageDigest.getInstance("MD5")
+              AudioFingerprint(id,
+                md.digest(canon).map(b => f"$b%02x").mkString, ok = true)
+            }
+          } finally in.close()
+        } catch {
+          case _: Exception => AudioFingerprint(id, "", ok = false)
+        }
+      }
+    }
+  }
+
   /** An image thumbnail: source id + the re-encoded PNG bytes. */
   case class ResizedImage(id: Long, srcW: Int, srcH: Int, payload: Array[Byte])
 

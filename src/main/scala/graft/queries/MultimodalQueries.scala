@@ -340,6 +340,35 @@ object MultimodalQueries {
             .as("n_pixel_exact"),
           sum(col("nPix")).as("n_pixels"))
         .orderBy("format")
+    }),
+
+    // m13's AUDIO twin: docs sharing a PCM seed are sample-identical
+    // recordings shipped in DIFFERENT containers (wav/aiff/au by id
+    // mod 3 — byte-grain dedup sees distinct blobs; wav is even
+    // little-endian where the others are big-endian), so their
+    // canonical-PCM fingerprints collide exactly and the cluster
+    // report groups them. The oracle replays only the seed
+    // arithmetic, so matching requires encode → container decode →
+    // canonical re-serialization to be sample-exact and
+    // container-invariant. Only 32-char fingerprints shuffle.
+    "m17_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          pmod(col("doc_id"), lit(40)).cast("long").as("seed"))
+        .select(col("id"), col("seed"),
+          ((pmod(col("seed"), lit(2)) + 1) * 8000).cast("int").as("rate"),
+          (pmod(col("seed"), lit(2)) + 1).cast("int").as("ch"),
+          (pmod(col("seed"), lit(199)) + 1).cast("int").as("frames"),
+          element_at(array(lit("wav"), lit("aiff"), lit("au")),
+            (pmod(col("id"), lit(3)) + 1).cast("int")).as("fmt"))
+        .as[(Long, Long, Int, Int, Int, String)]
+      BinaryOps.audioFingerprint(BinaryOps.renderAudioSeeded(specs)).toDF()
+        .groupBy("fp")
+        .agg(min(col("id")).as("first_doc"), count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > 1)
+        .select(col("first_doc"), col("n_docs"))
+        .orderBy("first_doc")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -356,6 +385,13 @@ object MultimodalQueries {
         |count(*)::BIGINT AS n_pixel_exact,
         |sum(w * h)::BIGINT AS n_pixels
         |FROM spec GROUP BY format ORDER BY format""".stripMargin,
+    // the oracle replays the seed arithmetic alone: a group per PCM
+    // seed, matched only if same-seed clips fingerprint identically
+    // ACROSS containers and different-seed clips never collide
+    "m17_audio_dedup" ->
+      """SELECT min(doc_id)::BIGINT AS first_doc, count(*)::BIGINT AS n_docs
+        |FROM documents GROUP BY doc_id % 40 HAVING count(*) > 1
+        |ORDER BY 1""".stripMargin,
     // the oracle replays the spec arithmetic; matching requires the
     // JDK-encoded container bytes to have parsed back exactly
     "m14_audio_meta" ->

@@ -845,6 +845,33 @@ object TextQueries {
         .orderBy("fingerprint")
     }),
 
+    // Heaps-law type growth at the 3-gram grain: how many NEW shingle
+    // types each corpus decile contributes, and the cumulative type
+    // count — the sublinearity diagnostic behind tokenizer sizing and
+    // "is more data still adding types?" calls (Heaps 1978; 3-grams
+    // rather than unigrams because a corpus' unigram vocabulary
+    // saturates almost immediately while the n-gram type space keeps
+    // growing — the curve a dedup/mixture planner actually reads).
+    // One explode + one type-keyed min (map-side combined); the
+    // decile relation is 10 rows, so the cumulative window is free.
+    // The max id rides a broadcast, never a driver collect.
+    "t38_vocab_growth" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val first = docs
+        .select(col("doc_id"),
+          explode(T.wordShingles(T.tokens(col("text")))).as("token"))
+        .groupBy("token").agg(min("doc_id").as("fd"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      first.crossJoin(broadcast(docs.agg(max("doc_id").as("mx"))))
+        .groupBy(expr("(fd * 10) div (mx + 1)").as("bucket"))
+        .agg(count(lit(1)).as("new_tokens"))
+        .withColumn("vocab_size", sum("new_tokens").over(w))
+        .orderBy("bucket")
+    }),
+
     // duplicated-n-gram fraction (the FineWeb/Gopher inter-document
     // duplication signal): per doc, the fraction of its DISTINCT
     // 3-word shingles that also occur in at least one other doc —
@@ -872,6 +899,29 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // same tokenizer split; decile = pure integer division; the
+    // cumulative window runs over 10 rows in both engines
+    "t38_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(s) AS token FROM sh
+        |), f AS (
+        |  SELECT token, min(doc_id) AS fd FROM ex GROUP BY 1
+        |), m AS (
+        |  SELECT max(doc_id) AS mx FROM documents
+        |), b AS (
+        |  SELECT ((fd * 10) // (mx + 1))::BIGINT AS bucket,
+        |    count(*)::BIGINT AS new_tokens
+        |  FROM f, m GROUP BY 1
+        |)
+        |SELECT bucket, new_tokens,
+        |sum(new_tokens) OVER (ORDER BY bucket)::BIGINT AS vocab_size
+        |FROM b ORDER BY bucket""".stripMargin,
     // same tokenizer split / shingle construction / 52-bit md5 hash
     // as the Spark side; bucket arithmetic is pure integer division
     "t37_dup_fraction" ->

@@ -832,6 +832,9 @@ object LogStream {
       hasCur: Boolean, curT: Long, curId: Long, curVal: Double)
   case class FfillOut(
       userId: Long, gridMs: Long, valueFfill: java.lang.Double)
+  case class FunnelIn(userId: Long, tsNs: Long, eventType: String)
+  case class FunnelState(t0: Long, converted: Boolean)
+  case class FunnelOut(userId: Long, dayIdx: Long, converted: Boolean)
   case class TrendIn(key: String, tsMs: Long, value: Double)
   case class TrendState(n: Long, mx: Double, my: Double, m2x: Double, m2y: Double, cxy: Double)
   case class TrendOut(key: String, n: Long, slope: Double, interceptAtEpoch: Double, r2: Double)
@@ -1173,6 +1176,47 @@ object LogStream {
           state.update(st)
           Iterator.single(EwmaOut(uid, st.lastTs, st.n,
             st.acc * math.exp(-ln2 * (st.lastTs - st.t0) / halfLifeMs)))
+      }
+  }
+
+  /** st42: streaming time-bounded conversion funnel — q57's stateful
+    * twin, and the live form of the attribution window: per-key state
+    * is TWO scalars (the first click's ts, a converted latch). A user
+    * emits an "entered" row the moment their first click lands
+    * (keyed to the click's day — live funnel population) and at most
+    * one "converted" row when the first purchase falls strictly
+    * inside (t0, t0 + window] — so the conversion dashboard updates
+    * within a micro-batch of the purchase, hours before the nightly
+    * batch q57 would see it. Pure integer comparisons, so
+    * streaming-vs-batch parity is exact: grouping the emitted rows by
+    * day reproduces q57's (n_users, n_converted) identically.
+    * Equal-timestamp purchases are excluded on both sides (strict >);
+    * per-key time-ordered delivery across batches is the replay
+    * contract (st25/st26/st31's).
+    */
+  def streamFunnel(
+      events: Dataset[FunnelIn],
+      windowNs: Long = 3600L * 1000 * 1000 * 1000): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelIn], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, converted = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          it.toArray.sortBy(_.tsNs).foreach { e =>
+            if (e.eventType == "click" && st.t0 < 0) {
+              st = st.copy(t0 = e.tsNs)
+              out += FunnelOut(uid, e.tsNs / 86400000000000L, converted = false)
+            } else if (e.eventType == "purchase" && st.t0 >= 0 &&
+                !st.converted && e.tsNs > st.t0 && e.tsNs <= st.t0 + windowNs) {
+              st = st.copy(converted = true)
+              out += FunnelOut(uid, st.t0 / 86400000000000L, converted = true)
+            }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

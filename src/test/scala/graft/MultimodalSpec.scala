@@ -365,6 +365,30 @@ class MultimodalSpec extends SparkSpec {
     assert(gif.exists(!_.exact), "expected the measured gif quantization")
   }
 
+  test("m17: audio content fingerprint is container-invariant, seed-distinct, junk-safe") {
+    import graft.multimodal.BinaryOps
+    import spark.implicits._
+    // the same seeded recording in all three containers (one little-
+    // endian, two big-endian) + a second seed + junk bytes
+    val specs = Seq(
+      (1L, 7L, 8000, 2, 100, "wav"),
+      (2L, 7L, 8000, 2, 100, "aiff"),
+      (3L, 7L, 8000, 2, 100, "au"),
+      (4L, 8L, 8000, 2, 100, "wav"),
+      (5L, 8L, 8000, 2, 100, "aiff")).toDS()
+    val fps = BinaryOps.audioFingerprint(BinaryOps.renderAudioSeeded(specs))
+      .collect().map(f => f.id -> f).toMap
+    assert(fps.values.forall(_.ok))
+    assert(fps(1L).fp === fps(2L).fp && fps(2L).fp === fps(3L).fp,
+      "same PCM must fingerprint identically across wav/aiff/au")
+    assert(fps(4L).fp === fps(5L).fp)
+    assert(fps(1L).fp !== fps(4L).fp, "different seeds must not collide")
+    val junk = BinaryOps.audioFingerprint(
+      Seq((9L, Array[Byte](1, 2, 3, 4)), (10L, "RIFFjunk".getBytes)).toDS())
+      .collect()
+    assert(junk.forall(f => !f.ok && f.fp.isEmpty))
+  }
+
   test("m14: the driver query reports every rendered clip parsing back to its exact spec") {
     val out = SparkEntry.queries("m14_audio_meta")(spark, sf).collect()
     assert(out.length === 3) // wav / aiff / au

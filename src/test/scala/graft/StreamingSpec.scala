@@ -1310,6 +1310,53 @@ class StreamingSpec extends SparkSpec {
     assert(want.exceptAll(got).isEmpty, "batch q56 rows missing from the stream")
   }
 
+  private def st42Body(tag: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val inDir = Files.createTempDirectory("graft_funnel_in").toString
+    val ev = events(spark, sf)
+      .select(col("user_id").as("userId"), col("ts_ns").as("tsNs"),
+        col("event_type").as("eventType"))
+    val cut = ev.agg(expr("percentile_approx(tsNs, 0.5)")).head().getLong(0)
+    def writeIn(f: org.apache.spark.sql.Column, mode: SaveMode): Unit =
+      ev.where(f).write.mode(mode).parquet(inDir)
+    writeIn(col("tsNs") <= cut, SaveMode.Overwrite)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("userId", LongType), StructField("tsNs", LongType),
+        StructField("eventType", StringType))))
+      .parquet(inDir)
+      .as[LogStream.FunnelIn]
+    val q = LogStream.streamFunnel(stream)
+      .writeStream.format("memory").queryName(s"st42_out$tag").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeIn(col("tsNs") > cut, SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    // pure integer comparisons on both sides: grouping the emitted
+    // rows by day must reproduce the oracle-checked batch q57 exactly
+    val got = spark.table(s"st42_out$tag")
+      .groupBy(col("dayIdx").as("day_idx"))
+      .agg(sum(when(!col("converted"), 1L).otherwise(0L)).as("n_users"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+    val want = SparkEntry.queries("q57_funnel_windows")(spark, sf)
+      .select("day_idx", "n_users", "n_converted")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // at most one entered and one converted row per user
+    val perUser = spark.table(s"st42_out$tag")
+      .groupBy("userId", "converted").count().collect()
+    assert(perUser.forall(_.getLong(2) === 1L))
+  }
+
+  test("st42: streaming funnel emits entered/converted live and aggregates to batch q57 exactly") {
+    st42Body("")
+  }
+
+  test("st42 (rocksdb): funnel under the RocksDB state store") {
+    withRocksDb(st42Body("_rdb"))
+  }
+
   test("st41: streaming resample/forward-fill matches batch q56 exactly across micro-batches") {
     st41Body("")
   }
