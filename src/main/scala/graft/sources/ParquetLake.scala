@@ -3119,7 +3119,15 @@ object ParquetLake {
           val (mvV, mvFiles, _) = prevState.map(s => (s._1, s._2, s._3)).get
           val stored = spark.read.option("basePath", path)
             .parquet(mvFiles.map(f => s"$path/$f"): _*)
-          if (added.isEmpty) ("incremental", 0, stored)
+          // legacy matviews (written before the per-measure cnt_
+          // partials) can't merge incrementally — their partial schema
+          // lacks the non-null counts; one full recompute upgrades them
+          val legacy = measures.exists(m => !stored.columns.contains(s"cnt_$m"))
+          if (legacy)
+            ("full", headFiles.length,
+              matviewAggregate(readManifestedMoR(spark, path, Some(headV)),
+                keys, measures))
+          else if (added.isEmpty) ("incremental", 0, stored)
           else {
             val fresh = matviewAggregate(
               spark.read.option("basePath", path)
@@ -3187,10 +3195,14 @@ object ParquetLake {
     val df = spark.read.option("basePath", path)
       .parquet(files.map(f => s"$path/$f"): _*)
     // avg = sum / non-null count (SQL AVG): null for all-null groups
-    // (Divide yields null on a zero divisor), never a diluted quotient
+    // (Divide yields null on a zero divisor), never a diluted quotient.
+    // A legacy matview (pre-cnt_ partials) falls back to the all-rows
+    // denominator it was written with; its next refresh upgrades it.
     measures.foldLeft(df)((d, m) =>
-      d.withColumn(s"avg_$m", col(s"sum_$m") /
-        when(col(s"cnt_$m") > 0, col(s"cnt_$m"))))
+      d.withColumn(s"avg_$m",
+        if (df.columns.contains(s"cnt_$m"))
+          col(s"sum_$m") / when(col(s"cnt_$m") > 0, col(s"cnt_$m"))
+        else col(s"sum_$m") / col("n_rows")))
   }
 
   /** The main version the matview currently reflects (its staleness

@@ -1601,4 +1601,54 @@ class ParquetLakeSpec extends SparkSpec {
     assert(got() === expect())
     assert(!got().contains(delType))
   }
+
+  test("lk45: a legacy matview (pre-cnt partials) reads with its written semantics and upgrades via full recompute") {
+    val dir = fragmentedLake()
+    ParquetLake.snapshotManifest(spark, dir)
+    val keys = Seq("event_type")
+    val ms = Seq("user_id")
+    val r1 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
+    // simulate a pre-upgrade writer: re-publish the current matview
+    // with the cnt_ partials stripped (new data dir + a hand-written
+    // next-version listing in the documented format)
+    val root = new java.io.File(dir)
+    val listing = root.listFiles().filter(_.getName.startsWith("_graft_matview_mv.v"))
+      .maxBy(_.getName.stripPrefix("_graft_matview_mv.v").toInt)
+    val lines = java.nio.file.Files.readAllLines(listing.toPath)
+    import scala.jdk.CollectionConverters._
+    val base = lines.asScala.find(_.startsWith("# base=")).get
+    val oldFiles = lines.asScala.filterNot(_.startsWith("#"))
+    val legacyDir = "_graft_matview_data_mv/legacy"
+    spark.read.option("basePath", dir)
+      .parquet(oldFiles.map(f => s"$dir/$f").toSeq: _*)
+      .drop("cnt_user_id")
+      .coalesce(1).write.parquet(s"$dir/$legacyDir")
+    val parts = new java.io.File(root, legacyDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => s"$legacyDir/${f.getName}")
+    java.nio.file.Files.write(
+      new java.io.File(root, s"_graft_matview_mv.v${r1.version + 1}").toPath,
+      (Seq(base) ++ parts).mkString("\n").getBytes("UTF-8"))
+    // legacy read: avg falls back to the all-rows denominator (the
+    // semantics that matview was written with), no missing-column throw
+    val legacyAvg = ParquetLake.matviewRead(spark, dir, "mv", ms)
+      .select("event_type", "avg_user_id").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = ParquetLake.readManifestedMoR(spark, dir)
+      .groupBy("event_type")
+      .agg((sum("user_id") / count(lit(1))).as("a")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(legacyAvg === want)
+    // any movement now upgrades through a FULL recompute (incremental
+    // cannot merge partials that lack the non-null counts)
+    val batch = ParquetLake.readManifested(spark, dir).limit(10)
+      .withColumn("event_id", col("event_id") + 20000000L)
+    ParquetLake.stageAppend(spark, dir, batch, "legacy-up", Some("p_date"))
+    ParquetLake.publishStaged(spark, dir, "legacy-up")
+    val r2 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
+    assert(r2.mode === "full")
+    // upgraded: cnt_ partials present again, avg = SQL AVG
+    assert(ParquetLake.matviewRead(spark, dir, "mv", ms)
+      .columns.contains("cnt_user_id"))
+  }
 }
