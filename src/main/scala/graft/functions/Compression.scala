@@ -21,6 +21,13 @@ object Gzip {
     bos.toByteArray
   }
 
+  // @throws puts IOException in the METHOD'S BYTECODE signature —
+  // without it, Janino (a real Java compiler, unlike scalac's relaxed
+  // checked-exception rules) rejects TryGunzipBytes' generated
+  // `catch (java.io.IOException)` as an unreachable clause, and the
+  // whole codegen unit silently falls back to interpreted mode
+  // ("Catch clause is unreachable", 12 per bench run before this fix).
+  @throws(classOf[java.io.IOException])
   def gunzip(gz: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(gz), 8192)
     val bos = new ByteArrayOutputStream(math.max(gz.length * 4, 64))
