@@ -141,6 +141,45 @@ object DedupQueries {
       Dedup.lshRecallEval(table(s, dir, "documents"), "text", "doc_id", 0.5,
         maxDocs = 2048)), // absolute cap: truth pair work maxDocs²-bounded
 
+    // MinHash ESTIMATOR calibration (d16 evaluates LSH candidate
+    // recall; this evaluates the estimate itself): per truth pair
+    // (exact Jaccard ≥ 0.3 on the capped doc set), the 12-perm
+    // signature agreement k/12 vs the exact value, reported per
+    // Jaccard decile with an integer-grid error mass — |est − j| is
+    // floored to 0.1bp units per pair BEFORE summing, so the
+    // aggregate is an order-independent integer sum, engine-stable
+    // by construction. Same lowest-md5 2048-doc cap as d16/s10
+    // (non-binding at oracle scale; pair work bounded at any corpus).
+    "d24_jaccard_calibration" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+        .orderBy(substring(md5(col("doc_id").cast("string")), 1, 13).asc,
+          col("doc_id").asc)
+        .limit(2048)
+      val truth = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.3)
+      val sh = docs.select(col("doc_id").as("id"),
+        explode(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")))).as("sng"))
+        .select(col("id"),
+          conv(substring(md5(col("sng")), 1, 7), 16, 10).cast("long").as("b"))
+      val minCols = (0 until 12).map(p =>
+        min((col("b") * Dedup.permA(p) + Dedup.permB(p)) % Dedup.PermMod)
+          .as(s"m$p"))
+      val sig = sh.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      val a = sig.toDF("id_a" +: (0 until 12).map(p => s"a$p"): _*)
+      val bb = sig.toDF("id_b" +: (0 until 12).map(p => s"b$p"): _*)
+      val agree = (0 until 12).map(p =>
+        when(col(s"a$p") === col(s"b$p"), 1).otherwise(0)).reduce(_ + _)
+      truth.join(a, "id_a").join(bb, "id_b")
+        .withColumn("est", agree.cast("double") / 12.0)
+        .withColumn("err_tenthbp",
+          floor(abs(col("est") - col("jaccard")) * 10000 + 0.5).cast("long"))
+        .groupBy(floor(col("jaccard") * 10).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("err_tenthbp").as("sum_err_tenthbp"))
+        .orderBy("band")
+    }),
+
     // sub-quadratic LSH-bucketed variant (recall < 1 at thresholds
     // near the bulk angle — exactness spec'd on clustered data in
     // DedupSpec; no oracle by design, see NOTES_r03.md)
@@ -435,6 +474,30 @@ object DedupQueries {
     // exact Jaccard — composed into one counts row, over the same
     // deterministic lowest-md5 maxDocs=2048 cut as the Spark side
     // (non-binding at oracle scale, pair-work bound at 100 TB)
+    // same capped doc set, exact-jaccard truth (d4's SQL), and
+    // 12-perm signature replay (d2's constants); est = k/12.0 and the
+    // per-pair error floors to integer 0.1bp units before summing
+    "d24_jaccard_calibration" -> (shingleCtes.replace(
+      "FROM documents",
+      "FROM (SELECT * FROM documents" +
+        " ORDER BY substr(md5(doc_id::VARCHAR), 1, 13), doc_id LIMIT 2048)") +
+      minhashSigSql +
+      s""", tp AS (
+         |  SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) AS jac
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jac >= 0.3
+         |), pe AS (
+         |  SELECT tp.jaccard,
+         |  (${(0 until 12).map(p => s"(CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END)").mkString(" + ")}) / 12.0 AS est
+         |  FROM tp JOIN sig sa ON sa.doc_id = tp.id_a
+         |  JOIN sig sb ON sb.doc_id = tp.id_b
+         |)
+         |SELECT floor(jaccard * 10)::BIGINT AS band,
+         |count(*)::BIGINT AS n_pairs,
+         |sum(floor(abs(est - jaccard) * 10000 + 0.5))::BIGINT AS sum_err_tenthbp
+         |FROM pe GROUP BY 1 ORDER BY 1""".stripMargin),
     "d16_lsh_recall_eval" -> (shingleCtes.replace(
       "FROM documents",
       "FROM (SELECT * FROM documents" +

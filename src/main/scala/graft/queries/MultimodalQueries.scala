@@ -369,6 +369,38 @@ object MultimodalQueries {
         .where(col("n_docs") > 1)
         .select(col("first_doc"), col("n_docs"))
         .orderBy("first_doc")
+    }),
+
+    // scene-cut detection / keyframe selection on REAL animated GIFs:
+    // frames are built in CONSECUTIVE IDENTICAL PAIRS (seed j = i div
+    // 2 over m15's 40-seed fixture space, adjacent j's 13 apart mod
+    // 40 so distinct scenes hash distinct), and a cut is any frame
+    // whose decoded perceptual hash differs from its predecessor —
+    // the shot-boundary pass that picks which frames a vision model
+    // actually sees. The oracle predicts every doc's cut count from
+    // the pair arithmetic alone, so matching requires decode order,
+    // completeness, and hash stability all at once. Per-doc windows
+    // run over ≤7 frames of 16-char hashes — bytes never shuffle.
+    "m18_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val specs = table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          lit(16).as("w"), lit(16).as("h"),
+          transform(
+            sequence(lit(0L), pmod(col("doc_id"), lit(6)).cast("long") + 1L),
+            f => pmod(col("doc_id").cast("long") * 7 + shiftright(f, 1) * 13,
+              lit(40L)))
+            .as("seeds"))
+        .as[(Long, Int, Int, Array[Long])]
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("frameIdx")
+      BinaryOps.gifFrameHashes(BinaryOps.renderAnimatedGifs(specs)).toDF()
+        .withColumn("prev", lag("ahash", 1).over(w))
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("prev").isNotNull && col("prev") =!= col("ahash"), 1L)
+            .otherwise(0L)).as("n_cuts"))
+        .orderBy("id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -392,6 +424,12 @@ object MultimodalQueries {
       """SELECT min(doc_id)::BIGINT AS first_doc, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY doc_id % 40 HAVING count(*) > 1
         |ORDER BY 1""".stripMargin,
+    // cut count from the consecutive-pair construction alone:
+    // n_frames = (doc_id%6)+2, scenes change at even frame indexes ≥2
+    "m18_scene_cuts" ->
+      """SELECT doc_id AS id, ((doc_id % 6) + 2)::BIGINT AS n_frames,
+        |(((doc_id % 6) + 1) // 2)::BIGINT AS n_cuts
+        |FROM documents ORDER BY 1""".stripMargin,
     // the oracle replays the spec arithmetic; matching requires the
     // JDK-encoded container bytes to have parsed back exactly
     "m14_audio_meta" ->
