@@ -96,7 +96,12 @@ object ImageMetaOps {
             if (j + 8 >= n) return ("jpeg", -1, -1)
             return ("jpeg", be16(b, j + 7), be16(b, j + 5))
           }
-          i = j + 2 + len
+          // Long cursor (the AudioMeta discipline): a declared segment
+          // length at the end of a near-2GB payload must not wrap the
+          // Int cursor negative and index out of bounds
+          val next = j.toLong + 2L + len
+          if (next + 1 >= n) return ("jpeg", -1, -1)
+          i = next.toInt
         }
       }
       return ("jpeg", -1, -1)
