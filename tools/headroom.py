@@ -25,7 +25,11 @@ WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
              "d16_lsh_recall_eval", "s17_nprobe_sweep", "s9_ann_recall",
              "d20_containment", "s10_sim_histogram",
              "m12_image_resize", "m13_image_ahash_dedup",
-             "m15_gif_frame_dedup"]
+             "m15_gif_frame_dedup",
+             # r13's new rows: codec-bound m-family + the two heaviest
+             # new relational rows
+             "m16_pixel_roundtrip", "m17_audio_dedup", "m18_scene_cuts",
+             "t37_dup_fraction", "d24_jaccard_calibration"]
 
 
 def main():
