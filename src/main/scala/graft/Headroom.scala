@@ -26,7 +26,14 @@ object Headroom {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // same inter-query hygiene as graft.Bench: localCheckpoint blocks
+      // left by one query otherwise accumulate across this run's 4
+      // passes per row and bleed into later rows' numbers (the round-3
+      // pathology; measured here as s17 at 17× its bench-detail time
+      // by the tail of a 22-row headroom run)
+      BlockHygiene.freeBlocks(spark)
+      sec
     }
 
     // warmup pass over both dirs (JIT, codegen cache, FS metadata),
