@@ -28,8 +28,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap sized for local[32]: 32 concurrent tasks of
+// allocation-heavy rows (salted-join replication, image decode, array
+// quantize) GC-thrash in the old 8g default — the r13 driver bench ran
+// 2-65x slower than the quiet baseline and hit its wall deadline with
+// 99/170 queries skipped, purely from heap pressure (machine anchors
+// matched; plans unchanged). The box has 125 GiB; 48g leaves ample
+// headroom for the external DuckDB oracle and OS cache.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -159,11 +159,21 @@ object Bench {
         s
       }
       val sink = spin() // JIT warm (result consumed below so it can't DCE)
-      val t0 = System.nanoTime()
-      val sink2 = spin()
-      val sec = (System.nanoTime() - t0) / 1e9
+      // min of 3 timed passes: bench_compare divides EVERY per-row
+      // ratio by this one scalar, so a single pass's JIT/scheduler
+      // jitter would propagate to the whole suite as false flags (or
+      // masked regressions); the min is the host's noise-floor speed
+      var best = Double.MaxValue
+      var sink2 = 0L
+      var p = 0
+      while (p < 3) {
+        val t0 = System.nanoTime()
+        sink2 += spin()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        p += 1
+      }
       if (sink == 42 && sink2 == 43) println("") // defeat dead-code elim
-      math.rint(sec * 1000) / 1000
+      math.rint(best * 1000) / 1000
     }
     def elapsedSec: Double = (System.currentTimeMillis() - jvmStart) / 1e3
     def pastDeadline: Boolean = deadlineSec > 0 && elapsedSec > deadlineSec
@@ -252,12 +262,21 @@ object Bench {
         .map { case (r, i) => s""""pass${i + 1}":${one(r)}""" }.mkString(",")
       s"""  "$name": {"sec":${f"${runs.map(_.sec).min}%.3f"},"ok":${!failed(name)},$passJson}"""
     }.mkString(",\n")
+    // A run that did not measure the FULL suite (subset filter set, or
+    // queries skipped at the deadline) writes its detail to a
+    // _partial artifact: the committed BENCH_DETAIL.json is the
+    // comparison baseline for bench_compare and the judge, and a
+    // 4-query diagnostic run silently replacing a 170-row baseline
+    // has destroyed it twice (c89a75b; the r13 working tree).
+    val isPartial = only.isDefined || skipped.nonEmpty
+    val detailFile = if (isPartial) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json"
     val detailJson =
       s"""{\n"method":"min-of-$passes-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +
+        s""""partial":$isPartial,""" +
         s""""skipped":${skipped.size},"warmup_completed":$warmupCompleted,"warmup_total":${ordered.size},""" +
         s""""machine_anchor_sec":$machineAnchorSec,""" +
         s"""\n"queries":{\n$detail\n}}\n"""
-    val out = new java.io.PrintWriter("BENCH_DETAIL.json")
+    val out = new java.io.PrintWriter(detailFile)
     try out.write(detailJson) finally out.close()
 
     // keep this line SHORT AND BOUNDED: the driver captures only the
@@ -275,7 +294,7 @@ object Bench {
     val total = times.collect { case (n, v) if !failed(n) => v }.sum
     println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,""" +
       s""""n_queries":${times.size},"queries_elided":${math.max(0, times.size - StdoutTopN)},""" +
-      s""""detail":"BENCH_DETAIL.json","n_failed":${failed.size},"n_skipped":${skipped.size},""" +
+      s""""detail":"$detailFile","n_failed":${failed.size},"n_skipped":${skipped.size},""" +
       s""""passes":$passes,"sf":"${new java.io.File(sfDir).getName}"}""")
     System.out.flush()
     spark.stop()

@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (Headroom's ingest-side sibling): measures the
+  * index-gated ingest family's GATE cost against corpora 100× apart,
+  * the way lk41's flat-cost claim was established in r11 — because
+  * the whole point of the persisted indexes (lk42 band keys, lk43
+  * chunk fingerprints, lk46 frame hashes) is that admitting a fixed
+  * increment costs O(increment + index membership), never a corpus
+  * rescan, and that contract deserves a measurement, not a comment.
+  *
+  * Protocol per (gate, scale): fresh lake+index dirs; `init` seeds
+  * the index from the corpus (expected ∝ corpus — the one-time cost);
+  * `pass1` ingests a FIXED-SIZE increment (half re-crawls of corpus
+  * content, half fresh — both legs exercised); `replay` re-ingests
+  * the same increment (all reject/scrub — the warm, steady-state gate
+  * number, matching r11's lk41 protocol). FLAT replay_sec across the
+  * 1×/10×/100× corpora is the pass criterion; init_sec is reported so
+  * linear seeding cost is visible, not hidden.
+  *
+  * Args: outFile docsDir1 docsDir2 [docsDir3 ...]
+  * (documents corpora, e.g. sf0.01 sf0.1 tmp/sf1 = 500/5k/50k docs)
+  */
+object IngestGateBench {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val outFile = args(0)
+    val dirs = args.drop(1).toSeq
+    val spark = GraftSession.builder(32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def docs(dir: String): DataFrame =
+      graft.queries.table(spark, dir, "documents").select("doc_id", "text")
+
+    def tmp(tag: String): String =
+      Files.createTempDirectory(s"graft_gatebench_$tag").toString + "/t"
+
+    // fresh content shared by every scale: deterministic digest words
+    // (aperiodic — the st36 CDC lesson), ids far above any corpus id
+    def freshDocs(n: Int): DataFrame =
+      spark.range(n).map { i =>
+        val t = (0 until 40).map { j =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"gate-$i-$j".getBytes("UTF-8"))
+            .take(4).map(b => f"$b%02x").mkString
+        }.mkString(" ")
+        (9000000000L + i, t)
+      }.toDF("doc_id", "text")
+
+    final case class Cell(
+        label: String, nCorpus: Long, initSec: Double,
+        pass1Sec: Double, replaySec: Double)
+
+    // one warmed measurement per gate per scale; the increment is the
+    // same SIZE everywhere (200 docs / 100 clips)
+    def runGate(gate: String, dir: String): Cell = {
+      val corpus = docs(dir).localCheckpoint(eager = true)
+      val n = corpus.count()
+      val recrawl = corpus.orderBy("doc_id").limit(100)
+        .select((col("doc_id") + 8000000000L).as("doc_id"), col("text"))
+      val increment = recrawl.unionByName(freshDocs(100))
+        .localCheckpoint(eager = true)
+      gate match {
+        case "lk42_neardup" =>
+          val (data, idx) = (tmp("nd_data"), tmp("nd_idx"))
+          val (_, initSec) = time {
+            corpus.write.parquet(data)
+            graft.sources.ParquetLake.snapshotManifest(spark, data)
+            graft.operators.Dedup.nearDupIndexInit(spark, idx, corpus, "text", "doc_id")
+          }
+          val (_, p1) = time {
+            graft.operators.Dedup.nearDupIngest(spark, data, idx, increment, "text", "doc_id")
+          }
+          val (r2, p2) = time {
+            graft.operators.Dedup.nearDupIngest(spark, data, idx, increment, "text", "doc_id")
+          }
+          require(r2.admitted == 0L, s"lk42 replay admitted ${r2.admitted}")
+          Cell("lk42_neardup", n, initSec, p1, p2)
+        case "lk43_chunk" =>
+          val (data, idx) = (tmp("ck_data"), tmp("ck_idx"))
+          val bin = (df: DataFrame) =>
+            df.select(col("doc_id"), col("text").cast("binary").as("payload"))
+          // doc texts are ~300 chars: chunk at the m7 spec grain so
+          // each doc yields several chunks
+          val (minLen, maskBits, maxLen) = (16, 4, 256)
+          val (_, initSec) = time {
+            bin(corpus).write.parquet(data)
+            graft.sources.ParquetLake.snapshotManifest(spark, data)
+            graft.multimodal.BinaryOps.chunkIndexInit(
+              spark, idx, bin(corpus), "payload", "doc_id", minLen, maskBits, maxLen)
+          }
+          val (_, p1) = time {
+            graft.multimodal.BinaryOps.chunkGatedIngest(
+              spark, data, idx, bin(increment), "payload", "doc_id",
+              maxContainment = 0.5, minLen, maskBits, maxLen)
+          }
+          val (r2, p2) = time {
+            graft.multimodal.BinaryOps.chunkGatedIngest(
+              spark, data, idx, bin(increment), "payload", "doc_id",
+              maxContainment = 0.5, minLen, maskBits, maxLen)
+          }
+          require(r2.admitted == 0L, s"lk43 replay admitted ${r2.admitted}")
+          Cell("lk43_chunk", n, initSec, p1, p2)
+        case "lk46_frame" =>
+          val (data, idx) = (tmp("fr_data"), tmp("fr_idx"))
+          def gifs(ids: DataFrame, seedBase: Long) = {
+            val specs = ids.select("doc_id").as[Long]
+              .map(id => (id, 16, 16,
+                Array(seedBase + id * 3, seedBase + id * 3 + 1, seedBase + id * 3 + 2)))
+            graft.multimodal.BinaryOps.renderAnimatedGifs(specs)
+              .toDF("blob_id", "payload")
+          }
+          val gifCorpus = gifs(corpus, 0L).localCheckpoint(eager = true)
+          // 50 re-uploads of corpus footage (same seeds as the lowest
+          // 50 doc_ids, new blob ids → reject by frame containment) +
+          // 50 fresh clips (disjoint seed space → admit)
+          val low50 = corpus.orderBy("doc_id").limit(50)
+          val gifIncrement = gifs(low50, 0L)
+            .withColumn("blob_id", col("blob_id") + 8000000000L)
+            .unionByName(gifs(freshDocs(50), 7000000000L))
+            .localCheckpoint(eager = true)
+          val (_, initSec) = time {
+            gifCorpus.write.parquet(data)
+            graft.sources.ParquetLake.snapshotManifest(spark, data)
+            graft.multimodal.BinaryOps.frameIndexInit(
+              spark, idx, gifCorpus, "payload", "blob_id")
+          }
+          val (_, p1) = time {
+            graft.multimodal.BinaryOps.frameGatedIngest(
+              spark, data, idx, gifIncrement, "payload", "blob_id", maxContainment = 0.5)
+          }
+          val (r2, p2) = time {
+            graft.multimodal.BinaryOps.frameGatedIngest(
+              spark, data, idx, gifIncrement, "payload", "blob_id", maxContainment = 0.5)
+          }
+          require(r2.admitted == 0L, s"lk46 replay admitted ${r2.admitted}")
+          Cell("lk46_frame", n, initSec, p1, p2)
+      }
+    }
+
+    val gates = Seq("lk42_neardup", "lk43_chunk", "lk46_frame")
+    // JVM/codegen warm: full smallest-scale sweep, results discarded
+    gates.foreach(g => runGate(g, dirs.head))
+    BlockHygiene.freeBlocks(spark)
+    val cells = for (g <- gates; d <- dirs) yield {
+      val c = runGate(g, d)
+      BlockHygiene.freeBlocks(spark)
+      System.err.println(f"GATE ${c.label} corpus=${c.nCorpus} init=${c.initSec}%.2f " +
+        f"pass1=${c.pass1Sec}%.2f replay=${c.replaySec}%.2f")
+      c
+    }
+    val json = cells.map { c =>
+      f"""{"gate":"${c.label}","corpus_docs":${c.nCorpus},"init_sec":${c.initSec}%.3f,""" +
+        f""""pass1_sec":${c.pass1Sec}%.3f,"replay_sec":${c.replaySec}%.3f}"""
+    }.mkString(
+      s"""{"protocol":"fixed 200-doc/100-clip increment vs 1x/10x/100x corpus; warm replay pass","cells":[""",
+      ",", "]}")
+    Files.writeString(Paths.get(outFile), json + "\n")
+    println(s"GATEBENCH_DONE $outFile")
+    spark.stop()
+  }
+}

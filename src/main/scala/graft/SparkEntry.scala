@@ -21,6 +21,16 @@ object SparkEntry {
       SimilarityQueries.queries ++
       MultimodalQueries.queries
 
+  /** Rows retired from the driver suite because a strictly-stronger
+    * sibling covers them there (a7 → oracle-checked a12; pinned-plane
+    * s6 → s6_knn_join_auto): the implementations and their ScalaTest
+    * verification are unchanged, they just stop costing driver
+    * bench/verify budget. Specs and tools that want the full surface
+    * use `queries ++ retiredQueries`.
+    */
+  def retiredQueries: Map[String, (SparkSession, String) => DataFrame] =
+    AnalyticsQueries.retired ++ SimilarityQueries.retired
+
   /** Queries whose ObjectHashAggregate buffers are ALL size-bounded
     * (graft_topk k-entry heaps; theta/HLL/KLL/frequent-items
     * sketches) and so run under
@@ -31,10 +41,10 @@ object SparkEntry {
     * fallback is the spill safety net.
     */
   val boundedObjectAggQueries: Set[String] = Set(
-    "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq", "s6_knn_join",
+    "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq",
     "s6_knn_join_auto", "s7_knn_ivfpq", "s9_ann_recall",
     "a2_sketch_merge", "a3_approx_quantiles", "a4_theta_intersect",
-    "a5_approx_top_k", "a7_rolling_distinct", "a9_kmv_distinct")
+    "a5_approx_top_k", "a9_kmv_distinct", "a12_kmv_rolling")
 
   /** DuckDB-runnable oracle SQL for each hash-verifiable query. */
   def oracleSql: Map[String, String] =

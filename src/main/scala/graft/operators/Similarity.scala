@@ -18,6 +18,25 @@ object Similarity {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Shared guard telemetry for the quadratic truth legs (s9/s17).
+    * With a cap: WARN only when the PRE-cap sample actually exceeded
+    * `maxQueries` — `nQ == maxQueries` alone can be a coincidence (the
+    * sample landing exactly on the cap without it binding). Without
+    * one: WARN when the sampled query count is large enough that the
+    * |q| × N exact-truth leg is a scale hazard — the cap default is
+    * OFF so existing callers' recall never re-bases silently, and this
+    * is the tripwire that makes the quadratic cost visible instead.
+    */
+  private def truthLegGuardWarn(
+      op: String, maxQueries: Int, nQ: Long, preCap: Long): Unit =
+    if (maxQueries > 0) {
+      if (preCap > maxQueries)
+        log.warn(s"$op maxQueries=$maxQueries bound the sampled query set " +
+          s"($preCap sampled) — recall is estimated on the capped subset")
+    } else if (nQ > 4096)
+      log.warn(s"$op maxQueries=0: the exact truth leg scores $nQ queries " +
+        "against the full corpus (quadratic at scale) — set maxQueries to cap it")
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`: (q_id, q_vec). Self-matches (same id) are excluded.
     */
@@ -214,9 +233,8 @@ object Similarity {
       else q1)
       .localCheckpoint(eager = false)
     val nQ = q.count()
-    if (maxQueries > 0 && nQ == maxQueries)
-      log.warn(s"nprobeSweep maxQueries=$maxQueries bound the sampled " +
-        "query set — recall is estimated on the capped subset")
+    truthLegGuardWarn("nprobeSweep", maxQueries, nQ,
+      preCap = if (maxQueries > 0) q1.count() else nQ)
     val truth = bruteKnn(corpus, vecCol, idCol, q, k)
       .select(col("q_id"), col("neighbor_id"))
       .localCheckpoint(eager = false)
@@ -272,6 +290,8 @@ object Similarity {
           .limit(maxQueries).select("q_id", "q_vec")
       else q1)
       .localCheckpoint(eager = false) // feeds truth, approx, and n_q
+    truthLegGuardWarn("annRecallEval", maxQueries, q.count(),
+      preCap = if (maxQueries > 0) q1.count() else -1L)
     val truth = bruteKnn(corpus, vecCol, idCol, q, k)
       .select(col("q_id"), col("neighbor_id"))
       .localCheckpoint(eager = false) // counted via join below

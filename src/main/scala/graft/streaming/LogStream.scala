@@ -466,9 +466,21 @@ object LogStream {
         val spark = batch.sparkSession
         import graft.sources.ParquetLake
         val marker = s"stream_batch_$sinkId"
+        // Also honor the pre-namespacing legacy key: a checkpoint that
+        // started before markers were namespaced resumes against a
+        // lake whose high-water mark lives under plain `stream_batch`;
+        // ignoring it would re-append the at-least-once replayed last
+        // micro-batch — exactly the duplication this marker exists to
+        // prevent. Taking the max of both keys is safe: the legacy key
+        // was written by a single un-namespaced sink, so its ids share
+        // this checkpoint's numbering (a FRESH checkpoint against a
+        // legacy lake is the already-unsupported delete-and-recreate
+        // case documented above).
         val landed = ParquetLake.manifestLog(spark, dataPath).map(_._1)
-          .flatMap(v => ParquetLake.manifestHeaders(spark, dataPath, Some(v))
-            .get(marker)).map(_.toLong)
+          .flatMap { v =>
+            val hs = ParquetLake.manifestHeaders(spark, dataPath, Some(v))
+            hs.get(marker).toSeq ++ hs.get("stream_batch").toSeq
+          }.map(_.toLong)
         if (!landed.exists(_ >= id)) {
           val stage = s"st39_$id"
           ParquetLake.stageAppend(spark, dataPath, batch, stage, partCol)
@@ -1239,8 +1251,12 @@ object LogStream {
     * contributing a value — the stream-side stand-in for "the day is
     * over" that a batch job gets for free from max(ts). To close a
     * key at exactly q56's last bucket, send its heartbeat at
-    * (max_ts div step + 1)·step. Per-key time-ordered delivery
-    * across batches is the replay contract (st25/st26/st31's).
+    * (max_ts div step + 1)·step. A heartbeat arriving BEFORE a key's
+    * first data row is ignored (no grid origin exists yet to flush
+    * against — honoring it would pin the origin to the heartbeat's
+    * bucket and emit null buckets q56 never produces). Per-key
+    * time-ordered delivery across batches is the replay contract
+    * (st25/st26/st31's).
     */
   def streamFfill(
       events: Dataset[FfillIn], stepMs: Long = 86400000L): Dataset[FfillOut] = {
@@ -1253,7 +1269,16 @@ object LogStream {
           val batch = it.toArray.sortBy(e => (e.tsMs, e.eventId))
           val out = scala.collection.mutable.ArrayBuffer.empty[FfillOut]
           var st = state.getOption.orNull
-          batch.foreach { e =>
+          // Heartbeats before a key's grid origin exists are dropped:
+          // a heartbeat arriving as the FIRST row would pin the origin
+          // to ITS bucket, making later real events emit null-filled
+          // buckets batch q56 never produces. Punctuation before data
+          // is a no-op — there is nothing to flush yet. (batch is
+          // time-sorted, so dropWhile removes exactly the heartbeats
+          // preceding the first data row; with existing state nothing
+          // is dropped.)
+          val rows = if (st == null) batch.dropWhile(_.heartbeat) else batch
+          rows.foreach { e =>
             if (st == null) {
               // first arrival pins the grid origin: bucket(min ts)
               st = FfillState(e.tsMs / stepMs, hasVal = false, 0.0,

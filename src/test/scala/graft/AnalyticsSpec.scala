@@ -90,7 +90,7 @@ class AnalyticsSpec extends SparkSpec {
 
   test("a7: rolling 7-day HLL estimates track the exact rolling distinct within 5%") {
     import org.apache.spark.sql.functions._
-    val approx = AnalyticsQueries.queries("a7_rolling_distinct")(spark, sf).collect()
+    val approx = AnalyticsQueries.retired("a7_rolling_distinct")(spark, sf).collect()
       .map(r => r.getAs[String]("d") -> r.getAs[Long]("approx_users_7d")).toMap
     val ev = graft.queries.events(spark, sf)
       .select(to_date(col("ts")).as("d"), col("user_id"))
@@ -108,8 +108,18 @@ class AnalyticsSpec extends SparkSpec {
 
   test("a12: rolling 7-day KMV estimates track the exact rolling distinct within 3/sqrt(k)") {
     import org.apache.spark.sql.functions._
+    // the query emits integer sufficient statistics (u_k, n); the
+    // estimate (k-1)/(u_k/2^52) — or n exactly when the union held
+    // fewer than k hashes — is reconstructed and pinned here
+    val k = 64
     val approx = AnalyticsQueries.queries("a12_kmv_rolling")(spark, sf).collect()
-      .map(r => r.getAs[String]("d") -> r.getAs[Double]("kmv_users_7d")).toMap
+      .map { r =>
+        val n = r.getAs[Long]("n")
+        val est =
+          if (n >= k) (k - 1).toDouble / (r.getAs[Long]("u_k") / 4503599627370496.0)
+          else n.toDouble
+        r.getAs[String]("d") -> est
+      }.toMap
     val ev = graft.queries.events(spark, sf)
       .select(to_date(col("ts")).as("d"), col("user_id"))
     val exact = ev.select(col("d").as("d0")).distinct()

@@ -7,6 +7,8 @@ package graft
   */
 class ConcurrencySpec extends SparkSpec {
 
+  private val allQueries = SparkEntry.queries ++ SparkEntry.retiredQueries
+
   private val names = Seq(
     "d1_exact_dedup", "d2_minhash_lsh", "q1_pricing_summary",
     "t2_quality", "m3_quantize", "s1_knn_brute",
@@ -25,13 +27,13 @@ class ConcurrencySpec extends SparkSpec {
   test("fifteen queries running concurrently match their serial results") {
     import java.util.concurrent.{Callable, Executors, TimeUnit}
     val serial = names.map(n =>
-      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq).toMap
+      n -> allQueries(n)(spark, sf).collect().map(_.toString).sorted.toSeq).toMap
     val pool = Executors.newFixedThreadPool(names.size)
     try {
       val futures = names.map { n =>
         n -> pool.submit(new Callable[Seq[String]] {
           override def call(): Seq[String] =
-            SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
+            allQueries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
         })
       }
       futures.foreach { case (n, f) =>

@@ -8,8 +8,9 @@ package graft
 class PlanAssertSpec extends SparkSpec {
 
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
+    (SparkEntry.queries ++ SparkEntry.retiredQueries)(name)(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
 
   test("q6: predicate and projection reach the parquet scan") {
     val p = plan("q6_selective_filter")

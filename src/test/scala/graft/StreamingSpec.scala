@@ -1275,7 +1275,16 @@ class StreamingSpec extends SparkSpec {
     val cut = ev.agg(expr("percentile_approx(tsMs, 0.5)")).head().getLong(0)
     def writeIn(df: org.apache.spark.sql.DataFrame, mode: SaveMode): Unit =
       df.write.mode(mode).parquet(inDir)
-    writeIn(ev.where(col("tsMs") <= cut), SaveMode.Overwrite)
+    // out-of-order punctuation FIRST: a heartbeat arriving before a
+    // key's first data row must be ignored (no grid origin exists yet)
+    // — honoring it would pin the grid to the heartbeat's bucket and
+    // emit null buckets batch q56 never produces, so exact parity
+    // below is the assertion that it was dropped
+    writeIn(ev.groupBy("userId")
+      .agg(expr(s"(min(tsMs) div $step - 3) * $step").as("tsMs"))
+      .select(col("userId"), col("tsMs"), lit(0L).as("eventId"),
+        lit(0.0).as("value"), lit(true).as("heartbeat")),
+      SaveMode.Overwrite)
     val stream = spark.readStream
       .schema(StructType(Seq(
         StructField("userId", LongType), StructField("tsMs", LongType),
@@ -1286,6 +1295,8 @@ class StreamingSpec extends SparkSpec {
     val q = LogStream.streamFfill(stream)
       .writeStream.format("memory").queryName(s"st41_out$tag").outputMode("append").start()
     try {
+      q.processAllAvailable()
+      writeIn(ev.where(col("tsMs") <= cut), SaveMode.Append)
       q.processAllAvailable()
       writeIn(ev.where(col("tsMs") > cut), SaveMode.Append)
       q.processAllAvailable()
@@ -1602,6 +1613,28 @@ class StreamingSpec extends SparkSpec {
       b2.limit(1), 0L)
     assert(ParquetLake.manifestLog(spark, dataPath).last._1 === headV + 1)
     assert(ParquetLake.readManifested(spark, dataPath).count() === ev.count() + 1)
+    // LEGACY marker fallback: a lake written before markers were
+    // namespaced carries its high-water under plain `stream_batch`.
+    // A checkpoint resuming against it must see that mark — otherwise
+    // the at-least-once replayed last micro-batch re-appends, the
+    // exact duplication the marker exists to prevent. Simulate the
+    // legacy sink's write, then replay batch ≤ mark under a FRESH
+    // namespace: nothing may land.
+    val legacyData = Files.createTempDirectory("graft_mv_legacy").toString + "/lake"
+    ParquetLake.stageAppend(spark, legacyData, b1, "legacy0", None)
+    ParquetLake.publishStaged(spark, legacyData, "legacy0",
+      headers = Map("stream_batch" -> "3"))
+    val legacyHead = ParquetLake.manifestLog(spark, legacyData).last._1
+    LogStream.matviewBatchWriter(legacyData, "mv", keys, ms, None,
+      LogStream.matviewSinkId(ckpt))(b1, 3L)
+    assert(ParquetLake.manifestLog(spark, legacyData).last._1 === legacyHead,
+      "replay at the legacy high-water mark must append nothing")
+    assert(ParquetLake.readManifested(spark, legacyData).count() === b1.count())
+    // a LATER batch id still lands (the fallback is a high-water read,
+    // not a write freeze)
+    LogStream.matviewBatchWriter(legacyData, "mv", keys, ms, None,
+      LogStream.matviewSinkId(ckpt))(b2.limit(1), 4L)
+    assert(ParquetLake.readManifested(spark, legacyData).count() === b1.count() + 1)
   }
 
   test("st36: continuous chunk-gated blob ingest — near-copies reject across micro-batches") {
