@@ -268,7 +268,13 @@ object Bench {
     // comparison baseline for bench_compare and the judge, and a
     // 4-query diagnostic run silently replacing a 170-row baseline
     // has destroyed it twice (c89a75b; the r13 working tree).
-    val isPartial = only.isDefined || skipped.nonEmpty
+    // ... and so does a full run at a non-baseline SF: the committed
+    // detail's contract is the sf0.1 quiet baseline, and a full-suite
+    // sf0.01 smoke run is just as destructive to it as a 4-query
+    // subset (it happened a third time the same day the subset guard
+    // landed).
+    val isPartial = only.isDefined || skipped.nonEmpty ||
+      new java.io.File(sfDir).getName != "sf0.1"
     val detailFile = if (isPartial) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json"
     val detailJson =
       s"""{\n"method":"min-of-$passes-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +

@@ -42,8 +42,21 @@ object Headroom {
     val rows = queries.map { q =>
       val a = run(q, sf01)
       val b = run(q, sf1)
+      // codec-bound rows also report their rendered-payload bytes at
+      // each scale and the byte-normalized ratio: a 10×-data ratio
+      // above 10 is only a scale problem if the PER-BYTE ratio is,
+      // too (the r13 flags on m12/m15/m18 needed this distinction —
+      // probe cost is excluded from the timed numbers above)
+      val perByte = graft.queries.MultimodalQueries.payloadBytes.get(q).map { probe =>
+        val bytes01 = probe(spark, sf01)
+        val bytes1 = probe(spark, sf1)
+        BlockHygiene.freeBlocks(spark)
+        val pb = (b / a) / (bytes1.toDouble / bytes01)
+        System.err.println(f"HEADROOM $q bytes01=$bytes01 bytes1=$bytes1 per_byte=$pb%.2f")
+        f""","sf01_bytes":$bytes01,"sf1_bytes":$bytes1,"per_byte_ratio":${"%.2f".format(pb)}"""
+      }.getOrElse("")
       System.err.println(f"HEADROOM $q sf01=$a%.2f sf1=$b%.2f ratio=${b / a}%.1f")
-      f"""{"query":"$q","sf01_sec":${"%.3f".format(a)},"sf1_sec":${"%.3f".format(b)},"ratio":${"%.2f".format(b / a)}}"""
+      f"""{"query":"$q","sf01_sec":${"%.3f".format(a)},"sf1_sec":${"%.3f".format(b)},"ratio":${"%.2f".format(b / a)}$perByte}"""
     }
     val json =
       s"""{"protocol":"warm second pass, one JVM, local[32]","sf01_dir":"$sf01","sf1_dir":"$sf1","rows":[${rows.mkString(",")}]}"""

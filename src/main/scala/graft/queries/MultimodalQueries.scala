@@ -10,6 +10,109 @@ import graft.multimodal.BinaryOps
   */
 object MultimodalQueries {
 
+  /** m11/m12's shared render spec: one image per document, dims and
+    * container format derived from doc_id alone — FIXED-SIZE per doc
+    * by construction, so total rendered bytes scale linearly with the
+    * corpus (the [[payloadBytes]] probes pin that claim).
+    */
+  private def imageSpecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
+        (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
+        element_at(array(lit("png"), lit("jpeg"), lit("gif"), lit("bmp")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      .as[(Long, Int, Int, String)]
+  }
+
+  /** m15's animated-GIF spec: (doc_id % 3) + 2 frames of 16×16, frame
+    * f's raster seeded by (id·7 + f·13) % 40 so stills repeat across
+    * blobs.
+    */
+  private def gifSpecsM15(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"),
+        lit(16).as("w"), lit(16).as("h"),
+        transform(
+          sequence(lit(0L), pmod(col("doc_id").cast("long"), lit(3L)) + 1L),
+          f => pmod(col("doc_id").cast("long") * 7 + f * 13, lit(40L))).as("seeds"))
+      .as[(Long, Int, Int, Array[Long])]
+  }
+
+  /** m18's animated-GIF spec: (doc_id % 6) + 2 frames built in
+    * consecutive identical pairs (seed j = f div 2).
+    */
+  private def gifSpecsM18(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"),
+        lit(16).as("w"), lit(16).as("h"),
+        transform(
+          sequence(lit(0L), pmod(col("doc_id"), lit(6)).cast("long") + 1L),
+          f => pmod(col("doc_id").cast("long") * 7 + shiftright(f, 1) * 13,
+            lit(40L)))
+          .as("seeds"))
+      .as[(Long, Int, Int, Array[Long])]
+  }
+
+  /** m16's spec: the raster-exact containers only (png/bmp — the JDK
+    * GIF writer palette-quantizes dense-gray rasters).
+    */
+  private def rasterExactSpecs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
+        (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
+        element_at(array(lit("png"), lit("bmp")),
+          (pmod(col("doc_id"), lit(2)) + 1).cast("int")))
+      .as[(Long, Int, Int, String)]
+  }
+
+  /** m17's seeded audio spec: clips sharing a PCM seed are
+    * sample-identical across different containers.
+    */
+  private def audioSpecsM17(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"),
+        pmod(col("doc_id"), lit(40)).cast("long").as("seed"))
+      .select(col("id"), col("seed"),
+        ((pmod(col("seed"), lit(2)) + 1) * 8000).cast("int").as("rate"),
+        (pmod(col("seed"), lit(2)) + 1).cast("int").as("ch"),
+        (pmod(col("seed"), lit(199)) + 1).cast("int").as("frames"),
+        element_at(array(lit("wav"), lit("aiff"), lit("au")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("fmt"))
+      .as[(Long, Long, Int, Int, Int, String)]
+  }
+
+  /** Rendered-payload byte probes for the codec-bound rows: the
+    * headroom bench divides a row's 10×-data time ratio by its byte
+    * ratio, separating "the blobs got bigger at sf1" from genuinely
+    * superlinear per-byte work (the r13 verdict flagged m12/m15/m18
+    * at 12.5–14.5× under the old 8 GiB heap). Each probe renders from
+    * the SAME private spec builder its query uses, so the normalizer
+    * cannot drift from the measured work.
+    */
+  val payloadBytes: Map[String, (org.apache.spark.sql.SparkSession, String) => Long] = Map(
+    "m12_image_resize" -> ((s, dir) =>
+      BinaryOps.renderImages(imageSpecs(s, dir)).toDF()
+        .agg(sum(length(col("payload")))).head.getLong(0)),
+    "m15_gif_frame_dedup" -> ((s, dir) =>
+      BinaryOps.renderAnimatedGifs(gifSpecsM15(s, dir)).toDF("id", "payload")
+        .agg(sum(length(col("payload")))).head.getLong(0)),
+    "m18_scene_cuts" -> ((s, dir) =>
+      BinaryOps.renderAnimatedGifs(gifSpecsM18(s, dir)).toDF("id", "payload")
+        .agg(sum(length(col("payload")))).head.getLong(0)),
+    "m17_audio_dedup" -> ((s, dir) =>
+      BinaryOps.renderAudioSeeded(audioSpecsM17(s, dir)).toDF("id", "payload")
+        .agg(sum(length(col("payload")))).head.getLong(0)),
+    "m16_pixel_roundtrip" -> ((s, dir) =>
+      BinaryOps.renderImages(rasterExactSpecs(s, dir)).toDF()
+        .agg(sum(length(col("payload")))).head.getLong(0)))
+
   val queries: Map[String, Q] = Map(
     "m1_binary_meta" -> ((s, dir) =>
       BinaryOps.withMeta(
@@ -166,15 +269,7 @@ object MultimodalQueries {
     // right. Per-row work is header-bounded; only (format, dims)
     // aggregate — bytes never shuffle
     "m11_image_meta" -> ((s, dir) => {
-      import s.implicits._
-      val specs = table(s, dir, "documents")
-        .select(col("doc_id").cast("long"),
-          (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
-          (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
-          element_at(array(lit("png"), lit("jpeg"), lit("gif"), lit("bmp")),
-            (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
-        .as[(Long, Int, Int, String)]
-      BinaryOps.renderImages(specs).toDF()
+      BinaryOps.renderImages(imageSpecs(s, dir)).toDF()
         .withColumn("meta", graft.functions.imageMeta(col("payload")))
         .groupBy(col("fmt").as("format"))
         .agg(count(lit(1)).as("n_images"),
@@ -197,14 +292,7 @@ object MultimodalQueries {
     // final sort)
     "m12_image_resize" -> ((s, dir) => {
       import s.implicits._
-      val specs = table(s, dir, "documents")
-        .select(col("doc_id").cast("long"),
-          (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
-          (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
-          element_at(array(lit("png"), lit("jpeg"), lit("gif"), lit("bmp")),
-            (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
-        .as[(Long, Int, Int, String)]
-      val rendered = BinaryOps.renderImages(specs)
+      val rendered = BinaryOps.renderImages(imageSpecs(s, dir))
         .map(r => (r.id, r.payload))
       BinaryOps.resizeImages(rendered, maxDim = 8).toDF()
         .withColumn("meta", graft.functions.imageMeta(col("payload")))
@@ -293,15 +381,8 @@ object MultimodalQueries {
     // leave the scan — frame bytes never shuffle; min(id*10+f) is a
     // unique lexicographic group key (frames per blob < 10)
     "m15_gif_frame_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val specs = table(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("id"),
-          lit(16).as("w"), lit(16).as("h"),
-          transform(
-            sequence(lit(0L), pmod(col("doc_id").cast("long"), lit(3L)) + 1L),
-            f => pmod(col("doc_id").cast("long") * 7 + f * 13, lit(40L))).as("seeds"))
-        .as[(Long, Int, Int, Array[Long])]
-      BinaryOps.gifFrameHashes(BinaryOps.renderAnimatedGifs(specs)).toDF()
+      BinaryOps.gifFrameHashes(
+        BinaryOps.renderAnimatedGifs(gifSpecsM15(s, dir))).toDF()
         .groupBy("ahash")
         .agg(min(col("id") * 10 + col("frameIdx")).as("fk"),
           count(lit(1)).as("n_frames"),
@@ -325,15 +406,7 @@ object MultimodalQueries {
     // pixel totals from the spec arithmetic alone — green only if
     // the encoder AND decoder are sample-exact.
     "m16_pixel_roundtrip" -> ((s, dir) => {
-      import s.implicits._
-      val specs = table(s, dir, "documents")
-        .select(col("doc_id").cast("long"),
-          (pmod(col("doc_id"), lit(29)) + 1).cast("int"),
-          (pmod(col("doc_id"), lit(17)) + 1).cast("int"),
-          element_at(array(lit("png"), lit("bmp")),
-            (pmod(col("doc_id"), lit(2)) + 1).cast("int")))
-        .as[(Long, Int, Int, String)]
-      BinaryOps.pixelRoundtrip(specs).toDF()
+      BinaryOps.pixelRoundtrip(rasterExactSpecs(s, dir)).toDF()
         .groupBy(col("fmt").as("format"))
         .agg(count(lit(1)).as("n_images"),
           sum(when(col("decodeOk") && col("exact"), 1L).otherwise(0L))
@@ -352,18 +425,8 @@ object MultimodalQueries {
     // canonical re-serialization to be sample-exact and
     // container-invariant. Only 32-char fingerprints shuffle.
     "m17_audio_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val specs = table(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("id"),
-          pmod(col("doc_id"), lit(40)).cast("long").as("seed"))
-        .select(col("id"), col("seed"),
-          ((pmod(col("seed"), lit(2)) + 1) * 8000).cast("int").as("rate"),
-          (pmod(col("seed"), lit(2)) + 1).cast("int").as("ch"),
-          (pmod(col("seed"), lit(199)) + 1).cast("int").as("frames"),
-          element_at(array(lit("wav"), lit("aiff"), lit("au")),
-            (pmod(col("id"), lit(3)) + 1).cast("int")).as("fmt"))
-        .as[(Long, Long, Int, Int, Int, String)]
-      BinaryOps.audioFingerprint(BinaryOps.renderAudioSeeded(specs)).toDF()
+      BinaryOps.audioFingerprint(
+        BinaryOps.renderAudioSeeded(audioSpecsM17(s, dir))).toDF()
         .groupBy("fp")
         .agg(min(col("id")).as("first_doc"), count(lit(1)).as("n_docs"))
         .where(col("n_docs") > 1)
@@ -382,19 +445,10 @@ object MultimodalQueries {
     // completeness, and hash stability all at once. Per-doc windows
     // run over ≤7 frames of 16-char hashes — bytes never shuffle.
     "m18_scene_cuts" -> ((s, dir) => {
-      import s.implicits._
-      val specs = table(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("id"),
-          lit(16).as("w"), lit(16).as("h"),
-          transform(
-            sequence(lit(0L), pmod(col("doc_id"), lit(6)).cast("long") + 1L),
-            f => pmod(col("doc_id").cast("long") * 7 + shiftright(f, 1) * 13,
-              lit(40L)))
-            .as("seeds"))
-        .as[(Long, Int, Int, Array[Long])]
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("frameIdx")
-      BinaryOps.gifFrameHashes(BinaryOps.renderAnimatedGifs(specs)).toDF()
+      BinaryOps.gifFrameHashes(
+        BinaryOps.renderAnimatedGifs(gifSpecsM18(s, dir))).toDF()
         .withColumn("prev", lag("ahash", 1).over(w))
         .groupBy("id")
         .agg(count(lit(1)).as("n_frames"),
