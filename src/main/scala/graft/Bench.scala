@@ -177,13 +177,22 @@ object Bench {
     }
     def elapsedSec: Double = (System.currentTimeMillis() - jvmStart) / 1e3
     def pastDeadline: Boolean = deadlineSec > 0 && elapsedSec > deadlineSec
-    // JIT/codegen warmup: run the suite once at the smallest SF so the
-    // measured pass reflects steady-state throughput, not first-call
-    // class-generation cost (on a real cluster the JVMs are long-lived).
-    val warmDir = {
+    // JIT/codegen warmup: run the suite once at sf0.01 — one SF below
+    // the measured sf0.1 — so the measured pass reflects steady-state
+    // throughput (on a real cluster the JVMs are long-lived). The SF
+    // choice is a budget trade measured in r14: warming at sf0.001
+    // leaves the measured pass cold wherever AQE picks scale-dependent
+    // plans (first execution at the measured scale profiled 3-5x its
+    // warm time — q47: 16s cold vs 3.5s warm at local[32]); warming at
+    // sf0.1 itself is a full cold pass (~240s) and blew the driver
+    // deadline (34 skipped). sf0.01 produces the sf0.1 plan shapes for
+    // a third of the cost. SPARK_GRAFT_WARMUP_DIR overrides for
+    // diagnosis.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
       val d = new java.io.File(sfDir).getParentFile
-      val tiny = new java.io.File(d, "sf0.001")
-      if (tiny.isDirectory) tiny.getPath else sfDir
+      val mid = new java.io.File(d, "sf0.01")
+      if (mid.isDirectory && mid.getPath != new java.io.File(sfDir).getPath) mid.getPath
+      else sfDir
     }
     // warmup defers to the deadline at its half-point: an unwarmed
     // measured pass is noisy, an unfinished artifact is worthless.

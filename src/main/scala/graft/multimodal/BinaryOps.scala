@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object BinaryOps {
 
+  // ImageIO's default stream cache backs EVERY ImageIO.read/write
+  // against an in-memory byte stream with a TEMP FILE on disk
+  // (FileCacheImage{Input,Output}Stream): at 32 concurrent decode
+  // tasks that is thousands of create/write/delete syscalls racing in
+  // the same tmpdir — measured 7-10x on the codec-bound rows at
+  // local[32] vs local[4] (r14). Memory-cached streams remove the
+  // disk round-trip entirely; payloads here are KB-scale, so the
+  // memory cost is noise. Runs once per JVM wherever this object
+  // loads (driver or executor — every codec path below lives in
+  // mapPartitions closures that call into this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FrameBytes = 256
 
   /** Typed metadata for an opaque binary payload: byte length, a

@@ -38,15 +38,24 @@ object Percentiles {
       ps: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     val gCols = groupCols.map(col)
-    // contiguous (group, value) slices; pid is stable because the
-    // checkpointed base feeds both the rank pass and the count pass
+    // contiguous (group, value) slices; pid is stable because BOTH
+    // consumers (the rank pass and the count pass) sit in one physical
+    // plan, so Spark's exchange reuse feeds them the same shuffle
+    // output, and the EXPLICIT partition count keeps AQE from
+    // re-coalescing either read (user-pinned n is never coalesced).
+    // This used to be a lazy localCheckpoint; storing a fact-sized
+    // relation through the block manager costs either a SizeEstimator
+    // object-graph walk (deserialized) or Java serialization (SER) per
+    // block, which profiled as the dominant cost of this operator at
+    // local[32] (r14) — the reused in-flight shuffle costs neither.
+    // Pid stability is oracle-pinned (q15/q47 hash-exact at 4 and 32
+    // cores) and plan-asserted (PlanAssertSpec's ReusedExchange check).
     val base = df
       .select(gCols :+ col(valueCol).as("__v"): _*)
       .repartitionByRange(
         spark.sparkContext.defaultParallelism * 2,
         gCols :+ col("__v"): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
     // local ranks: window keys include the partition id, so the sort
     // parallelism is the range-partition count, never the group count
     val wLocal = Window.partitionBy(col("__pid") +: gCols: _*).orderBy(col("__v"))

@@ -1430,7 +1430,9 @@ object AnalyticsQueries {
         .select(col("l_returnflag"), col("p50").as("med"))
       // NOT checkpointed: the narrow scan+broadcast-join recompute is
       // cheaper than materializing the fact-sized dev relation
-      // (measured 4.2s recompute vs 5.2s checkpointed at sf0.1)
+      // through the block manager (which costs a SizeEstimator walk
+      // per deserialized block — profiled as this row's dominant
+      // cost at local[32] before Percentiles dropped its checkpoint)
       val dev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("adev", abs(col("l_extendedprice") - col("med")))
       val mad = graft.operators.Percentiles

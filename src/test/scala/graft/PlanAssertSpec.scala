@@ -388,4 +388,18 @@ class PlanAssertSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("payload#")), exchanges.mkString("\n---\n"))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q15: Percentiles' range shuffle materializes ONCE — the count pass reads a ReusedExchange") {
+    // Percentiles.exact relies on exchange reuse (not a checkpoint) to
+    // pin spark_partition_id between its rank and count passes: both
+    // consumers must read the SAME materialized range shuffle. If an
+    // optimizer change ever breaks reuse here, pids stay correct only
+    // by the accident of deterministic range-bound sampling — and the
+    // relation computes twice. Assert on the FINAL adaptive plan.
+    val df = SparkEntry.queries("q15_percentiles")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }
