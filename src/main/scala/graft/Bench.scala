@@ -7,6 +7,27 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Shuffle/spill scratch for the TIMING mains (Bench/Headroom/
+    * IngestGateBench — not the library: a user session keeps Spark's
+    * default). The benchmark box backs /tmp with a virtio disk whose
+    * file create/write latency is both slow and NOISY — jstack
+    * samples of slow passes sat in FileOutputStream.open0/write0, and
+    * shuffle-heavy rows swung 3.5-22s pass-to-pass for identical work
+    * (q4 at 10x data, r14). A real cluster gives executors local
+    * NVMe; tmpfs is the single-box analog (q4 steady-state: 1.5s on
+    * tmpfs vs 3.5s best-case on the virtio disk). Opt out or
+    * redirect with SPARK_GRAFT_LOCAL_DIR.
+    */
+  private[graft] def scratchDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").filter(_.nonEmpty).orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_bench_local")
+      else None
+    }
+
+  private[graft] def withScratchDir(b: SparkSession.Builder): SparkSession.Builder =
+    scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+
   /** Sums executor task metrics across all tasks; per-query deltas are
     * taken by snapshotting before/after each run. Catches what wall
     * time alone hides: a query that "runs" in 2s while spilling 4 GB
@@ -89,7 +110,7 @@ object Bench {
     // round-3 pathology was block accumulation ACROSS queries — set
     // SPARK_GRAFT_BENCH_HYGIENE=0 to reproduce it for diagnosis)
     val hygiene = sys.env.getOrElse("SPARK_GRAFT_BENCH_HYGIENE", "1") != "0"
-    val spark = SparkSession.builder()
+    val spark = withScratchDir(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -286,7 +307,7 @@ object Bench {
       new java.io.File(sfDir).getName != "sf0.1"
     val detailFile = if (isPartial) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json"
     val detailJson =
-      s"""{\n"method":"min-of-$passes-passes-after-sf0.001-warmup","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +
+      s"""{\n"method":"min-of-$passes-passes-after-warmup","warm_dir":"$warmDir","scratch_dir":"${scratchDir.getOrElse("default")}","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +
         s""""partial":$isPartial,""" +
         s""""skipped":${skipped.size},"warmup_completed":$warmupCompleted,"warmup_total":${ordered.size},""" +
         s""""machine_anchor_sec":$machineAnchorSec,""" +

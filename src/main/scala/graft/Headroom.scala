@@ -19,7 +19,7 @@ object Headroom {
     val sf01 = args(1)
     val sf1 = args(2)
     val queries = args.drop(3).toSeq
-    val spark = GraftSession.builder(32).getOrCreate()
+    val spark = Bench.withScratchDir(GraftSession.builder(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(name: String, dir: String): Double = {

@@ -37,7 +37,7 @@ object IngestGateBench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val outFile = args(0)
     val dirs = args.drop(1).toSeq
-    val spark = GraftSession.builder(32).getOrCreate()
+    val spark = Bench.withScratchDir(GraftSession.builder(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
