@@ -44,7 +44,8 @@ object SparkEntry {
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq",
     "s6_knn_join_auto", "s7_knn_ivfpq", "s9_ann_recall",
     "a2_sketch_merge", "a3_approx_quantiles", "a4_theta_intersect",
-    "a5_approx_top_k", "a9_kmv_distinct", "a12_kmv_rolling")
+    "a5_approx_top_k", "a9_kmv_distinct", "a12_kmv_rolling",
+    "a13_theta_diff", "q58_topk_per_group")
 
   /** DuckDB-runnable oracle SQL for each hash-verifiable query. */
   def oracleSql: Map[String, String] =

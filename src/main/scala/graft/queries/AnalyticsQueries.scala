@@ -1509,6 +1509,64 @@ object AnalyticsQueries {
     // grouped by the click's day. Two user-keyed aggregations and
     // one co-partitioned join — every shuffle is on user_id, all
     // linear; the rate is floor-grid 4dp (q51 discipline).
+    // theta set ALGEBRA on reused per-day sketches (a4's intersect +
+    // Spark 4's theta_difference = the full A∩B / A∖B / B∖A kit):
+    // day-over-day user churn — new / churned / retained — from
+    // per-day theta sketches built ONCE from the fact. At 100 TB the
+    // daily series never rescans events: only kilobyte sketches move
+    // through the calendar-bounded self-join (broadcast-class at any
+    // corpus size), where the recount alternative reshuffles user_ids
+    // once per day pair. Theta is EXACT below its nominal-entries
+    // threshold (4096 > the ~1.4k distinct users/day here), so the
+    // whole row replays in DuckDB as exact set arithmetic — the same
+    // honest estimator-regime posture as a9/a12.
+    "a13_theta_diff" -> ((s, dir) => {
+      val perDay = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+        .localCheckpoint(eager = false) // calendar-sized; feeds both join sides
+      val prev = perDay.select(col("d").as("d_prev"), col("sk").as("sk_prev"))
+      perDay.join(prev, datediff(col("d"), col("d_prev")) === 1)
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("d"),
+          theta_sketch_estimate(theta_difference(col("sk"), col("sk_prev")))
+            .cast("long").as("new_users"),
+          theta_sketch_estimate(theta_difference(col("sk_prev"), col("sk")))
+            .cast("long").as("churned_users"),
+          theta_sketch_estimate(theta_intersection(col("sk"), col("sk_prev")))
+            .cast("long").as("retained_users"))
+        .orderBy("d")
+    }),
+
+    // top-N-per-key WITHOUT a window: the bounded-heap graft_topk
+    // aggregate replaces the partition-sort row_number pattern for
+    // "each customer's top-3 orders by revenue". The window version
+    // SORTS every order inside each customer partition; the heap
+    // version map-side-combines, so at most k (score, id) structs per
+    // (partition × customer) cross the shuffle — at 100 TB that is
+    // the difference between sorting the fact and shipping 3 rows per
+    // key. Scores rank at double precision with ties → lowest id;
+    // the oracle replays exactly that ordering.
+    "q58_topk_per_group" -> ((s, dir) => {
+      val perOrder = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(revenue.as("order_rev"))
+      val withCust = perOrder
+        .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+      withCust
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(graft.functions.topk(
+          col("order_rev").cast("double"), col("o_orderkey").cast("long"), 3).as("tk"))
+        .select(col("custkey"), posexplode(col("tk")))
+        .select(col("custkey"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"),
+          // floor-grid, not round(): round(DOUBLE, 2) disagrees across
+          // engines on shortest-repr boundaries (q51 discipline)
+          (floor(col("col.score") * 100d + 0.5d) / 100d).as("revenue"))
+        .orderBy("custkey", "rank")
+    }),
+
     "q57_funnel_windows" -> ((s, dir) => {
       val ev = events(s, dir).select("user_id", "event_type", "ts_ns")
       val clicks = ev.where(col("event_type") === "click")
@@ -1609,6 +1667,35 @@ object AnalyticsQueries {
         |SELECT g.user_id, g.grid_ms, round(e.value, 4) AS value_ffill
         |FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND e.ms <= g.grid_ms
         |ORDER BY 1, 2""".stripMargin,
+    // exact set arithmetic — valid against the sketch row because
+    // theta is exact below nominal entries at this scale (see the
+    // query's comment)
+    "a13_theta_diff" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts)::DATE AS d, user_id FROM events
+        |), days AS (SELECT DISTINCT d FROM du),
+        |pairs AS (
+        |  SELECT c.d, p.d AS dp FROM days c JOIN days p ON c.d = p.d + INTERVAL 1 DAY
+        |)
+        |SELECT strftime(pr.d, '%Y-%m-%d') AS d,
+        |  (SELECT count(*) FROM du a WHERE a.d = pr.d
+        |     AND NOT EXISTS (SELECT 1 FROM du b WHERE b.d = pr.dp AND b.user_id = a.user_id))::BIGINT AS new_users,
+        |  (SELECT count(*) FROM du b WHERE b.d = pr.dp
+        |     AND NOT EXISTS (SELECT 1 FROM du a WHERE a.d = pr.d AND a.user_id = b.user_id))::BIGINT AS churned_users,
+        |  (SELECT count(*) FROM du a WHERE a.d = pr.d
+        |     AND EXISTS (SELECT 1 FROM du b WHERE b.d = pr.dp AND b.user_id = a.user_id))::BIGINT AS retained_users
+        |FROM pairs pr ORDER BY 1""".stripMargin,
+    "q58_topk_per_group" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY 1
+        |), r AS (
+        |  SELECT o.o_custkey AS custkey, po.l_orderkey AS o_orderkey, po.rev::DOUBLE AS revd,
+        |    row_number() OVER (PARTITION BY o.o_custkey ORDER BY po.rev::DOUBLE DESC, po.l_orderkey) AS rank
+        |  FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+        |)
+        |SELECT custkey, rank, o_orderkey, floor(revd * 100 + 0.5) / 100 AS revenue
+        |FROM r WHERE rank <= 3 ORDER BY custkey, rank""".stripMargin,
     "q57_funnel_windows" ->
       """WITH c AS (
         |  SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events

@@ -211,4 +211,47 @@ class AnalyticsSpec extends SparkSpec {
     val again = AnalyticsQueries.queries("a8_hll_error_eval")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("a13: theta day-over-day churn is exact set arithmetic in the sub-nominal regime") {
+    import org.apache.spark.sql.functions._
+    val rows = AnalyticsQueries.queries("a13_theta_diff")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute one day pair exactly from the fact
+    val du = graft.queries.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct().collect()
+      .groupBy(_.getDate(0).toString).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val d = r.getAs[String]("d")
+      val prev = java.time.LocalDate.parse(d).minusDays(1).toString
+      (du.get(d), du.get(prev)) match {
+        case (Some(cur), Some(prv)) =>
+          assert(r.getAs[Long]("new_users") === (cur -- prv).size.toLong, s"$d new")
+          assert(r.getAs[Long]("churned_users") === (prv -- cur).size.toLong, s"$d churned")
+          assert(r.getAs[Long]("retained_users") === (cur & prv).size.toLong, s"$d retained")
+        case _ => fail(s"day pair missing for $d")
+      }
+    }
+  }
+
+  test("q58: bounded-heap top-3 per customer equals the window row_number answer") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = AnalyticsQueries.queries("q58_topk_per_group")(spark, sf).collect()
+    val po = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("double").as("rev"))
+      .join(spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("rev").desc, col("l_orderkey"))
+    val want = po.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey").as("custkey"), col("rank"),
+        col("l_orderkey").cast("long").as("o_orderkey"),
+        (floor(col("rev") * 100d + 0.5d) / 100d).as("revenue"))
+      .orderBy("custkey", "rank").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, e) => assert(g.toString === e.toString) }
+  }
 }
