@@ -83,10 +83,17 @@ object IngestGateBench {
           val (_, p1) = time {
             graft.operators.Dedup.nearDupIngest(spark, data, idx, increment, "text", "doc_id")
           }
-          val (r2, p2) = time {
-            graft.operators.Dedup.nearDupIngest(spark, data, idx, increment, "text", "doc_id")
-          }
-          require(r2.admitted == 0L, s"lk42 replay admitted ${r2.admitted}")
+          // min of 3 replays: the steady-state gate number is the claim,
+          // and a single sample at the 100x cell caught block-manager/
+          // IO noise from the just-checkpointed corpus (r14: 3.45s one-
+          // shot vs 0.8s steady on the same lake)
+          val p2 = (1 to 3).map { _ =>
+            val (r2, t) = time {
+              graft.operators.Dedup.nearDupIngest(spark, data, idx, increment, "text", "doc_id")
+            }
+            require(r2.admitted == 0L, s"lk42 replay admitted ${r2.admitted}")
+            t
+          }.min
           Cell("lk42_neardup", n, initSec, p1, p2)
         case "lk43_chunk" =>
           val (data, idx) = (tmp("ck_data"), tmp("ck_idx"))
@@ -106,12 +113,15 @@ object IngestGateBench {
               spark, data, idx, bin(increment), "payload", "doc_id",
               maxContainment = 0.5, minLen, maskBits, maxLen)
           }
-          val (r2, p2) = time {
-            graft.multimodal.BinaryOps.chunkGatedIngest(
-              spark, data, idx, bin(increment), "payload", "doc_id",
-              maxContainment = 0.5, minLen, maskBits, maxLen)
-          }
-          require(r2.admitted == 0L, s"lk43 replay admitted ${r2.admitted}")
+          val p2 = (1 to 3).map { _ =>
+            val (r2, t) = time {
+              graft.multimodal.BinaryOps.chunkGatedIngest(
+                spark, data, idx, bin(increment), "payload", "doc_id",
+                maxContainment = 0.5, minLen, maskBits, maxLen)
+            }
+            require(r2.admitted == 0L, s"lk43 replay admitted ${r2.admitted}")
+            t
+          }.min
           Cell("lk43_chunk", n, initSec, p1, p2)
         case "lk46_frame" =>
           val (data, idx) = (tmp("fr_data"), tmp("fr_idx"))
@@ -141,22 +151,32 @@ object IngestGateBench {
             graft.multimodal.BinaryOps.frameGatedIngest(
               spark, data, idx, gifIncrement, "payload", "blob_id", maxContainment = 0.5)
           }
-          val (r2, p2) = time {
-            graft.multimodal.BinaryOps.frameGatedIngest(
-              spark, data, idx, gifIncrement, "payload", "blob_id", maxContainment = 0.5)
-          }
-          require(r2.admitted == 0L, s"lk46 replay admitted ${r2.admitted}")
+          val p2 = (1 to 3).map { _ =>
+            val (r2, t) = time {
+              graft.multimodal.BinaryOps.frameGatedIngest(
+                spark, data, idx, gifIncrement, "payload", "blob_id", maxContainment = 0.5)
+            }
+            require(r2.admitted == 0L, s"lk46 replay admitted ${r2.admitted}")
+            t
+          }.min
           Cell("lk46_frame", n, initSec, p1, p2)
       }
     }
 
-    val gates = Seq("lk42_neardup", "lk43_chunk", "lk46_frame")
+    // SPARK_GRAFT_GATES narrows the gate list for diagnosis
+    val gates = sys.env.get("SPARK_GRAFT_GATES").map(_.split(',').toSeq)
+      .getOrElse(Seq("lk42_neardup", "lk43_chunk", "lk46_frame"))
     // JVM/codegen warm: full smallest-scale sweep, results discarded
     gates.foreach(g => runGate(g, dirs.head))
-    BlockHygiene.freeBlocks(spark)
+    BlockHygiene.freeBlocks(spark, gc = true)
     val cells = for (g <- gates; d <- dirs) yield {
       val c = runGate(g, d)
-      BlockHygiene.freeBlocks(spark)
+      // gc=true: unlike the query bench (where a full GC's heap
+      // uncommit skews the NEXT query), each gate cell re-warms with
+      // init+pass1 before its timed replays — and without the GC the
+      // ContextCleaner never reaps prior cells' shuffle/broadcast
+      // state in this checkpoint-heavy harness
+      BlockHygiene.freeBlocks(spark, gc = true)
       System.err.println(f"GATE ${c.label} corpus=${c.nCorpus} init=${c.initSec}%.2f " +
         f"pass1=${c.pass1Sec}%.2f replay=${c.replaySec}%.2f")
       c
@@ -165,7 +185,7 @@ object IngestGateBench {
       f"""{"gate":"${c.label}","corpus_docs":${c.nCorpus},"init_sec":${c.initSec}%.3f,""" +
         f""""pass1_sec":${c.pass1Sec}%.3f,"replay_sec":${c.replaySec}%.3f}"""
     }.mkString(
-      s"""{"protocol":"fixed 200-doc/100-clip increment vs 1x/10x/100x corpus; warm replay pass","cells":[""",
+      s"""{"protocol":"fixed 200-doc/100-clip increment vs 1x/10x/100x corpus; replay = min of 3 warm passes","cells":[""",
       ",", "]}")
     Files.writeString(Paths.get(outFile), json + "\n")
     println(s"GATEBENCH_DONE $outFile")
