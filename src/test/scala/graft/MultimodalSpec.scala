@@ -219,6 +219,18 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.sources.ParquetLake.readManifested(spark, dataPath).count() === lakeN)
   }
 
+  test("BinaryOps disables ImageIO's disk-backed stream cache (perf contract, not correctness)") {
+    // touching the object runs its initializer; with the default
+    // useCache=true every ImageIO read/write against a byte stream
+    // round-trips a TEMP FILE — 32 concurrent codec tasks serialized
+    // on tmpdir syscalls (7-10x on the m-family rows at local[32],
+    // r14). If someone removes the setUseCache(false), nothing else
+    // in the suite fails — only the bench regresses — so pin it here.
+    graft.multimodal.BinaryOps.FrameBytes // force object init
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "BinaryOps must run ImageIO.setUseCache(false) in its initializer")
+  }
+
   test("m11: imageMeta parses real ImageIO containers exactly; malformed bytes degrade, never throw") {
     import graft.functions.ImageMetaOps
     def render(w: Int, h: Int, fmt: String): Array[Byte] = {
