@@ -203,4 +203,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(grid.count() === 1L)
     assert(grid.head().getLong(1) === 86400000L)
   }
+
+  test("a13/q58 degenerate shapes: single-day churn is empty; a thin customer keeps its <3 orders") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_edge_new").toString
+    // single-day events: no (d, d-1) pair exists → churn is EMPTY, not a throw
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 7L, "click", 1.0, "{}"),
+        (2L, java.sql.Timestamp.valueOf("2024-03-01 11:00:00"), 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    assert(graft.queries.AnalyticsQueries.queries("a13_theta_diff")(spark, dir).count() === 0L)
+    // one customer, two orders: top-3 emits exactly the 2 that exist,
+    // ranked, no padding and no throw
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    Seq((10L, 5L, "O", 1.0, ts, "1-URGENT"), (11L, 5L, "O", 1.0, ts, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", ts),
+        (11L, 1L, 1L, 1, 1.0, 300.0, 0.5, 0.0, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.AnalyticsQueries.queries("q58_topk_per_group")(spark, dir).collect()
+    assert(rows.length === 2)
+    // order 11 nets 150.0 (300 at 50% discount) > order 10's 100.0
+    assert(rows.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("o_orderkey"))).toSeq
+      === Seq((1L, 11L), (2L, 10L)))
+  }
 }
