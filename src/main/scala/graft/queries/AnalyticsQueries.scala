@@ -1526,7 +1526,10 @@ object AnalyticsQueries {
         .agg(theta_sketch_agg(col("user_id")).as("sk"))
         .localCheckpoint(eager = false) // calendar-sized; feeds both join sides
       val prev = perDay.select(col("d").as("d_prev"), col("sk").as("sk_prev"))
-      perDay.join(prev, datediff(col("d"), col("d_prev")) === 1)
+      // equi-join on the shifted date (NOT datediff(...) === 1, which
+      // is a non-equi condition and plans as a nested-loop join):
+      // harmless at calendar size, but the hash join is free
+      perDay.join(prev, col("d") === date_add(col("d_prev"), 1))
         .select(
           date_format(col("d"), "yyyy-MM-dd").as("d"),
           theta_sketch_estimate(theta_difference(col("sk"), col("sk_prev")))
