@@ -872,6 +872,30 @@ object TextQueries {
         .orderBy("bucket")
     }),
 
+    // compression-ratio quality signal (the CCNet/RedPajama-style
+    // low-entropy filter): per doc, zstd(text) bytes / text bytes —
+    // boilerplate and template spam compress far below prose, random
+    // noise barely compresses at all. One native codegen'd ZstdBytes
+    // pass per row (bytes stay partition-local; only the per-source
+    // aggregate shuffles — at 100 TB this is a map-side scan). No SQL
+    // oracle (compressed size is zstd-library-specific) → rows-only +
+    // TextOpsSpec (repetitive ≪ prose < digest-noise ordering,
+    // determinism, ratio bounds).
+    "t39_compress_ratio" -> ((s, dir) => {
+      val bytes = col("text").cast("binary")
+      val ratio = octet_length(graft.functions.graft_zstd(bytes))
+        .cast("double") / octet_length(bytes)
+      table(s, dir, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("source"), ratio.as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(avg(col("r")) * 10000d + 0.5d) / 10000d).as("mean_ratio"),
+          sum(when(col("r") < 0.25, 1L).otherwise(0L)).as("n_low_entropy"),
+          sum(when(col("r") > 0.9, 1L).otherwise(0L)).as("n_high_entropy"))
+        .orderBy("source")
+    }),
+
     // duplicated-n-gram fraction (the FineWeb/Gopher inter-document
     // duplication signal): per doc, the fraction of its DISTINCT
     // 3-word shingles that also occur in at least one other doc —

@@ -332,4 +332,35 @@ test("t36: feature-hashed embedding is bag-of-words invariant, sign-balanced, an
     // weights are signed sums: total mass over doc 1 is bounded by its token count
     assert(v1.values.map(math.abs).sum <= 4)
   }
+
+  test("t39: zstd compression ratio orders repetitive < prose < digest-noise, bounded, deterministic") {
+    import spark.implicits._
+    import graft.functions.graft_zstd
+    def ratioOf(text: String): Double = {
+      val df = Seq(text).toDF("text")
+        .select((octet_length(graft_zstd(col("text").cast("binary")))
+          .cast("double") / octet_length(col("text").cast("binary"))).as("r"))
+      df.head.getDouble(0)
+    }
+    val repetitive = ratioOf("spam ham " * 400)
+    val prose = ratioOf(("the quick brown fox jumps over the lazy dog and then " +
+      "considers whether compression ratios make a usable quality score ") * 25)
+    val noise = ratioOf((1 to 100).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n$i".getBytes).map(b => f"$b%02x").mkString).mkString(" "))
+    assert(repetitive < prose && prose < noise,
+      s"repetitive=$repetitive prose=$prose noise=$noise")
+    assert(repetitive < 0.05 && noise > 0.5)
+    // the driver row: per-source report, ratios bounded, deterministic
+    val rows = graft.queries.TextQueries.queries("t39_compress_ratio")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_ratio")
+      assert(m > 0.0 && m < 1.2, r.toString)
+      assert(r.getAs[Long]("n_low_entropy") + r.getAs[Long]("n_high_entropy")
+        <= r.getAs[Long]("n_docs"))
+    }
+    val again = graft.queries.TextQueries.queries("t39_compress_ratio")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
