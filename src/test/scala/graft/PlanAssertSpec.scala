@@ -389,6 +389,22 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q58: top-N-per-key is a bounded-heap aggregate — no Window, no sort of the fact per key") {
+    val p = plan("q58_topk_per_group")
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("a13: the day-pair join is a hash join over the calendar-sized sketch relation — no nested loop") {
+    val p = plan("a13_theta_diff")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the per-day sketch relation materializes once and feeds both sides
+    assert(p.contains("ExistingRDD"), p.take(3000))
+  }
+
   test("q15: Percentiles' range shuffle materializes ONCE — the count pass reads a ReusedExchange") {
     // Percentiles.exact relies on exchange reuse (not a checkpoint) to
     // pin spark_partition_id between its rank and count passes: both
