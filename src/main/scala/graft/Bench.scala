@@ -209,7 +209,9 @@ object Bench {
     // deadline (34 skipped). sf0.01 produces the sf0.1 plan shapes for
     // a third of the cost. SPARK_GRAFT_WARMUP_DIR overrides for
     // diagnosis.
-    val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
+    // .filter(_.nonEmpty): an empty env var must fall through to the
+    // default, not make warmDir "" (same convention as scratchDir)
+    val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").filter(_.nonEmpty).getOrElse {
       val d = new java.io.File(sfDir).getParentFile
       val mid = new java.io.File(d, "sf0.01")
       if (mid.isDirectory && mid.getPath != new java.io.File(sfDir).getPath) mid.getPath

@@ -19,17 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object BinaryOps {
 
-  // ImageIO's default stream cache backs EVERY ImageIO.read/write
+  // PROCESS-GLOBAL SIDE EFFECT (documented public behavior): loading
+  // this object turns OFF ImageIO's disk-backed stream cache for the
+  // whole JVM. The default cache backs EVERY ImageIO.read/write
   // against an in-memory byte stream with a TEMP FILE on disk
   // (FileCacheImage{Input,Output}Stream): at 32 concurrent decode
   // tasks that is thousands of create/write/delete syscalls racing in
   // the same tmpdir — measured 7-10x on the codec-bound rows at
   // local[32] vs local[4] (r14). Memory-cached streams remove the
   // disk round-trip entirely; payloads here are KB-scale, so the
-  // memory cost is noise. Runs once per JVM wherever this object
-  // loads (driver or executor — every codec path below lives in
-  // mapPartitions closures that call into this object).
-  javax.imageio.ImageIO.setUseCache(false)
+  // memory cost is noise. It runs in the object initializer — not a
+  // bench main — because the codec paths live in mapPartitions
+  // closures: on a real cluster each EXECUTOR JVM loads this object
+  // and needs the same setting, and no main() runs there. An
+  // embedding application that wants ImageIO's disk cache for its own
+  // large-stream work opts out with -Dgraft.imageio.keepCache=true
+  // (set before this class loads); graft's own codec paths hand
+  // ImageIO KB-scale byte arrays and are correct either way.
+  if (!java.lang.Boolean.getBoolean("graft.imageio.keepCache"))
+    javax.imageio.ImageIO.setUseCache(false)
 
   val FrameBytes = 256
 

@@ -50,12 +50,25 @@ object Percentiles {
     // local[32] (r14) — the reused in-flight shuffle costs neither.
     // Pid stability is oracle-pinned (q15/q47 hash-exact at 4 and 32
     // cores) and plan-asserted (PlanAssertSpec's ReusedExchange check).
-    val base = df
-      .select(gCols :+ col(valueCol).as("__v"): _*)
-      .repartitionByRange(
-        spark.sparkContext.defaultParallelism * 2,
-        gCols :+ col("__v"): _*)
-      .withColumn("__pid", spark_partition_id())
+    //
+    // RUNTIME GUARD: that reuse is a CORRECTNESS dependency, not just
+    // a perf one — two independent materializations of the range
+    // shuffle sample with different seeds (seed derives from rdd.id),
+    // so their partition bounds can disagree and global ranks go
+    // silently wrong. Exchange reuse is on by default and internal;
+    // if this session has it off, pin the partitioning the old way
+    // (lazy localCheckpoint — slower, but correct under any config).
+    val exchangeReuse =
+      spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean
+    val base = {
+      val b = df
+        .select(gCols :+ col(valueCol).as("__v"): _*)
+        .repartitionByRange(
+          spark.sparkContext.defaultParallelism * 2,
+          gCols :+ col("__v"): _*)
+        .withColumn("__pid", spark_partition_id())
+      if (exchangeReuse) b else b.localCheckpoint(eager = false)
+    }
     // local ranks: window keys include the partition id, so the sort
     // parallelism is the range-partition count, never the group count
     val wLocal = Window.partitionBy(col("__pid") +: gCols: _*).orderBy(col("__v"))

@@ -1517,13 +1517,22 @@ object AnalyticsQueries {
     // through the calendar-bounded self-join (broadcast-class at any
     // corpus size), where the recount alternative reshuffles user_ids
     // once per day pair. Theta is EXACT below its nominal-entries
-    // threshold (4096 > the ~1.4k distinct users/day here), so the
-    // whole row replays in DuckDB as exact set arithmetic — the same
-    // honest estimator-regime posture as a9/a12.
+    // threshold, so the whole row replays in DuckDB as exact set
+    // arithmetic — the same honest estimator-regime posture as a9/a12.
+    // lgNomEntries is EXPLICIT (16 → 65536 nominal entries) because
+    // the exact-set oracle is only valid in the sub-nominal regime:
+    // the default 4096 covers the ~1.4k distinct users/day at the
+    // harness's largest SF (sf0.1) but would flip to estimation mode
+    // near sf0.3; 65536 keeps the hashVerified listing valid to
+    // ~sf4.5 (distinct users/day grows ~linearly in SF). Beyond the
+    // exact regime the QUERY stays correct as an estimator — only the
+    // exact-arithmetic oracle stops being the right check. Sub-nominal
+    // sketches size by actual entries, so the bigger bound costs
+    // nothing at harness SFs.
     "a13_theta_diff" -> ((s, dir) => {
       val perDay = events(s, dir)
         .groupBy(to_date(col("ts")).as("d"))
-        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+        .agg(theta_sketch_agg(col("user_id"), 16).as("sk"))
         .localCheckpoint(eager = false) // calendar-sized; feeds both join sides
       val prev = perDay.select(col("d").as("d_prev"), col("sk").as("sk_prev"))
       // equi-join on the shifted date (NOT datediff(...) === 1, which
@@ -1954,7 +1963,7 @@ object AnalyticsQueries {
         |  SELECT d0, n, h AS u_k
         |  FROM r WHERE rn = least(n, 64)
         |), evw AS (
-        |  SELECT d0.d AS d0, sum(ev.n_events) AS n_events_7d
+        |  SELECT d0.d AS d0, sum(ev.n_events)::BIGINT AS n_events_7d
         |  FROM (SELECT DISTINCT d FROM ev) d0
         |  JOIN ev ON date_diff('day', ev.d, d0.d) BETWEEN 0 AND 6
         |  GROUP BY 1

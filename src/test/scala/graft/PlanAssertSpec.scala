@@ -418,4 +418,37 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"),
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("Percentiles.exact stays exact when spark.sql.exchange.reuse is OFF (checkpoint fallback)") {
+    // With reuse disabled the rank and count passes would materialize
+    // two INDEPENDENT range shuffles whose RangePartitioner sample
+    // seeds differ (seed derives from rdd.id): partition bounds can
+    // disagree and global ranks go silently wrong. Percentiles.exact
+    // guards on the conf and pins the partitioning with a lazy
+    // localCheckpoint in that regime — this asserts the fallback's
+    // VALUES bit-identical to the default-config operator (same
+    // interpolation arithmetic, both exact; Spark's built-in
+    // percentile aggregate differs by 1 ULP on this data, so it is
+    // the wrong expected side for an equality check).
+    val events = graft.queries.events(spark, sf).select("event_type", "value")
+    def run(): Map[String, (Double, Double)] =
+      graft.operators.Percentiles.exact(
+        events, "value", Seq("event_type"), Seq(0.5, 0.9))
+        .collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val expected = run()
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    val got =
+      try {
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        run()
+      } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (et, (g50, g90)) =>
+      val (e50, e90) = expected(et)
+      assert(g50 === e50, s"$et p50")
+      assert(g90 === e90, s"$et p90")
+    }
+  }
 }

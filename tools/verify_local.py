@@ -9,6 +9,7 @@ Usage: python3 tools/verify_local.py [sf_dir] [out_dir] [--skip-spark]
    compare: columns sorted by name, rows sorted, values stringified.
 """
 import json
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -16,6 +17,29 @@ from pathlib import Path
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Oracle result-type contract. The driver hashes both sides through a
+# typed (arrow/pandas) materialization, where DuckDB types outside
+# this set convert lossily or inconsistently vs Spark's parquet: the
+# r12-r14 a12_kmv_rolling hash-red (three rounds) was a single uncast
+# sum(BIGINT) -> HUGEINT/INT128 column whose values were equal but
+# whose typed hash was not. Every oracle's result schema must stay
+# inside this set; the guard turns the next uncast integer sum() into
+# a local failure instead of a red round. (Empirical sweep at the
+# guard's birth: the 153 oracles emit only BIGINT/DOUBLE/VARCHAR/
+# INTEGER/BOOLEAN; the rest of the set is the compare's known-safe
+# headroom -- DECIMAL capped at precision 18 because DuckDB stores
+# wider decimals as INT128.)
+ALLOWED_ORACLE_TYPE = re.compile(
+    r"^(BOOLEAN|TINYINT|SMALLINT|INTEGER|BIGINT|FLOAT|DOUBLE|VARCHAR|DATE"
+    r"|TIMESTAMP( WITH TIME ZONE)?|DECIMAL\(([1-9]|1[0-8]),\s*\d+\))$")
+
+
+def oracle_type_violations(con, sql):
+    """Column names whose DuckDB result type is outside the contract."""
+    rel = con.sql(sql)
+    return [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+            if not ALLOWED_ORACLE_TYPE.match(str(t))]
 
 
 def norm(v):
@@ -72,6 +96,12 @@ def main():
             n_fail += 0 if got_rows else 1
             continue
         try:
+            bad_types = oracle_type_violations(con, oracle[name])
+            if bad_types:
+                print(f"FAIL {name}: oracle result type outside contract "
+                      f"(driver's typed hash diverges on these): {bad_types}")
+                n_fail += 1
+                continue
             exp = con.sql(oracle[name])
             exp_cols = sorted(exp.columns)
             exp_rows = sorted(
