@@ -2,11 +2,19 @@
 """Local replay of the driver's correctness gate.
 
 Usage: python3 tools/verify_local.py [sf_dir] [out_dir] [--skip-spark]
+           [--oracle-timeout SEC]
 
 1. sbt "runMain graft.Verify <sf_dir> <out_dir>"  (unless --skip-spark)
 2. For each query result parquet in <out_dir>, run the matching oracle
    SQL from oracle_sql.json in DuckDB (views over the sf parquet) and
    compare: columns sorted by name, rows sorted, values stringified.
+
+--oracle-timeout N interrupts any single oracle that runs longer than
+N seconds and reports it as TIMEOUT (counted separately, non-fatal):
+some QC oracles are deliberately quadratic ground truths that are
+tractable at the gate's sf0.01 but not at a 100x replay sf — a scale
+replay wants them skipped loudly, not hung. Default: no timeout (the
+sf0.01 gate must check every oracle).
 """
 import json
 import re
@@ -52,10 +60,29 @@ def norm(v):
     return str(v)
 
 
+def run_with_timeout(con, seconds, fn):
+    """Run fn(); interrupt the DuckDB connection after `seconds`."""
+    if not seconds:
+        return fn()
+    import threading
+    timer = threading.Timer(seconds, con.interrupt)
+    timer.start()
+    try:
+        return fn()
+    finally:
+        timer.cancel()
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
+    oracle_timeout = 0.0
+    for i, a in enumerate(sys.argv):
+        if a == "--oracle-timeout":
+            oracle_timeout = float(sys.argv[i + 1])
+        elif a.startswith("--oracle-timeout="):
+            oracle_timeout = float(a.split("=", 1)[1])
     if "--skip-spark" not in sys.argv:
         # clean the out dir: a stale result parquet from a previous run
         # would mask a query that now throws inside Verify
@@ -76,7 +103,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
         res_glob = f"{out_dir}/{name}/*.parquet"
         try:
@@ -104,11 +131,21 @@ def main():
                 continue
             exp = con.sql(oracle[name])
             exp_cols = sorted(exp.columns)
-            exp_rows = sorted(
+            exp_rows = run_with_timeout(con, oracle_timeout, lambda: sorted(
                 tuple(norm(v) for v in row)
                 for row in con.sql(
-                    f"SELECT {','.join(exp_cols)} FROM ({oracle[name]})").fetchall())
+                    f"SELECT {','.join(exp_cols)} FROM ({oracle[name]})").fetchall()))
+        except duckdb.InterruptException:
+            print(f"TIMEOUT   {name}: oracle exceeded {oracle_timeout:g}s "
+                  f"(quadratic ground truth at replay scale?) — not counted as fail")
+            n_timeout += 1
+            continue
         except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT   {name}: oracle exceeded {oracle_timeout:g}s "
+                      f"(quadratic ground truth at replay scale?) — not counted as fail")
+                n_timeout += 1
+                continue
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
@@ -128,7 +165,8 @@ def main():
     for name in sorted(set(oracle) - have):
         print(f"FAIL {name}: no result written (query threw in Verify?)")
         n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    timeouts = f", {n_timeout} timeout" if n_timeout else ""
+    print(f"== {n_pass} pass, {n_fail} fail{timeouts} ==")
     sys.exit(1 if n_fail else 0)
 
 
