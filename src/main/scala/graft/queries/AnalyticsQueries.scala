@@ -1367,9 +1367,18 @@ object AnalyticsQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
           (dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))).as("rev"))
+      // rev is the FINAL sort key because (shipdate, orderkey,
+      // linenumber) is not total on this data — the generator emits
+      // rows identical in all three but differing in price/discount
+      // (84 such groups at sf0.1), and a running sum under a
+      // non-total ROWS-frame order is engine-order-dependent at the
+      // tied rows (found by the sf1 replay: one 9,515.97 rev gap).
+      // With rev last, remaining ties are full duplicates, so the
+      // cum_rev MULTISET is deterministic under any tie order.
       graft.operators.ScalableWindow.prefixSum(
           li, Nil,
-          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("rev")),
           col("rev"), "cum_before")
         .withColumn("cum_rev",
           round(col("cum_before") + col("rev"), 2).cast("double"))
@@ -2422,7 +2431,8 @@ object AnalyticsQueries {
     "q45_running_revenue" ->
       """SELECT l_orderkey, l_linenumber,
         |round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4)))
-        |  OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |          l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS cum_rev
         |FROM lineitem
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'

@@ -345,6 +345,7 @@ object SimilarityQueries {
          |), q AS (
          |  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b
          |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 7))::BIGINT % 100 < 20
+         |  ORDER BY substr(md5(vec_id::VARCHAR), 1, 13), vec_id LIMIT 512
          |), tsc AS (
          |  SELECT q_id, a.vec_id AS n_id,
          |  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * a.v[i]))
