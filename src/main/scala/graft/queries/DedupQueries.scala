@@ -181,8 +181,12 @@ object DedupQueries {
     }),
 
     // sub-quadratic LSH-bucketed variant (recall < 1 at thresholds
-    // near the bulk angle — exactness spec'd on clustered data in
-    // DedupSpec; no oracle by design, see NOTES_r03.md)
+    // near the bulk angle — recall spec'd on clustered data in
+    // DedupSpec). Oracle since r15: the planes are deterministic, so
+    // DuckDB replays the full bucket→probe→verify algorithm exactly
+    // (the s2/s9 pinned-planes pattern) — the driver hash now checks
+    // the LSH path's output, while the recall-vs-exact posture stays
+    // a spec concern.
     "d8_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
         .orderBy("id_a", "id_b")),
@@ -762,5 +766,43 @@ object DedupQueries {
         |    / (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)
-        |SELECT id_a, id_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.45 ORDER BY 1, 2""".stripMargin)
+        |SELECT id_a, id_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.45 ORDER BY 1, 2""".stripMargin,
+    // d8: full algorithm replay — the operator's deterministic
+    // splitmix-seeded hyperplanes render as a literal, so DuckDB
+    // recomputes the SAME 8-bit buckets, the same Hamming-1 probe
+    // set, and d5's exact cosine on the surviving candidate pairs
+    // (sign(dot)=sign(cosine), the s2/s9-proven replay form). This
+    // checks the LSH path's OUTPUT exactly; recall vs the exact d5
+    // pair set stays spec'd in DedupSpec (it is < 1 by design).
+    "d8_embedding_lsh" -> {
+      def bit(p: Int): String =
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[${p + 1}][i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+      val probes = (Seq("bucket") ++ (0 until 8).map(i => s"xor(bucket, ${1 << i})"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), w AS (
+         |  SELECT $d8PlanesSql AS pl
+         |), b AS (
+         |  SELECT vec_id, v,
+         |  ${(0 until 8).map(bit).mkString(" + ")} AS bucket
+         |  FROM e, w
+         |), pr AS (
+         |  SELECT vec_id AS id_a, v AS v_a, unnest($probes) AS bkt FROM b
+         |), p AS (
+         |  SELECT id_a, b.vec_id AS id_b,
+         |  list_sum(list_transform(generate_series(1, len(v_a)), i -> v_a[i] * b.v[i]))
+         |    / (sqrt(list_sum(list_transform(v_a, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS c
+         |  FROM pr JOIN b ON pr.bkt = b.bucket AND pr.id_a < b.vec_id
+         |)
+         |SELECT id_a, id_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.45 ORDER BY 1, 2""".stripMargin
+    })
+
+  /** d8's LSH hyperplanes as a DuckDB list literal — the operator's
+    * own deterministic planes (Similarity.hyperplanes(8, 64)), so the
+    * oracle replays identical bucket signatures.
+    */
+  private def d8PlanesSql: String =
+    graft.operators.Similarity.hyperplanes(8, 64)
+      .map(p => p.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 }
