@@ -37,11 +37,16 @@ object Headroom {
     }
 
     // warmup pass over both dirs (JIT, codegen cache, FS metadata),
-    // then the measured pass in the same order
+    // then the measured passes in the same order. MIN OF 2 measured
+    // passes per leg: the ratio column divides two single-row
+    // wall times, so one transient host stall on either leg fabricates
+    // a scale flag (the first r15 run showed q31's sf0.1 leg at 9×
+    // its isolated-replay time while its sf1 leg was clean — a
+    // min-of-1 artifact of a bursty box, not a plan property).
     queries.foreach { q => run(q, sf01); run(q, sf1) }
     val rows = queries.map { q =>
-      val a = run(q, sf01)
-      val b = run(q, sf1)
+      val a = math.min(run(q, sf01), run(q, sf01))
+      val b = math.min(run(q, sf1), run(q, sf1))
       // codec-bound rows also report their rendered-payload bytes at
       // each scale and the byte-normalized ratio: a 10×-data ratio
       // above 10 is only a scale problem if the PER-BYTE ratio is,
@@ -59,7 +64,7 @@ object Headroom {
       f"""{"query":"$q","sf01_sec":${"%.3f".format(a)},"sf1_sec":${"%.3f".format(b)},"ratio":${"%.2f".format(b / a)}$perByte}"""
     }
     val json =
-      s"""{"protocol":"warm second pass, one JVM, local[32]","sf01_dir":"$sf01","sf1_dir":"$sf1","rows":[${rows.mkString(",")}]}"""
+      s"""{"protocol":"warm min-of-2 passes, one JVM, local[32]","sf01_dir":"$sf01","sf1_dir":"$sf1","rows":[${rows.mkString(",")}]}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     println(s"HEADROOM_DONE $outFile")
     spark.stop()

@@ -29,7 +29,11 @@ WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
              # r13's new rows: codec-bound m-family + the two heaviest
              # new relational rows
              "m16_pixel_roundtrip", "m17_audio_dedup", "m18_scene_cuts",
-             "t37_dup_fraction", "d24_jaccard_calibration"]
+             "t37_dup_fraction", "d24_jaccard_calibration",
+             # r15 changes re-checked at 10x: q45 gained a 4th range-
+             # partition sort key (rev tiebreak), a13 a bigger theta
+             # nominal, d8 its first oracle (operator unchanged)
+             "q45_running_revenue", "a13_theta_diff", "d8_embedding_lsh"]
 
 
 def main():
