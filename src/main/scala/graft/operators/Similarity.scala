@@ -904,4 +904,130 @@ object Similarity {
       .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"), col("n_id"))
     topKOut(scored, k)
   }
+
+  // --- binary (sign-bit) quantization: s19 brute scan, s20 MIH ------------
+
+  /** Sign-bit signature of an embedding: bit j of word w is set iff
+    * `vec[w*wordBits + j] > 0`. Binary quantization is the most
+    * aggressive embedding compression that still ranks (1 bit/dim —
+    * 32× smaller than float32; Hamming distance approximates angular
+    * distance, Charikar 2002 with the identity basis), and the only
+    * one whose SEARCH is integer-exact end-to-end: given the
+    * signatures, every downstream number (band values, Hamming
+    * distances, ranks) is exactly replayable by the DuckDB oracle —
+    * no fp surface anywhere, unlike the cosine-kernel family.
+    *
+    * 32 bits per 64-bit word, not 64: the oracle replays the packing
+    * with `1::BIGINT << j` shifts, and DuckDB raises on a 63-bit
+    * shift; half-full words are a constant factor on an already
+    * 32×-compressed representation, and both engines agree on every
+    * word value (non-negative, no sign-bit games). The whole packer
+    * unrolls to literal shifts/adds — one whole-stage-codegen'd
+    * projection, no higher-order functions on the hot path.
+    */
+  private[graft] def signSig(vec: Column, dim: Int, wordBits: Int = 32): Column = {
+    require(wordBits >= 1 && wordBits < 64, s"wordBits=$wordBits must leave BIGINT shifts non-negative")
+    require(dim % wordBits == 0, s"dim=$dim must be a multiple of wordBits=$wordBits")
+    array((0 until dim / wordBits).map { w =>
+      (0 until wordBits).map { j =>
+        when(element_at(vec, w * wordBits + j + 1) > 0f, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two signatures: popcount(xor) summed
+    * across words — codegen'd `bit_count`, no UDF. */
+  private[graft] def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** s19: exact top-k under Hamming distance on sign signatures — the
+    * brute-force baseline of the binary-quantization family (s13/s4
+    * compress the SCORES; this compresses the VECTORS to 1 bit/dim).
+    * Same shape as [[bruteKnn]]: queries broadcast, one codegen'd
+    * integer kernel per (query, vector) pair, graft_topk bounded heap
+    * (ties broken by ascending neighbor id — deterministic under any
+    * partitioning). At 100 TB this is the scan you run when you CAN'T
+    * afford float vectors in memory: 64-dim floats are 256 B/row,
+    * the signature is 16 B, and the kernel is two xor+popcounts.
+    */
+  def hammingKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, dim: Int = 64): DataFrame = {
+    val data = corpus.select(col(idCol).as("n_id"), signSig(col(vecCol), dim).as("n_sig"))
+    val q = queries.select(col("q_id"), signSig(col("q_vec"), dim).as("q_sig"))
+    hammingTopK(
+      data.crossJoin(broadcast(q)).where(col("n_id") =!= col("q_id")), k)
+  }
+
+  /** Multi-index Hamming kNN (Norouzi, Punjani & Fleet 2012): split
+    * the signature into `nBands` disjoint bit-bands; a corpus vector
+    * is a CANDIDATE for a query iff at least one band matches
+    * exactly, then candidates re-rank under exact Hamming distance.
+    * Pigeonhole guarantee: any neighbor within Hamming radius
+    * `nBands - 1` differs in ≤ nBands-1 bits, so some band is
+    * untouched and the neighbor is ALWAYS retrieved with its exact
+    * distance (spec-pinned with a planted neighbor); farther
+    * neighbors are best-effort — recall@k vs [[hammingKnn]] is the
+    * QC number, like s9 for the cosine family.
+    *
+    * Scale shape: the corpus pays one scan (project signature + band
+    * values, explode to nBands rows); the 8·|Q| query bands broadcast,
+    * so the equality join prunes map-side — only matching buckets'
+    * postings survive, cost ∝ posting-list mass, not N·|Q|. The
+    * distinct + rerank run on the candidate relation. In a serving
+    * deployment the exploded (band, value → id) relation IS the MIH
+    * index: build once, persist via the s11 manifest-lake path, and
+    * each query batch touches ~nBands·|Q| buckets of it.
+    */
+  def mihKnn(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, dim: Int = 64, bandBits: Int = 8): DataFrame = {
+    val wordBits = 32
+    require(wordBits % bandBits == 0, s"bandBits=$bandBits must divide wordBits=$wordBits")
+    val nBands = dim / bandBits
+    val mask = (1L << bandBits) - 1
+    def bandVals(sig: Column): Column =
+      array((0 until nBands).map { b =>
+        val w = (b * bandBits) / wordBits
+        val sh = (b * bandBits) % wordBits
+        shiftright(element_at(sig, w + 1), sh).bitwiseAND(lit(mask))
+      }: _*)
+    val data = corpus
+      .select(col(idCol).as("n_id"), signSig(col(vecCol), dim).as("n_sig"))
+      .select(col("n_id"), col("n_sig"),
+        posexplode(bandVals(col("n_sig"))).as(Seq("band", "bv")))
+    val q = queries
+      .select(col("q_id"), signSig(col("q_vec"), dim).as("q_sig"))
+      .select(col("q_id"), col("q_sig"),
+        posexplode(bandVals(col("q_sig"))).as(Seq("qband", "qbv")))
+    val cands = data
+      .join(broadcast(q),
+        col("band") === col("qband") && col("bv") === col("qbv") &&
+          col("n_id") =!= col("q_id"))
+      .select("q_id", "q_sig", "n_id", "n_sig")
+      .distinct() // union over bands: one candidate row per (query, vector)
+    hammingTopK(cands, k)
+  }
+
+  /** Shared rerank tail of the Hamming family: exact distance, top-k
+    * via the bounded heap on the NEGATED distance (the heap keeps
+    * score-desc, id-asc — integer distances negate losslessly in the
+    * double score slot). Output: (q_id, rank, neighbor_id, hamming),
+    * all BIGINT — hash-stable by construction. */
+  private def hammingTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.select(
+      col("q_id"),
+      (-hammingDist(col("q_sig"), col("n_sig"))).cast("double").as("neg_hd"),
+      col("n_id"))
+    scored.groupBy("q_id")
+      .agg(topk(col("neg_hd"), col("n_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(
+        col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("neighbor_id"),
+        (-col("e.score")).cast("long").as("hamming"))
+  }
 }

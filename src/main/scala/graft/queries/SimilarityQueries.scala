@@ -105,6 +105,29 @@ object SimilarityQueries {
         k = 5, samplePct = 20,
         maxQueries = 512)), // absolute cap: truth leg stays linear in N
 
+    // binary (sign-bit) quantization baseline: exact top-k under
+    // Hamming distance over 1-bit/dim signatures — the 32×-compressed
+    // scan you run when float vectors don't fit; unlike the cosine
+    // family the WHOLE search is integer-exact, so the DuckDB oracle
+    // hash-checks the packing, the distances, and the ranks.
+    "s19_knn_hamming" -> ((s, dir) =>
+      Similarity.hammingKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .orderBy("q_id", "rank")),
+
+    // multi-index Hamming (Norouzi et al. 2012) — s19's sub-linear
+    // serving path: 8×8-bit band buckets prune the corpus to vectors
+    // sharing ≥1 band with the query, exact-Hamming rerank on the
+    // survivors. Deterministic bit slicing → the oracle replays the
+    // bands, the candidate union, and the rerank exactly; the
+    // pigeonhole exactness bound (radius ≤ nBands-1) is spec-pinned.
+    "s20_knn_mih" -> ((s, dir) =>
+      Similarity.mihKnn(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)
+        .orderBy("q_id", "rank")),
+
     // IVF-lite ANN: inverted lists by coarse centroid, nprobe probing.
     "s3_knn_ivf" -> ((s, dir) =>
       Similarity.ivfKnn(
@@ -453,6 +476,52 @@ object SimilarityQueries {
         |)
         |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // the sign-bit family replays end-to-end in integers: the packer
+    // (32 bits/word so BIGINT shifts never overflow), xor+popcount
+    // distances, band values, and ranks — no fp surface anywhere.
+    "s19_knn_hamming" ->
+      """WITH sig AS (
+        |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+        |    list_sum(list_transform(generate_series(1, 32), j ->
+        |      CASE WHEN embedding[w*32 + j] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))) AS s
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, s AS qs FROM sig WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT q_id, a.vec_id AS n_id,
+        |    (bit_count(xor(a.s[1], qs[1])) + bit_count(xor(a.s[2], qs[2])))::BIGINT AS hd
+        |  FROM sig a, q WHERE a.vec_id <> q_id
+        |), r AS (
+        |  SELECT q_id, n_id, hd, row_number() OVER (PARTITION BY q_id ORDER BY hd, n_id) AS rank FROM sc
+        |)
+        |SELECT q_id, rank::BIGINT AS rank, n_id AS neighbor_id, hd AS hamming
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "s20_knn_mih" ->
+      """WITH sig AS (
+        |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+        |    list_sum(list_transform(generate_series(1, 32), j ->
+        |      CASE WHEN embedding[w*32 + j] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))) AS s
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, s AS qs FROM sig WHERE vec_id < 5
+        |), cb AS (
+        |  SELECT vec_id, s, t.b, ((s[(t.b*8)//32 + 1] >> ((t.b*8)%32)) & 255)::BIGINT AS bv
+        |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) t
+        |), qb AS (
+        |  SELECT q_id, qs, t.b, ((qs[(t.b*8)//32 + 1] >> ((t.b*8)%32)) & 255)::BIGINT AS bv
+        |  FROM q, (SELECT unnest(generate_series(0, 7)) AS b) t
+        |), cand AS (
+        |  SELECT DISTINCT q_id, qs, vec_id AS n_id, s AS ns
+        |  FROM cb JOIN qb ON cb.b = qb.b AND cb.bv = qb.bv AND cb.vec_id <> qb.q_id
+        |), r AS (
+        |  SELECT q_id, n_id,
+        |    (bit_count(xor(ns[1], qs[1])) + bit_count(xor(ns[2], qs[2])))::BIGINT AS hd
+        |  FROM cand
+        |), rk AS (
+        |  SELECT q_id, n_id, hd, row_number() OVER (PARTITION BY q_id ORDER BY hd, n_id) AS rank FROM r
+        |)
+        |SELECT q_id, rank::BIGINT AS rank, n_id AS neighbor_id, hd AS hamming
+        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "s1_knn_brute" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

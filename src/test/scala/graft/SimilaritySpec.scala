@@ -462,4 +462,77 @@ class SimilaritySpec extends SparkSpec {
     val ranks = out.where(col("q_id") === 0).select("rank").as[Long].collect().sorted
     assert(ranks.toSeq === (1L to 10L))
   }
+
+  // --- s19/s20: binary sign-bit quantization -----------------------------
+
+  /** In-memory reference of the sign packer: 32 bits per word. */
+  private def refSig(v: Seq[Float]): Array[Long] =
+    Array.tabulate(v.length / 32) { w =>
+      (0 until 32).foldLeft(0L)((acc, j) =>
+        if (v(w * 32 + j) > 0) acc | (1L << j) else acc)
+    }
+
+  private def refHd(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+
+  test("s19: brute Hamming kNN matches an in-memory reference exactly (packing, distances, ranks, ties)") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val sigs = vecs.map { case (id, v) => id -> refSig(v) }.toMap
+    val expect = vecs.filter(_._1 < 5).flatMap { case (qid, _) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, _) => (refHd(sigs(qid), sigs(nid)), nid) }
+        .sorted.take(10).zipWithIndex
+        .map { case ((hd, nid), i) => (qid, (i + 1).toLong, nid, hd) }
+    }.toSet
+    val got = Similarity.hammingKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "rank", "neighbor_id", "hamming")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("s20: MIH retrieves every neighbor inside the pigeonhole radius at its exact distance; all-band-diff vectors never surface") {
+    val base = Array.fill(64)(1.0f)
+    def flip(idxs: Seq[Int]): Seq[Float] = {
+      val a = base.clone(); idxs.foreach(i => a(i) = -1.0f); a.toSeq
+    }
+    // 8 bands of 8 bits: any vector within Hamming radius 7 leaves
+    // some band untouched, so MIH must always retrieve it (Norouzi
+    // et al. 2012's exactness bound); a vector flipped once in EVERY
+    // band shares no band and must never become a candidate.
+    val corpus = Seq(
+      0L   -> base.toSeq,                                  // the query itself (self-excluded)
+      100L -> flip(Seq(3)),                                // hd 1
+      101L -> flip(Seq(0, 9, 17, 33, 40, 55, 63)),         // hd 7, 7 distinct bands touched
+      102L -> flip(0 until 64 by 8),                       // hd 8, one flip in every band
+      103L -> flip(Seq(1, 2))                              // hd 2
+    ).toDF("vec_id", "embedding")
+    val q = Seq(0L -> base.toSeq).toDF("q_id", "q_vec")
+    val got = Similarity.mihKnn(corpus, "embedding", "vec_id", q, k = 10)
+      .select("neighbor_id", "hamming").as[(Long, Long)].collect().toMap
+    assert(got.get(100L) === Some(1L))
+    assert(got.get(101L) === Some(7L))
+    assert(got.get(103L) === Some(2L))
+    assert(!got.contains(102L), "a vector differing in every band must not be a candidate")
+    assert(!got.contains(0L), "self-match must be excluded")
+  }
+
+  test("s20: real-corpus candidates carry exact distances, share a band with the query, and survive repartitioning") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val sigs = vecs.map { case (id, v) => id -> refSig(v) }.toMap
+    def bands(s: Array[Long]): Set[(Int, Long)] =
+      (0 until 8).map(b => b -> ((s((b * 8) / 32) >> ((b * 8) % 32)) & 255L)).toSet
+    val mih = Similarity.mihKnn(emb, "embedding", "vec_id", queries, 10)
+      .select("q_id", "neighbor_id", "hamming").as[(Long, Long, Long)].collect()
+    assert(mih.nonEmpty)
+    mih.foreach { case (qid, nid, hd) =>
+      assert(refHd(sigs(qid), sigs(nid)) === hd, s"distance for ($qid,$nid)")
+      assert((bands(sigs(qid)) & bands(sigs(nid))).nonEmpty, s"($qid,$nid) shares no band")
+    }
+    // band pruning really prunes: candidates are a small corpus fraction
+    assert(mih.length < vecs.length, "MIH returned more pairs than a full scan would")
+    // deterministic under any input partitioning
+    val again = Similarity.mihKnn(emb.repartition(7), "embedding", "vec_id", queries, 10)
+      .select("q_id", "neighbor_id", "hamming").as[(Long, Long, Long)].collect()
+    assert(again.toSet === mih.toSet)
+  }
 }
