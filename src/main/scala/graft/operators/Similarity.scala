@@ -984,32 +984,70 @@ object Similarity {
     */
   def mihKnn(
       corpus: DataFrame, vecCol: String, idCol: String,
-      queries: DataFrame, k: Int, dim: Int = 64, bandBits: Int = 8): DataFrame = {
-    val wordBits = 32
-    require(wordBits % bandBits == 0, s"bandBits=$bandBits must divide wordBits=$wordBits")
-    val nBands = dim / bandBits
-    val mask = (1L << bandBits) - 1
-    def bandVals(sig: Column): Column =
-      array((0 until nBands).map { b =>
-        val w = (b * bandBits) / wordBits
-        val sh = (b * bandBits) % wordBits
-        shiftright(element_at(sig, w + 1), sh).bitwiseAND(lit(mask))
-      }: _*)
-    val data = corpus
+      queries: DataFrame, k: Int, dim: Int = 64, bandBits: Int = 8): DataFrame =
+    mihKnnWith(mihIndexBuild(corpus, vecCol, idCol, dim, bandBits),
+      queries, k, dim, bandBits)
+
+  /** The banded posting relation `(band, bv, n_id, n_sig)` — s20's
+    * index: one corpus scan projects the signature, explodes its
+    * `dim/bandBits` band values, and carries the signature alongside
+    * so serving needs no second corpus pass for the rerank. Persist
+    * with [[mihIndexSave]] (signatures are 16 B — ×nBands rows of
+    * longs, still ~128× smaller than replicating float vectors).
+    */
+  def mihIndexBuild(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      dim: Int = 64, bandBits: Int = 8): DataFrame =
+    corpus
       .select(col(idCol).as("n_id"), signSig(col(vecCol), dim).as("n_sig"))
       .select(col("n_id"), col("n_sig"),
-        posexplode(bandVals(col("n_sig"))).as(Seq("band", "bv")))
+        posexplode(bandVals(col("n_sig"), dim, bandBits)).as(Seq("band", "bv")))
+
+  /** Serve MIH kNN from a built (or loaded) band index: the nBands·|Q|
+    * query band rows broadcast into the posting relation — a map-side
+    * hash probe, so only matching buckets' postings survive the scan.
+    */
+  def mihKnnWith(
+      index: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, bandBits: Int = 8): DataFrame = {
     val q = queries
       .select(col("q_id"), signSig(col("q_vec"), dim).as("q_sig"))
       .select(col("q_id"), col("q_sig"),
-        posexplode(bandVals(col("q_sig"))).as(Seq("qband", "qbv")))
-    val cands = data
+        posexplode(bandVals(col("q_sig"), dim, bandBits)).as(Seq("qband", "qbv")))
+    val cands = index
       .join(broadcast(q),
         col("band") === col("qband") && col("bv") === col("qbv") &&
           col("n_id") =!= col("q_id"))
       .select("q_id", "q_sig", "n_id", "n_sig")
       .distinct() // union over bands: one candidate row per (query, vector)
     hammingTopK(cands, k)
+  }
+
+  /** Persist / reload the MIH band index through the same WAP
+    * manifest-lake path as the IVF index (s11): every prior snapshot
+    * stays replayable until vacuum, `version` pins a serving release.
+    */
+  def mihIndexSave(index: DataFrame, path: String): Int =
+    replaceSnapshot(index, s"$path/bands")
+
+  def mihIndexLoad(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    import graft.sources.ParquetLake
+    ParquetLake.readManifested(spark, s"$path/bands", version)
+  }
+
+  /** Band values of a signature: disjoint `bandBits`-bit slices of the
+    * flattened bit string, each a literal shift+mask (codegen'd). */
+  private def bandVals(sig: Column, dim: Int, bandBits: Int): Column = {
+    val wordBits = 32
+    require(wordBits % bandBits == 0, s"bandBits=$bandBits must divide wordBits=$wordBits")
+    val mask = (1L << bandBits) - 1
+    array((0 until dim / bandBits).map { b =>
+      val w = (b * bandBits) / wordBits
+      val sh = (b * bandBits) % wordBits
+      shiftright(element_at(sig, w + 1), sh).bitwiseAND(lit(mask))
+    }: _*)
   }
 
   /** Shared rerank tail of the Hamming family: exact distance, top-k

@@ -659,6 +659,28 @@ object ParquetLake {
     * NEW columns are additive evolution, which must be asked for
     * (`allowEvolution = true`, read back via mergeSchema — lk17).
     */
+  /** Nullability-insensitive view of a type for the gate's compare:
+    * Spark's parquet reader reports array/map/struct element
+    * nullability as `true` regardless of how the writer's in-memory
+    * schema had it (an `array(lit…)` projection is containsNull =
+    * false, its own read-back is containsNull = true), so strict
+    * DataType equality would reject a staged batch against the
+    * snapshot IT ITSELF wrote. Only the container/element TYPES can
+    * poison mixed-file reads; nullability flips cannot.
+    */
+  private def nullNormalized(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => ArrayType(nullNormalized(et), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(nullNormalized(k), nullNormalized(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = nullNormalized(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   private def schemaGate(
       spark: SparkSession, path: String, listing: Option[Seq[String]],
       df: DataFrame, allowEvolution: Boolean): Unit = {
@@ -673,7 +695,7 @@ object ParquetLake {
             s"stageAppend schema violation: column '${f.name}' of the snapshot " +
               s"is missing from the staged batch (files missing columns make " +
               s"reads sample-dependent); supply it, null-filled if needed")
-          case Some(in) if in.dataType != f.dataType =>
+          case Some(in) if nullNormalized(in.dataType) != nullNormalized(f.dataType) =>
             throw new IllegalArgumentException(
               s"stageAppend schema violation: column '${f.name}' is " +
                 s"${f.dataType.simpleString} in the snapshot but " +

@@ -451,4 +451,25 @@ class PlanAssertSpec extends SparkSpec {
       assert(g90 === e90, s"$et p90")
     }
   }
+
+  test("s19: Hamming scan broadcasts the queries and cuts with the bounded heap — no Window, no score sort") {
+    val p = plan("s19_knn_hamming")
+    // brute scan shape: corpus never shuffles before the kernel — the
+    // tiny query side broadcasts into a nested-loop pass (s1's shape)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("s20: MIH candidates come from a broadcast HASH join on band keys — never a cartesian/BNLJ") {
+    val p = plan("s20_knn_mih")
+    // the whole point of the band index: candidate generation is an
+    // EQUALITY join the planner can hash — if the band keys ever fall
+    // out of the join condition this degrades to a nested loop scan
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -535,4 +535,25 @@ class SimilaritySpec extends SparkSpec {
       .select("q_id", "neighbor_id", "hamming").as[(Long, Long, Long)].collect()
     assert(again.toSet === mih.toSet)
   }
+
+  test("s20: persisted MIH band index round-trips and serves bit-identical results; old releases stay pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mih_idx").toString
+    val fresh = Similarity.mihIndexBuild(emb, "embedding", "vec_id")
+    assert(Similarity.mihIndexSave(fresh, dir) === 1)
+    def run(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.mihKnnWith(ix, queries, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+    val servedFresh = run(fresh)
+    assert(run(Similarity.mihIndexLoad(spark, dir)) === servedFresh)
+    // ≡ the one-shot composition (integer pipeline: exact, not just close)
+    assert(Similarity.mihKnn(emb, "embedding", "vec_id", queries, 10)
+      .collect().map(_.toString).sorted.toSeq === servedFresh)
+    // re-index = a new atomic snapshot; version 1 stays replayable
+    assert(Similarity.mihIndexSave(
+      Similarity.mihIndexBuild(emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id"),
+      dir) === 2)
+    assert(run(Similarity.mihIndexLoad(spark, dir, Some(1))) === servedFresh)
+    assert(Similarity.mihIndexLoad(spark, dir).select("n_id").distinct().count()
+      === emb.count() / 2)
+  }
 }
