@@ -1037,6 +1037,100 @@ object Similarity {
     ParquetLake.readManifested(spark, s"$path/bands", version)
   }
 
+  // --- lk47/st43: MIH-gated embedding ingest ------------------------------
+
+  /** lk47: seed the embedding near-dup index — the corpus's MIH band
+    * relation ([[mihIndexBuild]]: 16 B signature + band values per
+    * vector, floats never stored) as a manifest lake table. The
+    * embedding-grain member of the index-gated ingest family (lk41
+    * doc fingerprints, lk42 text bands, lk43 CDC chunks, lk44 lines,
+    * lk46 frames): admission checks cost the increment's packing +
+    * one band equi-join, never a corpus scan.
+    */
+  def embedIndexInit(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpus: DataFrame, vecCol: String, idCol: String,
+      dim: Int = 64, bandBits: Int = 8): Int = {
+    mihIndexBuild(corpus, vecCol, idCol, dim, bandBits)
+      .write.mode("errorifexists").parquet(indexPath)
+    graft.sources.ParquetLake.snapshotManifest(spark, indexPath)
+  }
+
+  /** Version fields follow Dedup.IngestReport's 0-on-no-commit rule. */
+  final case class EmbedIngestReport(
+      admitted: Long, rejectedCorpusNear: Long, rejectedIntraNear: Long,
+      dataVersion: Int, indexVersion: Int)
+
+  /** Embedding near-dup gated ingest against the persisted MIH index —
+    * and unlike every other near-dup gate in the family, this one is
+    * EXACT, not approximate: `maxHamming ≤ nBands − 1` is required,
+    * so by pigeonhole any increment vector within the radius of an
+    * indexed (or increment) vector is GUARANTEED a band collision —
+    * the gate can never admit a true near-duplicate, and the exact
+    * xor+popcount cut never rejects a far one. Cost: increment
+    * packing + one band equi-join against the index + integer
+    * distance on the collision pairs (candidate-sized).
+    *
+    * Intra-increment near-dup groups keep the min-id member
+    * (connected components over the verified pairs, d7's semantics);
+    * rejection counts are disjoint with corpus-near taking priority,
+    * so admitted + rejectedCorpusNear + rejectedIntraNear =
+    * |increment|. Commit order and replay semantics match lk41/lk42
+    * (data first; a fully-landed batch replays to zero admits — every
+    * replayed vector is Hamming-0 to its indexed self), as does the
+    * SINGLE-INGEST-WRITER contract documented on Dedup.indexedIngest.
+    */
+  def embedGatedIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, indexPath: String,
+      increment: DataFrame, vecCol: String, idCol: String,
+      maxHamming: Int = 7, dim: Int = 64, bandBits: Int = 8): EmbedIngestReport = {
+    import graft.sources.ParquetLake
+    val nBands = dim / bandBits
+    require(maxHamming <= nBands - 1,
+      s"maxHamming=$maxHamming > nBands-1=${nBands - 1}: the pigeonhole " +
+        "guarantee (no missed near-dup) needs radius ≤ bands − 1 — raise " +
+        "the band count (smaller bandBits) for a larger exact radius")
+    val inc = increment.localCheckpoint(eager = false)
+    val incIx = mihIndexBuild(inc, vecCol, idCol, dim, bandBits)
+      .localCheckpoint(eager = false) // feeds both gate joins and the index append
+    val corpusNearIds = incIx.toDF("id_new", "sig_new", "band", "bv")
+      .join(ParquetLake.readManifested(spark, indexPath)
+        .toDF("id_old", "sig_old", "band", "bv"), Seq("band", "bv"))
+      .select("id_new", "sig_new", "id_old", "sig_old").distinct()
+      .where(hammingDist(col("sig_new"), col("sig_old")) <= maxHamming)
+      .select(col("id_new")).distinct()
+      .localCheckpoint(eager = false)
+    val intraEdges = incIx.toDF("id_a", "sig_a", "band", "bv")
+      .join(incIx.toDF("id_b", "sig_b", "band", "bv"), Seq("band", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "sig_a", "id_b", "sig_b").distinct()
+      .where(hammingDist(col("sig_a"), col("sig_b")) <= maxHamming)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val intraLosers = ConnectedComponents.run(intraEdges)
+      .where(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    val admitted = inc
+      .join(corpusNearIds.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
+      .join(intraLosers, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
+    val nAdmit = admitted.count()
+    val nCorpusNear = corpusNearIds.count()
+    val nIntra = inc.count() - nAdmit - nCorpusNear
+    val stage = s"embedgate_${java.util.UUID.randomUUID().toString.take(8)}"
+    val (dataVersion, indexVersion) =
+      if (nAdmit == 0) (0, 0)
+      else {
+        ParquetLake.stageAppend(spark, dataPath, admitted, stage)
+        val dv = ParquetLake.publishStaged(spark, dataPath, stage)
+        ParquetLake.stageAppend(spark, indexPath,
+          incIx.join(admitted.select(col(idCol).as("n_id")), Seq("n_id"), "left_semi"),
+          stage)
+        (dv, ParquetLake.publishStaged(spark, indexPath, stage))
+      }
+    EmbedIngestReport(nAdmit, nCorpusNear, nIntra, dataVersion, indexVersion)
+  }
+
   /** Band values of a signature: disjoint `bandBits`-bit slices of the
     * flattened bit string, each a literal shift+mask (codegen'd). */
   private def bandVals(sig: Column, dim: Int, bandBits: Int): Column = {

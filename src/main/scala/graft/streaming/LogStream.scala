@@ -403,6 +403,34 @@ object LogStream {
       .outputMode("update")
       .start()
 
+  /** st43: continuous embedding near-dup gated ingest — lk47's
+    * MIH-band gate per micro-batch, the vector-grain member of this
+    * sink family (st35 doc fingerprints, st36 CDC chunks, st38 lines,
+    * st40 frames): arriving vectors within `maxHamming` sign-bits of
+    * an indexed (or earlier-in-batch) vector reject, admitted vectors
+    * publish to the data lake and their band rows to the index — so
+    * an embedding store stays near-dup-free AS it ingests, with
+    * lk47's exactness guarantee (pigeonhole: no true near-dup can
+    * slip past the band join). Replay/crash semantics inherit lk47's.
+    */
+  def startEmbedGateSink(
+      vecs: DataFrame, dataPath: String, indexPath: String,
+      vecCol: String, idCol: String, checkpoint: String,
+      maxHamming: Int = 7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Similarity.embedGatedIngest(
+            batch.sparkSession, dataPath, indexPath, batch, vecCol, idCol,
+            maxHamming)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   /** st38: continuous C4-style LINE scrubbing ingest — lk44's
     * sentence-grain gate per micro-batch, the scrubbing (not
     * rejecting) member of this sink family: each arriving document is

@@ -556,4 +556,53 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.mihIndexLoad(spark, dir).select("n_id").distinct().count()
       === emb.count() / 2)
   }
+
+  test("lk47: MIH-gated embedding ingest — exact radius gate (collide-but-far admits), intra min-id keeper, idempotent replay") {
+    import graft.sources.ParquetLake
+    val dataPath = java.nio.file.Files.createTempDirectory("graft_eg_data").toString + "/lake"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft_eg_idx").toString + "/index"
+    val base = Array.fill(64)(1.0f)
+    def flip(idxs: Seq[Int]): Seq[Float] = {
+      val a = base.clone(); idxs.foreach(i => a(i) = -1.0f); a.toSeq
+    }
+    val neg = base.map(-_).toSeq
+    val corpus = Seq(1L -> base.toSeq, 2L -> neg).toDF("vec_id", "embedding")
+    corpus.write.parquet(dataPath)
+    ParquetLake.snapshotManifest(spark, dataPath)
+    assert(Similarity.embedIndexInit(spark, indexPath, corpus, "embedding", "vec_id") === 1)
+    // alternating pattern: Hamming 32 from both corpus vectors (far)
+    val w = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val w1 = { val a = w.toArray.clone(); a(3) = -a(3); a.toSeq } // hd 1 from w
+    val inc = Seq(
+      10L -> base.toSeq,                           // hd 0 from corpus 1 → corpus-near
+      11L -> flip(Seq(0, 9, 17, 33, 40, 55, 63)),  // hd 7 → corpus-near (pigeonhole radius)
+      12L -> flip(0 until 8),                      // hd 8, all flips in band 0: COLLIDES on
+                                                   //   bands 1–7 but the exact cut admits it
+      13L -> w,                                    // far from corpus; intra keeper (min id)
+      14L -> w1                                    // hd 1 from 13 → intra loser
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embedGatedIngest(
+      spark, dataPath, indexPath, inc, "embedding", "vec_id", maxHamming = 7)
+    // 11 is BOTH corpus-near (hd 7 from corpus 1) and intra-near (hd 7
+    // edge to 10): corpus-near takes priority, counts stay disjoint
+    assert(r.admitted === 2, r.toString)
+    assert(r.rejectedCorpusNear === 2, r.toString)
+    assert(r.rejectedIntraNear === 1, r.toString)
+    assert(r.dataVersion === 2 && r.indexVersion === 2, r.toString)
+    val lake = ParquetLake.readManifested(spark, dataPath)
+    assert(lake.select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 12L, 13L))
+    // the index carries exactly the lake's band rows (8 per vector)
+    assert(ParquetLake.readManifested(spark, indexPath).count() === 4 * 8)
+    // replay of the full batch: admitted rows are now Hamming-0 to
+    // their indexed selves — nothing lands, no versions move
+    val r2 = Similarity.embedGatedIngest(
+      spark, dataPath, indexPath, inc, "embedding", "vec_id", maxHamming = 7)
+    assert(r2.admitted === 0 && r2.dataVersion === 0 && r2.indexVersion === 0, r2.toString)
+    assert(ParquetLake.readManifested(spark, dataPath).count() === 4)
+    // radius wider than the pigeonhole bound is refused loudly
+    intercept[IllegalArgumentException] {
+      Similarity.embedGatedIngest(
+        spark, dataPath, indexPath, inc, "embedding", "vec_id", maxHamming = 8)
+    }
+  }
 }

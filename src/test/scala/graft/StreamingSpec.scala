@@ -1813,4 +1813,58 @@ class StreamingSpec extends SparkSpec {
   test("st3 (rocksdb): stateful sessionization under the RocksDB state store") {
     withRocksDb(st3Body("_rdb"))
   }
+
+  test("st43: continuous embedding-gated ingest — sign-space near-dups reject across micro-batches") {
+    import org.apache.spark.sql.SaveMode
+    import graft.operators.Similarity
+    import graft.sources.ParquetLake
+    val inDir = Files.createTempDirectory("graft_eg_in").toString
+    val dataPath = Files.createTempDirectory("graft_eg_sdata").toString + "/lake"
+    val indexPath = Files.createTempDirectory("graft_eg_sidx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_eg_ckpt").toString
+    // deterministic ±1 patterns with murmur-mixed independent sign
+    // bits (an LCG-style `(id·a + i·b) mod m` pattern makes sign
+    // distance ∝ id distance — every id pair here must be FAR):
+    // measured min pairwise distance across this test's 35 ids is 19,
+    // so distinct ids never gate and flip-≤3 copies always do
+    def vec(id: Long): Seq[Float] =
+      (0 until 64).map { i =>
+        var x = id * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+        x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+        if ((x & 1L) == 1L) 1.0f else -1.0f
+      }
+    def near(id: Long, flips: Int): Seq[Float] = {
+      val a = vec(id).toArray; (0 until flips).foreach(i => a(i) = -a(i)); a.toSeq
+    }
+    val corpus = (1L to 20L).map(k => k -> vec(k)).toDF("vec_id", "embedding")
+    corpus.write.parquet(dataPath)
+    ParquetLake.snapshotManifest(spark, dataPath)
+    Similarity.embedIndexInit(spark, indexPath, corpus, "embedding", "vec_id")
+
+    val fresh1 = (100L to 109L).map(k => k -> vec(k)).toDF("vec_id", "embedding")
+    val nearCorpus = Seq(900L -> near(5L, 3), 901L -> near(9L, 1)).toDF("vec_id", "embedding")
+    val fresh2 = (200L to 204L).map(k => k -> vec(k)).toDF("vec_id", "embedding")
+    val nearBatch1 = Seq(910L -> near(103L, 2), 911L -> near(107L, 3)).toDF("vec_id", "embedding")
+    fresh1.unionByName(nearCorpus).write.mode(SaveMode.Overwrite).parquet(inDir)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(inDir)
+    val q = LogStream.startEmbedGateSink(
+      stream, dataPath, indexPath, "embedding", "vec_id", ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2 carries near-copies of batch 1's admissions — the
+      // index batch 1 just extended must reject them
+      fresh2.unionByName(nearBatch1).write.mode(SaveMode.Append).parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val lake = ParquetLake.readManifested(spark, dataPath)
+    val ids = lake.select("vec_id").as[Long].collect().toSet
+    assert(ids === ((1L to 20L) ++ (100L to 109L) ++ (200L to 204L)).toSet)
+    // the index is exactly the lake's band rows, ready for the next batch
+    assert(ParquetLake.readManifested(spark, indexPath).count() === ids.size * 8)
+  }
 }
