@@ -160,12 +160,51 @@ object IngestGateBench {
             t
           }.min
           Cell("lk46_frame", n, initSec, p1, p2)
+        case "lk47_embed" =>
+          val (data, idx) = (tmp("eg_data"), tmp("eg_idx"))
+          val emb = graft.queries.table(spark, dir, "embeddings")
+            .select("vec_id", "embedding").localCheckpoint(eager = true)
+          val nVec = emb.count()
+          // 100 re-uploads of corpus vectors (new ids, Hamming 0 to
+          // their originals → reject) + 100 fresh murmur-mixed ±1
+          // patterns (sign bits iid uniform, so distance to ANY fixed
+          // signature is Binomial(64, ½) — far from everything → admit)
+          val reup = emb.orderBy("vec_id").limit(100)
+            .select((col("vec_id") + 8000000000L).as("vec_id"), col("embedding"))
+          val freshVecs = spark.range(100).map { i =>
+            val v = (0 until 64).map { j =>
+              var x = (9000000000L + i) * 0x9E3779B97F4A7C15L + j * 0xC2B2AE3D27D4EB4FL
+              x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+              if ((x & 1L) == 1L) 1.0f else -1.0f
+            }
+            (9000000000L + i, v)
+          }.toDF("vec_id", "embedding")
+          val vecIncrement = reup.unionByName(freshVecs).localCheckpoint(eager = true)
+          val (_, initSec) = time {
+            emb.write.parquet(data)
+            graft.sources.ParquetLake.snapshotManifest(spark, data)
+            graft.operators.Similarity.embedIndexInit(
+              spark, idx, emb, "embedding", "vec_id")
+          }
+          val (_, p1) = time {
+            graft.operators.Similarity.embedGatedIngest(
+              spark, data, idx, vecIncrement, "embedding", "vec_id")
+          }
+          val p2 = (1 to 3).map { _ =>
+            val (r2, t) = time {
+              graft.operators.Similarity.embedGatedIngest(
+                spark, data, idx, vecIncrement, "embedding", "vec_id")
+            }
+            require(r2.admitted == 0L, s"lk47 replay admitted ${r2.admitted}")
+            t
+          }.min
+          Cell("lk47_embed", nVec, initSec, p1, p2)
       }
     }
 
     // SPARK_GRAFT_GATES narrows the gate list for diagnosis
     val gates = sys.env.get("SPARK_GRAFT_GATES").map(_.split(',').toSeq)
-      .getOrElse(Seq("lk42_neardup", "lk43_chunk", "lk46_frame"))
+      .getOrElse(Seq("lk42_neardup", "lk43_chunk", "lk46_frame", "lk47_embed"))
     // JVM/codegen warm: full smallest-scale sweep, results discarded
     gates.foreach(g => runGate(g, dirs.head))
     BlockHygiene.freeBlocks(spark, gc = true)
@@ -185,7 +224,7 @@ object IngestGateBench {
       f"""{"gate":"${c.label}","corpus_docs":${c.nCorpus},"init_sec":${c.initSec}%.3f,""" +
         f""""pass1_sec":${c.pass1Sec}%.3f,"replay_sec":${c.replaySec}%.3f}"""
     }.mkString(
-      s"""{"protocol":"fixed 200-doc/100-clip increment vs 1x/10x/100x corpus; replay = min of 3 warm passes","cells":[""",
+      s"""{"protocol":"fixed 200-doc/100-clip/200-vector increment vs growing corpus (docs 1x/10x/100x, vectors 1x/4x/40x); replay = min of 3 warm passes","cells":[""",
       ",", "]}")
     Files.writeString(Paths.get(outFile), json + "\n")
     println(s"GATEBENCH_DONE $outFile")
