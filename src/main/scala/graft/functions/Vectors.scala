@@ -60,6 +60,16 @@ object VectorOps {
     while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
     dot
   }
+
+  /** Hamming distance between two bit signatures stored as long-word
+    * arrays: popcount(xor) summed across words. */
+  def hammingL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var hd = 0L
+    var i = 0
+    while (i < n) { hd += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    hd
+  }
 }
 
 /** Native Catalyst expression: dot product of two numeric arrays.
@@ -118,5 +128,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Native Catalyst expression: Hamming distance between two bit
+  * signatures (`array<bigint>` word layouts, e.g. [[graft.operators
+  * .Similarity.signSig]]'s sign packs) — popcount(xor) per word in a
+  * primitive loop. A `zip_with`+`aggregate` composition computes the
+  * same thing but higher-order functions don't participate in
+  * whole-stage codegen, which matters on the one kernel an s19-style
+  * scan evaluates N·|Q| times.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hamming"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.hammingL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.hammingL($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance =
     copy(left = l, right = r)
 }

@@ -43,6 +43,10 @@ package object functions {
   def dot(a: Column, b: Column): Column =
     ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Hamming distance of two bit-signature columns (array<bigint>). */
+  def hamming(a: Column, b: Column): Column =
+    ColumnShim.column(HammingDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** Deterministic hash shard in [0, k): md5-derived, so it is
     * engine-replayable (DuckDB: `('0x'||substr(md5(id),1,7))::BIGINT
     * % k`) and cluster-size invariant — unlike round-robin or rand(),

@@ -936,12 +936,14 @@ object Similarity {
     }: _*)
   }
 
-  /** Hamming distance between two signatures: popcount(xor) summed
-    * across words — codegen'd `bit_count`, no UDF. */
+  /** Hamming distance between two signatures: the native codegen'd
+    * [[graft.functions.HammingDistance]] expression (popcount(xor)
+    * per word in a primitive loop). Not a `zip_with`+`aggregate`
+    * composition: higher-order functions fall out of whole-stage
+    * codegen, and this is the one kernel the s19 scan evaluates
+    * N·|Q| times. */
   private[graft] def hammingDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), _ + _)
+    graft.functions.hamming(a, b)
 
   /** s19: exact top-k under Hamming distance on sign signatures — the
     * brute-force baseline of the binary-quantization family (s13/s4
