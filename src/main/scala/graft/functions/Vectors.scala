@@ -70,6 +70,36 @@ object VectorOps {
     while (i < n) { hd += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
     hd
   }
+
+  /** Sign-bit pack (float arrays): bit j of word w set iff
+    * `v[w*wordBits + j] > 0`; null elements contribute no bit. A
+    * trailing partial word pads with zero bits. */
+  def signPackF(v: ArrayData, wordBits: Int): ArrayData = {
+    val n = v.numElements()
+    val words = (n + wordBits - 1) / wordBits
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && v.getFloat(i) > 0f)
+        out(i / wordBits) |= 1L << (i % wordBits)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Sign-bit pack (double arrays) — see [[signPackF]]. */
+  def signPackD(v: ArrayData, wordBits: Int): ArrayData = {
+    val n = v.numElements()
+    val words = (n + wordBits - 1) / wordBits
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && v.getDouble(i) > 0d)
+        out(i / wordBits) |= 1L << (i % wordBits)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Native Catalyst expression: dot product of two numeric arrays.
@@ -152,4 +182,40 @@ case class HammingDistance(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance =
     copy(left = l, right = r)
+}
+
+/** Native Catalyst expression: sign-bit signature of a numeric array
+  * (bit j of word w set iff `v[w*wordBits + j] > 0`) — the packer
+  * behind [[graft.operators.Similarity.signSig]]. A literal-unrolled
+  * `when` chain computes the same thing inside codegen, but emits
+  * dim CASE branches per row; this is one primitive loop, one method
+  * call in the generated code. `wordBits ≤ 32` keeps every word
+  * non-negative so the DuckDB oracle replays the packing with
+  * non-overflowing BIGINT shifts.
+  */
+case class SignPack(child: Expression, wordBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(wordBits >= 1 && wordBits < 64, s"wordBits=$wordBits out of range")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_signpack"
+
+  private lazy val isFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorOps.signPackF(v, wordBits) else VectorOps.signPackD(v, wordBits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "signPackF" else "signPackD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.$m($c, $wordBits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
 }

@@ -47,6 +47,10 @@ package object functions {
   def hamming(a: Column, b: Column): Column =
     ColumnShim.column(HammingDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Sign-bit signature of a numeric array column (array<bigint> words). */
+  def signpack(v: Column, wordBits: Int): Column =
+    ColumnShim.column(SignPack(ColumnShim.expression(v), wordBits))
+
   /** Deterministic hash shard in [0, k): md5-derived, so it is
     * engine-replayable (DuckDB: `('0x'||substr(md5(id),1,7))::BIGINT
     * % k`) and cluster-size invariant — unlike round-robin or rand(),

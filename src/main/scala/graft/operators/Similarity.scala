@@ -921,19 +921,15 @@ object Similarity {
     * with `1::BIGINT << j` shifts, and DuckDB raises on a 63-bit
     * shift; half-full words are a constant factor on an already
     * 32×-compressed representation, and both engines agree on every
-    * word value (non-negative, no sign-bit games). The whole packer
-    * unrolls to literal shifts/adds — one whole-stage-codegen'd
-    * projection, no higher-order functions on the hot path.
+    * word value (non-negative, no sign-bit games). The packer is the
+    * native [[graft.functions.SignPack]] expression — one primitive
+    * loop inside whole-stage codegen, no higher-order functions and
+    * no dim-branch `when` chain on the hot path.
     */
   private[graft] def signSig(vec: Column, dim: Int, wordBits: Int = 32): Column = {
     require(wordBits >= 1 && wordBits < 64, s"wordBits=$wordBits must leave BIGINT shifts non-negative")
     require(dim % wordBits == 0, s"dim=$dim must be a multiple of wordBits=$wordBits")
-    array((0 until dim / wordBits).map { w =>
-      (0 until wordBits).map { j =>
-        when(element_at(vec, w * wordBits + j + 1) > 0f, lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    graft.functions.signpack(vec, wordBits) // native primitive loop, not a dim-branch when-chain
   }
 
   /** Hamming distance between two signatures: the native codegen'd
