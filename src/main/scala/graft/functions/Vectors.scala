@@ -62,20 +62,38 @@ object VectorOps {
   }
 
   /** Hamming distance between two bit signatures stored as long-word
-    * arrays: popcount(xor) summed across words. */
+    * arrays: popcount(xor) summed across words. Word counts must
+    * match: signatures packed at different dims (a stale index served
+    * against new-dim queries, say) would otherwise silently produce
+    * an understated distance over the common prefix — a correctness
+    * hazard for every radius/exactness guarantee built on top.
+    */
   def hammingL(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_hamming: signature word counts differ ($n vs ${b.numElements()}) — " +
+          "operands were packed at different dims")
     var hd = 0L
     var i = 0
     while (i < n) { hd += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
     hd
   }
 
+  private def checkPackDim(n: Int, expectDim: Int): Unit =
+    if (expectDim > 0 && n != expectDim)
+      throw new IllegalArgumentException(
+        s"graft_signpack: vector length $n != declared dim $expectDim — " +
+          "a dim/data mismatch would silently diverge from the band " +
+          "layout and any dim-hardcoded oracle replay")
+
   /** Sign-bit pack (float arrays): bit j of word w set iff
     * `v[w*wordBits + j] > 0`; null elements contribute no bit. A
-    * trailing partial word pads with zero bits. */
-  def signPackF(v: ArrayData, wordBits: Int): ArrayData = {
+    * trailing partial word pads with zero bits. `expectDim > 0`
+    * asserts the runtime vector length (0 = unchecked). */
+  def signPackF(v: ArrayData, wordBits: Int, expectDim: Int): ArrayData = {
     val n = v.numElements()
+    checkPackDim(n, expectDim)
     val words = (n + wordBits - 1) / wordBits
     val out = new Array[Long](words)
     var i = 0
@@ -88,8 +106,9 @@ object VectorOps {
   }
 
   /** Sign-bit pack (double arrays) — see [[signPackF]]. */
-  def signPackD(v: ArrayData, wordBits: Int): ArrayData = {
+  def signPackD(v: ArrayData, wordBits: Int, expectDim: Int): ArrayData = {
     val n = v.numElements()
+    checkPackDim(n, expectDim)
     val words = (n + wordBits - 1) / wordBits
     val out = new Array[Long](words)
     var i = 0
@@ -174,6 +193,21 @@ case class HammingDistance(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_hamming"
 
+  // reject non-signature operands at ANALYSIS time (upstream Catalyst
+  // convention): without this a mistyped child falls through to
+  // getLong on the wrong physical layout and misbehaves at execution
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> signatures, got ${l.sql} and ${r.sql}")
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.hammingL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -193,13 +227,28 @@ case class HammingDistance(left: Expression, right: Expression)
   * non-negative so the DuckDB oracle replays the packing with
   * non-overflowing BIGINT shifts.
   */
-case class SignPack(child: Expression, wordBits: Int)
+case class SignPack(child: Expression, wordBits: Int, expectDim: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(wordBits >= 1 && wordBits < 64, s"wordBits=$wordBits out of range")
 
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "graft_signpack"
+
+  // analysis-time input check: a non-float child (array<int>, say)
+  // would otherwise fall through isFloat to getDouble and misbehave
+  // at execution rather than being rejected up front
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double>, got ${t.sql}")
+    }
+  }
 
   private lazy val isFloat: Boolean = child.dataType match {
     case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
@@ -208,12 +257,13 @@ case class SignPack(child: Expression, wordBits: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (isFloat) VectorOps.signPackF(v, wordBits) else VectorOps.signPackD(v, wordBits)
+    if (isFloat) VectorOps.signPackF(v, wordBits, expectDim)
+    else VectorOps.signPackD(v, wordBits, expectDim)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = if (isFloat) "signPackF" else "signPackD"
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.$m($c, $wordBits)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.$m($c, $wordBits, $expectDim)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignPack =

@@ -47,9 +47,13 @@ package object functions {
   def hamming(a: Column, b: Column): Column =
     ColumnShim.column(HammingDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
 
-  /** Sign-bit signature of a numeric array column (array<bigint> words). */
-  def signpack(v: Column, wordBits: Int): Column =
-    ColumnShim.column(SignPack(ColumnShim.expression(v), wordBits))
+  /** Sign-bit signature of a numeric array column (array<bigint>
+    * words). `expectDim > 0` makes the packer assert the runtime
+    * vector length — a dim/data mismatch then fails loudly instead of
+    * silently diverging from the declared band layout (0 = unchecked).
+    */
+  def signpack(v: Column, wordBits: Int, expectDim: Int = 0): Column =
+    ColumnShim.column(SignPack(ColumnShim.expression(v), wordBits, expectDim))
 
   /** Deterministic hash shard in [0, k): md5-derived, so it is
     * engine-replayable (DuckDB: `('0x'||substr(md5(id),1,7))::BIGINT

@@ -929,7 +929,10 @@ object Similarity {
   private[graft] def signSig(vec: Column, dim: Int, wordBits: Int = 32): Column = {
     require(wordBits >= 1 && wordBits < 64, s"wordBits=$wordBits must leave BIGINT shifts non-negative")
     require(dim % wordBits == 0, s"dim=$dim must be a multiple of wordBits=$wordBits")
-    graft.functions.signpack(vec, wordBits) // native primitive loop, not a dim-branch when-chain
+    // expectDim = dim: the declared dim drives the band layout and any
+    // dim-hardcoded oracle replay, so a vector whose real length
+    // differs must fail loudly, not pack a divergent signature
+    graft.functions.signpack(vec, wordBits, expectDim = dim)
   }
 
   /** Hamming distance between two signatures: the native codegen'd
@@ -1064,8 +1067,14 @@ object Similarity {
     * EXACT, not approximate: `maxHamming ≤ nBands − 1` is required,
     * so by pigeonhole any increment vector within the radius of an
     * indexed (or increment) vector is GUARANTEED a band collision —
-    * the gate can never admit a true near-duplicate, and the exact
-    * xor+popcount cut never rejects a far one. Cost: increment
+    * against a fully-committed index under the single-writer contract
+    * the gate never admits a true near-duplicate, and the exact
+    * xor+popcount cut never rejects a far one. (The family's
+    * carve-outs apply as documented on Dedup.indexedIngest: a crash
+    * between the data publish and the index publish, or a second
+    * concurrent writer, can land a near-dup until repaired/replayed —
+    * the exactness claim is about the GATE, not those windows.)
+    * Cost: increment
     * packing + one band equi-join against the index + integer
     * distance on the collision pairs (candidate-sized).
     *
@@ -1092,15 +1101,20 @@ object Similarity {
     val inc = increment.localCheckpoint(eager = false)
     val incIx = mihIndexBuild(inc, vecCol, idCol, dim, bandBits)
       .localCheckpoint(eager = false) // feeds both gate joins and the index append
-    val corpusNearIds = incIx.toDF("id_new", "sig_new", "band", "bv")
-      .join(ParquetLake.readManifested(spark, indexPath)
-        .toDF("id_old", "sig_old", "band", "bv"), Seq("band", "bv"))
+    // rebind by NAME, not positional toDF: the loaded index's column
+    // order is a parquet artifact — a schema-evolved or reordered
+    // read-back must not silently swap id and signature
+    def rebind(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+      df.select(col("n_id").as(idAs), col("n_sig").as(sigAs), col("band"), col("bv"))
+    val corpusNearIds = rebind(incIx, "id_new", "sig_new")
+      .join(rebind(ParquetLake.readManifested(spark, indexPath), "id_old", "sig_old"),
+        Seq("band", "bv"))
       .select("id_new", "sig_new", "id_old", "sig_old").distinct()
       .where(hammingDist(col("sig_new"), col("sig_old")) <= maxHamming)
       .select(col("id_new")).distinct()
       .localCheckpoint(eager = false)
-    val intraEdges = incIx.toDF("id_a", "sig_a", "band", "bv")
-      .join(incIx.toDF("id_b", "sig_b", "band", "bv"), Seq("band", "bv"))
+    val intraEdges = rebind(incIx, "id_a", "sig_a")
+      .join(rebind(incIx, "id_b", "sig_b"), Seq("band", "bv"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "sig_a", "id_b", "sig_b").distinct()
       .where(hammingDist(col("sig_a"), col("sig_b")) <= maxHamming)

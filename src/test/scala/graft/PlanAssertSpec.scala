@@ -459,6 +459,14 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("graft_topk"), p)
     assert(!p.contains("Window"), p)
+    // NATIVE kernels: the sign packer and the xor+popcount distance
+    // must be the codegen'd expressions — a revert to the when-chain
+    // packer or the zip_with+aggregate Hamming (both HOF compositions
+    // that fall out of whole-stage codegen on the N·|Q| hot path)
+    // changes nothing functionally and everything at scale
+    assert(p.contains("graft_signpack"), p)
+    assert(p.contains("graft_hamming"), p)
+    assert(!p.contains("zip_with"), p)
   }
 
   test("s20: MIH candidates come from a broadcast HASH join on band keys — never a cartesian/BNLJ") {
@@ -471,5 +479,9 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("graft_topk"), p)
     assert(!p.contains("Window"), p)
+    // native sign-bit kernels pinned (see s19's assert for why)
+    assert(p.contains("graft_signpack"), p)
+    assert(p.contains("graft_hamming"), p)
+    assert(!p.contains("zip_with"), p)
   }
 }

@@ -605,4 +605,36 @@ class SimilaritySpec extends SparkSpec {
         spark, dataPath, indexPath, inc, "embedding", "vec_id", maxHamming = 8)
     }
   }
+
+  test("sign-bit kernel guards: dim/type mismatches fail loudly instead of diverging silently") {
+    import org.apache.spark.sql.functions.{array, lit, typedLit}
+    def rootMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+
+    // word-count mismatch: signatures packed at different dims must
+    // throw, never understate the distance over the common prefix
+    val mixed = spark.range(1).select(
+      graft.functions.hamming(
+        array(lit(1L)), array(lit(1L), lit(2L))).as("hd"))
+    val e1 = intercept[Throwable](mixed.collect())
+    assert(rootMessages(e1).contains("word counts differ"), rootMessages(e1))
+
+    // declared dim vs runtime length: the packer asserts when told to
+    val short = spark.range(1).select(
+      typedLit(Seq.fill(32)(1.0f)).as("v"))
+    val e2 = intercept[Throwable](
+      short.select(graft.functions.signpack(col("v"), 32, expectDim = 64)).collect())
+    assert(rootMessages(e2).contains("vector length 32 != declared dim 64"), rootMessages(e2))
+
+    // analysis-time input typing (Catalyst checkInputDataTypes): a
+    // non-float packer child / non-bigint signature is rejected before
+    // execution ever sees it
+    val ints = spark.range(1).select(array(lit(1), lit(2)).as("iv"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      ints.select(graft.functions.signpack(col("iv"), 32)).collect())
+    assert(e3.getMessage.contains("graft_signpack"), e3.getMessage)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException](
+      ints.select(graft.functions.hamming(col("iv"), col("iv"))).collect())
+    assert(e4.getMessage.contains("graft_hamming"), e4.getMessage)
+  }
 }
