@@ -181,7 +181,7 @@ object Bench {
     // a host-speed shift, not a plan regression, and nothing in the
     // artifact could prove it. bench_compare can divide ratios by
     // anchor-ratio before flagging.
-    val machineAnchorSec = {
+    def anchorProbe(): Double = {
       def spin(): Long = {
         var x = 0x9e3779b97f4a7c15L; var s = 0L; var i = 0
         while (i < 200000000) {
@@ -205,6 +205,15 @@ object Bench {
       if (sink == 42 && sink2 == 43) println("") // defeat dead-code elim
       math.rint(best * 1000) / 1000
     }
+    // Probed TWICE — before warmup and again after the measured
+    // passes. Three r15-era same-box artifacts carried single-probe
+    // anchors 0.295/0.447/0.33 (±50%), which once produced the
+    // self-contradictory "0.96x raw = 1.30x anchor-normalized" pair:
+    // the box's speed during a two-minute suite is not one number.
+    // bench_compare trusts normalization ONLY when pre and post agree
+    // (~10%) in BOTH artifacts, and uses their mean; otherwise it
+    // falls back to raw ratios and says so.
+    val machineAnchorSec = anchorProbe()
     def elapsedSec: Double = (System.currentTimeMillis() - jvmStart) / 1e3
     def pastDeadline: Boolean = deadlineSec > 0 && elapsedSec > deadlineSec
     // JIT/codegen warmup: run the suite once at sf0.01 — one SF below
@@ -289,6 +298,9 @@ object Bench {
       }
       byName.toSeq
     }
+    // post-pass anchor probe: see the pre-probe comment — the pair is
+    // the artifact's own evidence of whether the box held still
+    val machineAnchorSecPost = anchorProbe()
 
     // full per-query detail (every pass + spill + resident-storage
     // counters) goes to a FILE: the driver keeps only the tail of
@@ -321,7 +333,7 @@ object Bench {
       s"""{\n"method":"min-of-$passes-passes-after-warmup","warm_dir":"$warmDir","scratch_dir":"${scratchDir.getOrElse("default")}","hygiene":$hygiene,"cpus":$cpus,"sf":"$sfDir",""" +
         s""""partial":$isPartial,""" +
         s""""skipped":${skipped.size},"warmup_completed":$warmupCompleted,"warmup_total":${warmupSet.size},""" +
-        s""""machine_anchor_sec":$machineAnchorSec,""" +
+        s""""machine_anchor_sec":$machineAnchorSec,"machine_anchor_sec_post":$machineAnchorSecPost,""" +
         s"""\n"queries":{\n$detail\n}}\n"""
     val out = new java.io.PrintWriter(detailFile)
     try out.write(detailJson) finally out.close()

@@ -48,12 +48,35 @@ def main():
     # read as a per-query regression (the r12 1.91x lesson).
     d_new = json.loads(Path(new_p).read_text())
     d_old = json.loads(Path(old_p).read_text())
+
+    def stable_anchor(d):
+        """Mean of the pre/post probes when they agree within 10%.
+
+        Single-probe anchors swung +/-50% on this box across r15's
+        same-box artifacts (0.295/0.447/0.33) and once produced a
+        self-contradictory "0.96x raw = 1.30x normalized" pair. An
+        artifact whose pre and post probes disagree was measured on a
+        box that did not hold still -- its anchor calibrates nothing,
+        so normalization falls back to raw and SAYS so.
+        """
+        pre, post = d.get("machine_anchor_sec"), d.get("machine_anchor_sec_post")
+        if not pre:
+            return None, "no anchor"
+        if not post:
+            return None, f"single-probe anchor {pre}s (pre-r16 artifact): untrusted"
+        if abs(pre - post) > 0.1 * max(pre, post):
+            return None, f"anchor unstable: pre {pre}s vs post {post}s (>10%)"
+        return (pre + post) / 2, f"anchor stable: pre {pre}s / post {post}s"
+
     anchor = 1.0
-    if d_new.get("machine_anchor_sec") and d_old.get("machine_anchor_sec"):
-        anchor = d_new["machine_anchor_sec"] / d_old["machine_anchor_sec"]
-        print(f"host anchor: {d_old['machine_anchor_sec']}s -> "
-              f"{d_new['machine_anchor_sec']}s ({anchor:.2f}x); "
-              f"per-row ratios normalized by it")
+    a_new, why_new = stable_anchor(d_new)
+    a_old, why_old = stable_anchor(d_old)
+    if a_new and a_old:
+        anchor = a_new / a_old
+        print(f"host anchor: {a_old:.3f}s -> {a_new:.3f}s ({anchor:.2f}x); "
+              f"both stable ({why_old} | {why_new}); per-row ratios normalized by it")
+    else:
+        print(f"host anchor NOT used -- raw ratios only (old: {why_old}; new: {why_new})")
     flags = []
     for name in sorted(set(new) & set(old)):
         # sub-100ms queries are scheduler noise, not signal
