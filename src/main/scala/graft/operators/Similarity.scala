@@ -1143,9 +1143,83 @@ object Similarity {
     EmbedIngestReport(nAdmit, nCorpusNear, nIntra, dataVersion, indexVersion)
   }
 
+  /** s21: the bandBits frontier for the MIH family. The pigeonhole
+    * radius is fixed at `nBands − 1`, so at a given dim the band
+    * width is THE recall/cost knob: bandBits=4 → 16 bands → exact
+    * radius 15, but 4-bit buckets (16 values) collide constantly and
+    * the posting mass explodes; bandBits=16 → 4 bands → radius 3 on
+    * a fraction of the candidates. This sweep measures, per config on
+    * the REAL corpus: candidate mass (absolute and as a fraction of
+    * the N·|Q| brute frontier) and recall@k against the exact full
+    * Hamming scan — the numbers a serving job reads to pick the
+    * cheapest config clearing its radius SLO BEFORE indexing 100 TB
+    * (s17's role for the IVF family, d17's for the MinHash bands).
+    *
+    * Because band boundaries nest (a 2b-bit band is two adjacent
+    * b-bit bands, so a 2b match implies both b matches), candidate
+    * sets shrink monotonically as bandBits grows — spec-pinned.
+    * Scale shape: signatures pack ONCE (localCheckpoint), each config
+    * re-slices that 16 B/row relation; the truth leg is one s19 scan
+    * over the SAME query set the configs serve, so the whole sweep is
+    * linear in N per config. Everything downstream of the packer is
+    * integer counts and ratios — fully oracle-replayable.
+    */
+  def mihBandSweep(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, k: Int, dim: Int = 64,
+      bandBitsConfigs: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    require(bandBitsConfigs.nonEmpty)
+    bandBitsConfigs.foreach { b =>
+      require(b >= 1 && dim % b == 0 && 32 % b == 0,
+        s"bandBits=$b must divide dim=$dim and the 32-bit word") }
+    val sigs = corpus
+      .select(col(idCol).as("n_id"), signSig(col(vecCol), dim).as("n_sig"))
+      .localCheckpoint(eager = false) // packed once; each config re-slices
+    val q = queries
+      .select(col("q_id"), signSig(col("q_vec"), dim).as("q_sig"))
+      .localCheckpoint(eager = false) // feeds the truth leg + every config
+    val truth = hammingTopK(
+      sigs.crossJoin(broadcast(q)).where(col("n_id") =!= col("q_id")), k)
+      .select(col("q_id"), col("neighbor_id").as("n_id"))
+      .localCheckpoint(eager = false) // one exact scan shared by all configs
+    val scalars = sigs.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(q.agg(count(lit(1)).as("n_q")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+    // one row PER CONFIG via one-row aggregates (a groupBy over a
+    // unioned candidate relation would silently drop a config whose
+    // candidate set is empty — every config must report, 0s included)
+    val rows = bandBitsConfigs.map { b =>
+      val cIx = sigs.select(col("n_id"),
+        posexplode(bandVals(col("n_sig"), dim, b)).as(Seq("band", "bv")))
+      val qIx = q.select(col("q_id"),
+        posexplode(bandVals(col("q_sig"), dim, b)).as(Seq("qband", "qbv")))
+      val cand = cIx.join(broadcast(qIx),
+          col("band") === col("qband") && col("bv") === col("qbv") &&
+            col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id")).distinct()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("n_truth_hits")))
+        .select(
+          lit(b.toLong).as("band_bits"),
+          lit((dim / b).toLong).as("n_bands"),
+          lit((dim / b - 1).toLong).as("exact_radius"),
+          col("n_candidates"), col("n_truth_hits"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(scalars)
+      .select(
+        col("band_bits"), col("n_bands"), col("exact_radius"),
+        col("n_candidates"),
+        round(col("n_candidates").cast("double") /
+          (col("n_q") * (col("n_corpus") - lit(1L))), 4).as("cand_frac"),
+        round(col("n_truth_hits").cast("double") / col("n_truth"), 4)
+          .as("recall_at_k"))
+      .orderBy("band_bits")
+  }
+
   /** Band values of a signature: disjoint `bandBits`-bit slices of the
     * flattened bit string, each a literal shift+mask (codegen'd). */
-  private def bandVals(sig: Column, dim: Int, bandBits: Int): Column = {
+  private[graft] def bandVals(sig: Column, dim: Int, bandBits: Int): Column = {
     val wordBits = 32
     require(wordBits % bandBits == 0, s"bandBits=$bandBits must divide wordBits=$wordBits")
     val mask = (1L << bandBits) - 1

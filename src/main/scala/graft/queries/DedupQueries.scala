@@ -80,7 +80,7 @@ object DedupQueries {
     // unordered source pair counts once
     "d21_source_dup_matrix" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val docs = table(s, dir, "documents")
+      val docs = qcSampledByText(table(s, dir, "documents"))
       val src = docs.select(col("doc_id"), col("source"))
       Dedup.jaccardVerified(docs, "text", "doc_id", 0.5)
         .join(src.toDF("id_a", "src_a"), Seq("id_a"))
@@ -122,11 +122,11 @@ object DedupQueries {
     // pairwise ground truth (equal because J>=0.5 survivors here are
     // all J~0.99 near-dups, which LSH captures with prob ~1).
     "d4_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardVerified(table(s, dir, "documents"), "text", "doc_id", 0.5)
+      Dedup.jaccardVerified(qcSampledByText(table(s, dir, "documents")), "text", "doc_id", 0.5)
         .orderBy("id_a", "id_b")),
 
     "d5_embedding_dedup" -> ((s, dir) =>
-      Dedup.embeddingPairs(table(s, dir, "embeddings"), "embedding", "vec_id", 0.45)
+      Dedup.embeddingPairs(qcSampled(table(s, dir, "embeddings"), "vec_id"), "embedding", "vec_id", 0.45)
         .orderBy("id_a", "id_b")),
 
     // evaluation row: MinHash-LSH candidate recall/precision against
@@ -206,7 +206,7 @@ object DedupQueries {
     // extends d7's recursive-CTE replay with the keep projection)
     "d13_dedup_corpus" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      Dedup.dedupCorpus(table(s, dir, "documents"), "text", "doc_id", 0.5)
+      Dedup.dedupCorpus(qcSampledByText(table(s, dir, "documents")), "text", "doc_id", 0.5)
         .orderBy("id")
     }),
 
@@ -221,7 +221,7 @@ object DedupQueries {
     "d23_token_mass" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.functions.{TextFunctions => T}
-      val docs = table(s, dir, "documents")
+      val docs = qcSampledByText(table(s, dir, "documents"))
       val dec = Dedup.dedupCorpus(docs, "text", "doc_id", 0.5)
       docs.select(col("doc_id"), col("source"),
           size(T.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -246,7 +246,7 @@ object DedupQueries {
     "d14_cluster_retention" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       Dedup.dedupCorpusByQuality(
-          table(s, dir, "documents"), "text", "doc_id", 0.5, col("n_chars"))
+          qcSampledByText(table(s, dir, "documents")), "text", "doc_id", 0.5, col("n_chars"))
         .orderBy("id")
     }),
 
@@ -259,7 +259,7 @@ object DedupQueries {
     "d18_dup_weights" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       Dedup.dedupCorpusByQuality(
-          table(s, dir, "documents"), "text", "doc_id", 0.5, col("n_chars"))
+          qcSampledByText(table(s, dir, "documents")), "text", "doc_id", 0.5, col("n_chars"))
         .groupBy(col("kept_id").as("id"))
         .agg(count(lit(1)).as("weight"))
         .orderBy("id")
@@ -271,7 +271,7 @@ object DedupQueries {
     "d7_dup_clusters" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val pairs = Dedup
-        .jaccardVerified(table(s, dir, "documents"), "text", "doc_id", 0.5)
+        .jaccardVerified(qcSampledByText(table(s, dir, "documents")), "text", "doc_id", 0.5)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val comp = graft.operators.ConnectedComponents.run(pairs)
       val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -292,7 +292,7 @@ object DedupQueries {
     // sum(n_docs) = N.
     "d22_cluster_size_hist" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val docs = table(s, dir, "documents")
+      val docs = qcSampledByText(table(s, dir, "documents"))
       val pairs = Dedup
         .jaccardVerified(docs, "text", "doc_id", 0.5)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -378,7 +378,7 @@ object DedupQueries {
        |FROM c ORDER BY pick_rank""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlRaw: Map[String, String] = Map(
     // d4's full-pairwise truth (LSH-complete at J≥0.5 near-dups)
     // decorated with sources, unordered-pair normalized
     "d21_source_dup_matrix" -> (shingleCtes +
@@ -797,6 +797,26 @@ object DedupQueries {
          |)
          |SELECT id_a, id_b, round(c, 4) AS cos_sim FROM p WHERE c >= 0.45 ORDER BY 1, 2""".stripMargin
     })
+
+  /** The deliberately-quadratic ground-truth rows: their all-pairs
+    * oracles are tractable at the sf0.01 gate by design and TIMEOUT
+    * at a 100x replay. Under SPARK_GRAFT_QC_SAMPLE_PCT both the Spark
+    * closure (qcSampled at the source, above) and the dumped oracle
+    * SQL (qcSampledSql here) restrict to the identical md5-bucket doc
+    * sample, so the sf1 oracle replay checks the full algorithm on a
+    * deterministic subset instead of skipping the family. Unset = the
+    * driver's gate semantics, byte-identical to before.
+    */
+  private val qcQuadraticDocRows = Set(
+    "d4_ngram_jaccard", "d7_dup_clusters", "d13_dedup_corpus",
+    "d14_cluster_retention", "d18_dup_weights", "d21_source_dup_matrix",
+    "d22_cluster_size_hist", "d23_token_mass")
+
+  val oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
+    k -> (if (qcQuadraticDocRows(k)) qcSampledSql(v, "documents", qcTextKeySql)
+          else if (k == "d5_embedding_dedup") qcSampledSql(v, "embeddings", "vec_id::VARCHAR")
+          else v)
+  }
 
   /** d8's LSH hyperplanes as a DuckDB list literal — the operator's
     * own deterministic planes (Similarity.hyperplanes(8, 64)), so the

@@ -128,6 +128,17 @@ object SimilarityQueries {
         querySet(s, dir), k = 10)
         .orderBy("q_id", "rank")),
 
+    // the bandBits frontier (s17's role for the MIH family): per
+    // config, candidate mass + recall@k vs the exact Hamming truth on
+    // the real corpus — the planning row a serving job reads to pick
+    // the cheapest config clearing its radius SLO before indexing
+    // 100 TB. Band arithmetic is integer-exact end-to-end, so the
+    // oracle replays packing, band joins, truth scan, and both ratios.
+    "s21_mih_band_sweep" -> ((s, dir) =>
+      Similarity.mihBandSweep(
+        table(s, dir, "embeddings"), "embedding", "vec_id",
+        querySet(s, dir), k = 10)),
+
     // IVF-lite ANN: inverted lists by coarse centroid, nprobe probing.
     "s3_knn_ivf" -> ((s, dir) =>
       Similarity.ivfKnn(
@@ -476,6 +487,10 @@ object SimilarityQueries {
         |)
         |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // full replay of the bandBits sweep: packing, per-config band
+    // joins, the exact truth scan, and both ratios (integer-exact
+    // band arithmetic, like the rest of the sign-bit family)
+    "s21_mih_band_sweep" -> mihSweepSql(10, Seq(4, 8, 16)),
     // the sign-bit family replays end-to-end in integers: the packer
     // (32 bits/word so BIGINT shifts never overflow), xor+popcount
     // distances, band values, and ranks — no fp surface anywhere.
@@ -537,4 +552,51 @@ object SimilarityQueries {
         |)
         |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+
+  /** DuckDB replay of [[graft.operators.Similarity.mihBandSweep]]:
+    * sign packing (s19's form), per-config band extraction with the
+    * operator's shift/mask arithmetic ((t.b*B)//32 word, (t.b*B)%32
+    * shift, (1<<B)-1 mask over 32-bit words), exact truth scan, and
+    * the two ratios — built per bandBits config, mirroring the Spark
+    * side's per-config one-row aggregates.
+    */
+  private def mihSweepSql(k: Int, configs: Seq[Int]): String = {
+    val base =
+      s"""WITH sig AS (
+         |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+         |    list_sum(list_transform(generate_series(1, 32), j ->
+         |      CASE WHEN embedding[w*32 + j] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))) AS s
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, s AS qs FROM sig WHERE vec_id < 5
+         |), tr AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, a.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY
+         |        (bit_count(xor(a.s[1], qs[1])) + bit_count(xor(a.s[2], qs[2]))), a.vec_id) AS rank
+         |    FROM sig a, q WHERE a.vec_id <> q_id) WHERE rank <= $k
+         |), nn AS (SELECT count(*) AS n_corpus FROM sig),
+         |nq AS (SELECT count(*) AS n_q FROM q),
+         |nt AS (SELECT count(*) AS n_truth FROM tr)""".stripMargin
+    val blocks = configs.map { b =>
+      val nb = 64 / b
+      val mask = (1L << b) - 1
+      s"""cand$b AS (
+         |  SELECT DISTINCT qb.q_id, cb.vec_id AS n_id
+         |  FROM (SELECT vec_id, t.b AS band, ((s[(t.b*$b)//32 + 1] >> ((t.b*$b)%32)) & $mask)::BIGINT AS bv
+         |        FROM sig, (SELECT unnest(generate_series(0, ${nb - 1})) AS b) t) cb
+         |  JOIN (SELECT q_id, t.b AS band, ((qs[(t.b*$b)//32 + 1] >> ((t.b*$b)%32)) & $mask)::BIGINT AS bv
+         |        FROM q, (SELECT unnest(generate_series(0, ${nb - 1})) AS b) t) qb
+         |    ON cb.band = qb.band AND cb.bv = qb.bv AND cb.vec_id <> qb.q_id
+         |), st$b AS (
+         |  SELECT ${b}::BIGINT AS band_bits, ${nb}::BIGINT AS n_bands, ${nb - 1}::BIGINT AS exact_radius,
+         |    (SELECT count(*) FROM cand$b)::BIGINT AS n_candidates,
+         |    round((SELECT count(*) FROM cand$b)::DOUBLE / (nq.n_q * (nn.n_corpus - 1)), 4) AS cand_frac,
+         |    round((SELECT count(*) FROM cand$b c JOIN tr ON c.q_id = tr.q_id AND c.n_id = tr.n_id)::DOUBLE / nt.n_truth, 4) AS recall_at_k
+         |  FROM nn, nq, nt)""".stripMargin
+    }
+    base + ",\n" + blocks.mkString(",\n") + "\n" +
+      configs.map(b => s"SELECT * FROM st$b").mkString(" UNION ALL ") +
+      " ORDER BY band_bits"
+  }
 }

@@ -45,6 +45,60 @@ package object queries {
     */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Deterministic QC-sample percentage for the deliberately-quadratic
+    * ground-truth rows (d4/d5/d7/d13/d14/d18/d21/d22/d23 — all-pairs
+    * oracles, tractable at the sf0.01 gate by design). Unset (the
+    * driver's gate, the default) = full corpus, unchanged semantics.
+    * `SPARK_GRAFT_QC_SAMPLE_PCT=p` restricts those rows — Spark query
+    * AND dumped oracle SQL alike — to the md5-bucket p% of documents
+    * (d16/d20's sampling shape: pair work scales ~p²), which is what
+    * makes a 100×-scale (sf1) ORACLE replay of the quadratic family
+    * terminate instead of timing out. Sample selection is md5-bucket
+    * deterministic, so both engines pick the identical subset.
+    */
+  def qcSamplePct: Option[Int] =
+    sys.env.get("SPARK_GRAFT_QC_SAMPLE_PCT").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).filter(p => p >= 1 && p <= 99)
+
+  /** Spark side of the QC sample, id-keyed (embeddings): md5-bucket
+    * filter on the id column (exact twin of the SQL predicate in
+    * [[qcSampledSql]] with an id key). */
+  def qcSampled(df: DataFrame, idCol: String): DataFrame =
+    qcSamplePct.fold(df)(p =>
+      df.where(graft.functions.hashShard(col(idCol), 100) < p))
+
+  /** Spark side of the QC sample, CONTENT-keyed (documents): the
+    * bucket key is the first 32 chars of the normalized text, not the
+    * id — near-duplicates share their normalized prefix (measured:
+    * 25/25 of the generator's J≥0.5 pairs at sf0.01), so a pair's
+    * endpoints land in the same bucket and pairs survive at rate ~p
+    * instead of the p² an id-keyed sample inflicts on pair statistics
+    * (an id-keyed 2% sf1 replay passed d4/d7/d21 with ZERO surviving
+    * pairs — a pipeline check, not an algorithm check). */
+  def qcSampledByText(df: DataFrame, textCol: String = "text"): DataFrame =
+    qcSamplePct.fold(df)(p =>
+      df.where(pmod(
+        conv(substring(md5(qcTextKey(col(textCol))), 1, 7), 16, 10).cast("long"),
+        lit(100L)) < p))
+
+  private def qcTextKey(text: Column): Column =
+    substring(trim(regexp_replace(lower(text), "\\s+", " ")), 1, 32)
+
+  /** DuckDB twin of [[qcTextKey]]. */
+  val qcTextKeySql: String =
+    "substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32)"
+
+  /** Oracle side of the QC sample: rewrite `FROM <table>` to an inline
+    * sampled view over md5(keySqlExpr) buckets. Only `FROM <table>`
+    * source references are rewritten (an id-join lookup like `JOIN
+    * documents da ON pr.id_a = da.doc_id` over already-sampled pair
+    * ids is correct either way); a following table alias stays valid
+    * because the subquery takes its place. */
+  def qcSampledSql(sql: String, tableName: String, keySqlExpr: String): String =
+    qcSamplePct.fold(sql)(p => sql.replace(
+      s"FROM $tableName",
+      s"FROM (SELECT * FROM $tableName WHERE ('0x' || substr(md5($keySqlExpr), 1, 7))::BIGINT % 100 < $p)"))
+
   /** DuckDB replay of graft_simhash64 over a `(id, tok)` relation
     * named `tk`: per-token 64-bit hash = first 16 hex chars of
     * md5(tok) as two 32-bit halves (SimHashOps.hash64 takes the first

@@ -1568,4 +1568,68 @@ object LogStream {
         col("e.id").as("neighbor_id"),
         round(col("e.score"), 4).as("cos_sim"))
   }
+
+  /** st44: continuous MIH kNN — a stream of query vectors served from
+    * the STATIC persisted band index (st20's integer twin: the online
+    * near-dup-lookup shape for an embedding store at ingest time,
+    * probing the same `mihIndexBuild`/`mihIndexLoad` relation lk47's
+    * gate maintains). The whole search is integer-exact, so streamed
+    * results are bit-identical to batch [[graft.operators.Similarity
+    * .mihKnn]] over the same window — spec-pinned, not approximate.
+    *
+    * Scale shape mirrors st20's two index-join modes:
+    *   - `broadcastIndex = true`: the (n_id, n_sig, band, bv) index
+    *     broadcasts into every micro-batch — zero stream-side
+    *     shuffle; right for a service-sized index (signatures are
+    *     16 B/vector ×nBands, ~128× smaller than the float corpus).
+    *   - `false`: a shuffled stream-static equi-join on (band, bv);
+    *     each micro-batch shuffles only its own nBands·|Q| exploded
+    *     band probes plus the matched index partitions; the static
+    *     side is pinned once via localCheckpoint.
+    *
+    * A corpus vector shares up to nBands bands with a query, so the
+    * band join emits duplicate (q, n) pairs; they are deduped with a
+    * watermark-scoped dropDuplicates BEFORE the bounded heap (the
+    * streaming face of batch mihKnnWith's `.distinct()` — duplicate
+    * heap entries would evict genuinely distinct neighbors). The
+    * per-(window, query) top-k is the graft_topk bounded heap on the
+    * negated distance: ≤ k rows of state per open (window, query).
+    *
+    * `index` columns are bound BY NAME (n_id, n_sig, band, bv), so a
+    * reordered parquet read-back cannot silently swap them.
+    */
+  def streamMihKnn(
+      queries: DataFrame, index: DataFrame, k: Int,
+      dim: Int = 64, bandBits: Int = 8,
+      windowDur: String = "1 hour", watermarkDelay: String = "10 minutes",
+      eventTimeCol: String = "event_time",
+      broadcastIndex: Boolean = true): DataFrame = {
+    import graft.operators.Similarity.{bandVals, signSig}
+    import graft.functions.{hamming, topk}
+    val idx = index.select(col("n_id"), col("n_sig"), col("band"), col("bv"))
+    val probes = queries
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .select(col(eventTimeCol), col("q_id"), signSig(col("q_vec"), dim).as("q_sig"))
+      .select(col(eventTimeCol), col("q_id"), col("q_sig"),
+        posexplode(bandVals(col("q_sig"), dim, bandBits)).as(Seq("qband", "qbv")))
+    val cond = col("band") === col("qband") && col("bv") === col("qbv") &&
+      col("n_id") =!= col("q_id")
+    val joined =
+      if (broadcastIndex) probes.join(broadcast(idx), cond)
+      else probes.join(idx.localCheckpoint(eager = false), cond)
+    joined
+      .select(col(eventTimeCol), col("q_id"), col("q_sig"), col("n_id"), col("n_sig"))
+      .dropDuplicates(Seq(eventTimeCol, "q_id", "n_id"))
+      .select(col(eventTimeCol), col("q_id"),
+        (-hamming(col("q_sig"), col("n_sig"))).cast("double").as("neg_hd"),
+        col("n_id"))
+      .groupBy(window(col(eventTimeCol), windowDur), col("q_id"))
+      .agg(topk(col("neg_hd"), col("n_id"), k).as("tk"))
+      .select(col("window.start").as("w_start"), col("q_id"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("w_start"), col("q_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("neighbor_id"),
+        (-col("e.score")).cast("long").as("hamming"))
+  }
 }

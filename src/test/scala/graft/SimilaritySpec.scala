@@ -606,6 +606,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s21: bandBits sweep — nested band frontiers are monotone, every config reports, pigeonhole recall is 1 inside the radius") {
+    import org.apache.spark.sql.functions.col
+    // real corpus: wider bands can only shrink the candidate set (a
+    // 2b-bit band match implies both nested b-bit matches), so mass
+    // and recall are monotone non-increasing in bandBits — and every
+    // config must emit its row even when its candidate set is empty
+    val sweep = Similarity.mihBandSweep(emb, "embedding", "vec_id", queries, 10)
+      .orderBy("band_bits")
+      .select("band_bits", "n_bands", "exact_radius", "n_candidates", "recall_at_k")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(sweep.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((4L, 16L, 15L), (8L, 8L, 7L), (16L, 4L, 3L)))
+    assert(sweep(0)._4 >= sweep(1)._4 && sweep(1)._4 >= sweep(2)._4, sweep.mkString(","))
+    assert(sweep(0)._5 >= sweep(1)._5 && sweep(1)._5 >= sweep(2)._5, sweep.mkString(","))
+
+    // pigeonhole at the TIGHTEST config: a 3-flip neighbor is within
+    // radius 3 = nBands-1 even at bandBits=16, so every config must
+    // score recall 1.0 on a corpus where it is the only truth row
+    val base = Array.fill(64)(1.0f)
+    val flip3 = { val a = base.clone(); Seq(0, 21, 47).foreach(i => a(i) = -1f); a }
+    val planted = Seq((0L, base.toSeq), (1L, flip3.toSeq))
+      .toDF("vec_id", "embedding")
+    val q1 = planted.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val r = Similarity.mihBandSweep(planted, "embedding", "vec_id", q1, 10)
+      .select("band_bits", "recall_at_k").as[(Long, Double)].collect().toMap
+    assert(r === Map(4L -> 1.0, 8L -> 1.0, 16L -> 1.0), r.toString)
+  }
+
   test("sign-bit kernel guards: dim/type mismatches fail loudly instead of diverging silently") {
     import org.apache.spark.sql.functions.{array, lit, typedLit}
     def rootMessages(t: Throwable): String =

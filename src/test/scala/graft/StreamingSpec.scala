@@ -694,6 +694,55 @@ class StreamingSpec extends SparkSpec {
     withRocksDb(st20Body("_nbrdb", broadcastIndex = false))
   }
 
+  private def st44Body(tag: String, broadcastIndex: Boolean = true): Unit = {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val t0 = 1704067200000L
+    val qBatch = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // ≥2 micro-batches: the query set split into two files, one file
+    // per trigger — the index join and the windowed heap must agree
+    // with batch no matter how the queries arrive
+    val dir = Files.createTempDirectory("graft_stream_mih").toString
+    val timed = qBatch.withColumn("event_time", timestamp_millis(lit(t0) + col("q_id")))
+    timed.where(col("q_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/f0")
+    timed.where(col("q_id") % 2 =!= 0).coalesce(1).write.parquet(s"$dir/f1")
+    val qStream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("q_id", LongType),
+        StructField("q_vec", ArrayType(FloatType)),
+        StructField("event_time", TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val index = graft.operators.Similarity.mihIndexBuild(emb, "embedding", "vec_id")
+    val q = LogStream.streamMihKnn(qStream, index, k = 5,
+        broadcastIndex = broadcastIndex)
+      .writeStream.format("memory").queryName(s"st44_out$tag")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table(s"st44_out$tag")
+      .select("q_id", "rank", "neighbor_id", "hamming")
+      .collect().map(_.toString).sorted.toSeq
+    // integer-exact parity: streamed ≡ batch mihKnn, bit for bit
+    val batch = graft.operators.Similarity.mihKnn(emb, "embedding", "vec_id", qBatch, k = 5)
+      .select("q_id", "rank", "neighbor_id", "hamming")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("st44: streaming MIH kNN from the static band index matches batch mihKnn across 2 micro-batches") {
+    st44Body("")
+  }
+
+  test("st44: the shuffled band equi-join path matches batch mihKnn") {
+    st44Body("_nb", broadcastIndex = false)
+  }
+
+  test("st44 (rocksdb): streaming MIH kNN under the RocksDB state store") {
+    withRocksDb(st44Body("_rdb"))
+  }
+
   test("st21: per-batch manifested-dim enrichment picks up a dim refresh mid-stream") {
     import org.apache.spark.sql.SaveMode
     import graft.sources.ParquetLake
