@@ -43,7 +43,7 @@ object SparkEntry {
   val boundedObjectAggQueries: Set[String] = Set(
     "s1_knn_brute", "s2_knn_lsh", "s3_knn_ivf", "s4_knn_pq",
     "s6_knn_join_auto", "s7_knn_ivfpq", "s9_ann_recall",
-    "s19_knn_hamming", "s20_knn_mih",
+    "s19_knn_hamming", "s20_knn_mih", "s21_mih_band_sweep",
     "a2_sketch_merge", "a3_approx_quantiles", "a4_theta_intersect",
     "a5_approx_top_k", "a9_kmv_distinct", "a12_kmv_rolling",
     "a13_theta_diff", "q58_topk_per_group")

@@ -1027,14 +1027,40 @@ object Similarity {
   /** Persist / reload the MIH band index through the same WAP
     * manifest-lake path as the IVF index (s11): every prior snapshot
     * stays replayable until vacuum, `version` pins a serving release.
+    *
+    * The packing LAYOUT (dim, bandBits) persists beside the bands: a
+    * saved index is only meaningful at the layout it was packed with,
+    * and serving it at another (new-dim queries against a stale
+    * index, a re-tuned bandBits) would otherwise fail silently —
+    * wrong band values simply match nothing. Load verifies the
+    * caller's declared layout against the stored one and throws on
+    * mismatch. (Distance-kernel level, hammingL independently rejects
+    * word-count mismatches — this check catches same-word-count
+    * layout drift, e.g. bandBits, that the kernel cannot see.)
     */
-  def mihIndexSave(index: DataFrame, path: String): Int =
+  def mihIndexSave(
+      index: DataFrame, path: String, dim: Int = 64, bandBits: Int = 8): Int = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    replaceSnapshot(
+      Seq((dim.toLong, bandBits.toLong)).toDF("dim", "band_bits"),
+      s"$path/layout")
     replaceSnapshot(index, s"$path/bands")
+  }
 
   def mihIndexLoad(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      dim: Int = 64, bandBits: Int = 8): DataFrame = {
     import graft.sources.ParquetLake
+    val (d, b) = ParquetLake.readManifested(spark, s"$path/layout")
+      .select("dim", "band_bits").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).head()
+    require(d == dim && b == bandBits,
+      s"MIH index at $path was packed at dim=$d/bandBits=$b; " +
+        s"refusing to serve it at dim=$dim/bandBits=$bandBits")
     ParquetLake.readManifested(spark, s"$path/bands", version)
   }
 
@@ -1197,8 +1223,10 @@ object Similarity {
           col("band") === col("qband") && col("bv") === col("qbv") &&
             col("n_id") =!= col("q_id"))
         .select(col("q_id"), col("n_id")).distinct()
+      // truth is ≤ |Q|·k rows — broadcast it into the semi-join so the
+      // candidate relation (corpus-scale at fat configs) never sorts
       cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cand.join(truth, Seq("q_id", "n_id"), "left_semi")
+        .crossJoin(cand.join(broadcast(truth), Seq("q_id", "n_id"), "left_semi")
           .agg(count(lit(1)).as("n_truth_hits")))
         .select(
           lit(b.toLong).as("band_bits"),

@@ -484,4 +484,20 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("graft_hamming"), p)
     assert(!p.contains("zip_with"), p)
   }
+
+  test("s21: sweep candidates hash-join on band keys; truth semi-join broadcasts; no Window, no sort-merge") {
+    // the packed signature / truth relations are localCheckpointed
+    // (packed once, re-sliced per config), so the native kernels are
+    // behind LogicalRDD leaves here — they're pinned by the s19/s20
+    // asserts; what THIS plan must show is the join shape
+    val p = plan("s21_mih_band_sweep")
+    // each config's candidate generation is an equality HASH join on
+    // (band, bv); the BNLJ crosses are the one-row scalar aggregates
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the ≤|Q|·k truth side broadcasts into the semi-join — the
+    // corpus-scale candidate relation must never sort for it
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

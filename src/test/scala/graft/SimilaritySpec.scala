@@ -555,6 +555,12 @@ class SimilaritySpec extends SparkSpec {
     assert(run(Similarity.mihIndexLoad(spark, dir, Some(1))) === servedFresh)
     assert(Similarity.mihIndexLoad(spark, dir).select("n_id").distinct().count()
       === emb.count() / 2)
+    // the persisted layout guards serving: a load at a different
+    // packing layout (stale index vs re-tuned bandBits/dim) refuses
+    // loudly instead of matching nothing
+    val e = intercept[IllegalArgumentException](
+      Similarity.mihIndexLoad(spark, dir, bandBits = 4))
+    assert(e.getMessage.contains("packed at dim=64/bandBits=8"), e.getMessage)
   }
 
   test("lk47: MIH-gated embedding ingest — exact radius gate (collide-but-far admits), intra min-id keeper, idempotent replay") {
