@@ -99,19 +99,19 @@ object MultimodalQueries {
   val payloadBytes: Map[String, (org.apache.spark.sql.SparkSession, String) => Long] = Map(
     "m12_image_resize" -> ((s, dir) =>
       BinaryOps.renderImages(imageSpecs(s, dir)).toDF()
-        .agg(sum(length(col("payload")))).head.getLong(0)),
+        .agg(sum(length(col("payload")))).head().getLong(0)),
     "m15_gif_frame_dedup" -> ((s, dir) =>
       BinaryOps.renderAnimatedGifs(gifSpecsM15(s, dir)).toDF("id", "payload")
-        .agg(sum(length(col("payload")))).head.getLong(0)),
+        .agg(sum(length(col("payload")))).head().getLong(0)),
     "m18_scene_cuts" -> ((s, dir) =>
       BinaryOps.renderAnimatedGifs(gifSpecsM18(s, dir)).toDF("id", "payload")
-        .agg(sum(length(col("payload")))).head.getLong(0)),
+        .agg(sum(length(col("payload")))).head().getLong(0)),
     "m17_audio_dedup" -> ((s, dir) =>
       BinaryOps.renderAudioSeeded(audioSpecsM17(s, dir)).toDF("id", "payload")
-        .agg(sum(length(col("payload")))).head.getLong(0)),
+        .agg(sum(length(col("payload")))).head().getLong(0)),
     "m16_pixel_roundtrip" -> ((s, dir) =>
       BinaryOps.renderImages(rasterExactSpecs(s, dir)).toDF()
-        .agg(sum(length(col("payload")))).head.getLong(0)))
+        .agg(sum(length(col("payload")))).head().getLong(0)))
 
   val queries: Map[String, Q] = Map(
     "m1_binary_meta" -> ((s, dir) =>
