@@ -33,7 +33,10 @@ WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
              # r15 changes re-checked at 10x: q45 gained a 4th range-
              # partition sort key (rev tiebreak), a13 a bigger theta
              # nominal, d8 its first oracle (operator unchanged)
-             "q45_running_revenue", "a13_theta_diff", "d8_embedding_lsh"]
+             "q45_running_revenue", "a13_theta_diff", "d8_embedding_lsh",
+             # r16's new row: per-config band joins + one truth scan;
+             # expected ~linear in N per config
+             "s21_mih_band_sweep"]
 
 
 def main():
