@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   * surrounding collect_list's nondeterministic gather order cannot
   * leak into results), and score ties resolve to that canonical
   * order. The first pick's score is λ·rel (max over the empty
-  * selection taken as 0).
+  * selection taken as 0) — and because maxSim starts at 0 and only
+  * ever rises, the redundancy term is FLOORED AT 0 for every pick:
+  * an all-negative neighborhood counts as no redundancy, never as a
+  * bonus (the DuckDB oracle mirrors this with greatest(0, max(...))).
   */
 object MmrOps {
   def select(cands: ArrayData, k: Int, lambda: Double): ArrayData = {

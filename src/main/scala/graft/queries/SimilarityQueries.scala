@@ -69,10 +69,13 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")),
 
     // MMR diversified re-rank: greedy λ-tradeoff between relevance
-    // and redundancy over each query's top-32 exact candidates —
-    // no_oracle (greedy selection is not SQL-expressible); the
-    // SimilaritySpec pins a hand-computed fixture, diversity vs
-    // plain top-k, and partitioning invariance.
+    // and redundancy over each query's top-32 exact candidates.
+    // Full oracle since r16: the greedy loop UNROLLS as k chained
+    // CTE steps (see mmrSql's parity notes — canonical tie-breaks,
+    // the 0-floored redundancy term, Spark-round emulation at the
+    // λ·rel decimal boundaries); SimilaritySpec additionally pins a
+    // hand-computed fixture, diversity vs plain top-k, and
+    // partitioning invariance.
     "s15_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(
         table(s, dir, "embeddings"), "embedding", "vec_id",
@@ -491,6 +494,9 @@ object SimilarityQueries {
     // joins, the exact truth scan, and both ratios (integer-exact
     // band arithmetic, like the rest of the sign-bit family)
     "s21_mih_band_sweep" -> mihSweepSql(10, Seq(4, 8, 16)),
+    // full replay of the greedy MMR loop, unrolled (r16 rows-only →
+    // oracle conversion; parity notes on the builder)
+    "s15_mmr_rerank" -> mmrSql(10, 32, 0.7),
     // the sign-bit family replays end-to-end in integers: the packer
     // (32 bits/word so BIGINT shifts never overflow), xor+popcount
     // distances, band values, and ranks — no fp surface anywhere.
@@ -552,6 +558,79 @@ object SimilarityQueries {
         |)
         |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+
+  /** DuckDB replay of [[graft.operators.Similarity.mmrRerank]] —
+    * the greedy MMR loop UNROLLED as k chained CTE steps (k is a
+    * small literal, so no recursive CTE is needed and no engine
+    * restriction on window functions in recursive terms applies).
+    * Parity notes, mirrored from MmrOps.select exactly:
+    *   - candidates = top-m by (raw cosine desc, id asc) — the
+    *     bounded-heap cut bruteKnn makes; `rel` is the ROUNDED (4 dp)
+    *     cosine, because that is what topKOut emits and what the
+    *     operator's scoring reads;
+    *   - redundancy term = max over selected of the RAW float-vector,
+    *     FLOORED AT 0 (MmrOps initializes maxSim to 0 and only
+    *     raises it, so an all-negative neighborhood scores as
+    *     zero redundancy — greatest(0, max(...)) here)
+    *     cosine (the s1-proven sequential-fold replay form — both
+    *     engines fold element order 1..n in double, so the doubles
+    *     are bit-identical);
+    *   - score = λ·rel − (1−λ)·maxSim with `(1 - λ)` COMPUTED in SQL
+    *     (Scala computes `1 - lambda` at runtime — 1−0.7 is
+    *     0.30000000000000004, not 0.3, and a rounded literal would
+    *     diverge at the 17th digit);
+    *   - per-step argmax tie-breaks (score desc, rel desc, id asc) —
+    *     the operator's first-in-canonical-order-wins rule;
+    *   - first pick's score is λ·rel (empty-selection max = 0).
+    */
+  private def mmrSql(k: Int, m: Int, lambda: Double): String = {
+    def cos(a: String, b: String): String =
+      s"(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x*x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x*x)))))"
+    val base =
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+         |), sc AS (
+         |  SELECT q_id, a.vec_id AS n_id, a.v AS nv, ${cos("qv", "a.v")} AS c
+         |  FROM e a, q WHERE a.vec_id <> q_id
+         |), cand AS MATERIALIZED (
+         |  SELECT q_id, n_id AS id, round(c, 4) AS rel, nv AS v
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM sc)
+         |  WHERE rn <= $m
+         |), p1 AS (
+         |  SELECT q_id, id, rel, v, ($lambda * rel) AS score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ($lambda * rel) DESC, rel DESC, id) AS rn
+         |    FROM cand) WHERE rn = 1
+         |), picks1 AS MATERIALIZED (SELECT q_id, 1 AS mmr_rank, id, v, score FROM p1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      val prev = t - 1
+      s"""s$t AS (
+         |  SELECT c.q_id, c.id, c.rel, c.v,
+         |    $lambda * c.rel - (1 - $lambda) * greatest(0, max(${cos("c.v", "p.v")})) AS score
+         |  FROM cand c JOIN picks$prev p ON p.q_id = c.q_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM picks$prev x WHERE x.q_id = c.q_id AND x.id = c.id)
+         |  GROUP BY c.q_id, c.id, c.rel, c.v
+         |), p$t AS (
+         |  SELECT q_id, id, rel, v, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, rel DESC, id) AS rn FROM s$t)
+         |  WHERE rn = 1
+         |), picks$t AS MATERIALIZED (
+         |  SELECT * FROM picks$prev
+         |  UNION ALL SELECT q_id, $t AS mmr_rank, id, v, score FROM p$t)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT q_id, mmr_rank::BIGINT AS mmr_rank, id AS neighbor_id,
+         |-- Spark-round emulation: λ·(4dp rel) sits EXACTLY on 5th-decimal
+         |-- .5 boundaries, where DuckDB's double round and Spark's
+         |-- BigDecimal.valueOf(...).setScale(4, HALF_UP) disagree; going
+         |-- through the double's shortest decimal repr replicates Spark
+         |round(score::VARCHAR::DECIMAL(38,20), 4)::DOUBLE AS mmr_score
+         |FROM picks$k ORDER BY q_id, mmr_rank""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Similarity.mihBandSweep]]:
     * sign packing (s19's form), per-config band extraction with the
