@@ -153,13 +153,14 @@ object SimilarityQueries {
     // the SAME operator at its auto-sized default (≈256-vector
     // buckets: planes grow with log2(N), so bucket occupancy — and
     // with it the quadratic in-bucket pair count — stays constant as
-    // the corpus grows). No oracle (the plane count depends on N);
-    // rows-only driver check + recall/symmetry specs, and the
+    // the corpus grows). Full oracle since r16 (plane literals per
+    // plausible count, runtime-selected from N — see knnJoinAutoSql);
+    // recall/symmetry specs, and the
     // BENCH_HEADROOM row that shows the default scaling near-linearly
     // where the 4-plane pinned config above goes quadratic.
     "s6_knn_join_auto" -> ((s, dir) =>
       Similarity.knnJoin(
-        table(s, dir, "embeddings"), "embedding", "vec_id", k = 5)
+        qcSampled(table(s, dir, "embeddings"), "vec_id"), "embedding", "vec_id", k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("q_id", "rank")),
 
@@ -497,6 +498,14 @@ object SimilarityQueries {
     // full replay of the greedy MMR loop, unrolled (r16 rows-only →
     // oracle conversion; parity notes on the builder)
     "s15_mmr_rerank" -> mmrSql(10, 32, 0.7),
+    // full replay of the AUTO-sized kNN join (r16 conversion): plane
+    // literals embedded per plausible count, selected from N at
+    // runtime. Sampled at scale replays via the QC env (the bucket
+    // join is N·occupancy·(np+1) cosines — linear-with-log in Spark,
+    // but DuckDB's per-pair list-lambda cost makes an unsampled sf1
+    // replay a multi-hour oracle; the sample changes N and therefore
+    // np on BOTH sides consistently).
+    "s6_knn_join_auto" -> qcSampledSql(knnJoinAutoSql(5), "embeddings", "vec_id::VARCHAR"),
     // the sign-bit family replays end-to-end in integers: the packer
     // (32 bits/word so BIGINT shifts never overflow), xor+popcount
     // distances, band values, and ranks — no fp surface anywhere.
@@ -558,6 +567,56 @@ object SimilarityQueries {
         |)
         |SELECT q_id, rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+
+  /** DuckDB replay of [[graft.operators.Similarity.knnJoin]] at its
+    * AUTO-SIZED default (r16 rows-only → oracle conversion): the
+    * auto config was "no oracle (the plane count depends on N)" —
+    * resolved by embedding the deterministic hyperplane literals for
+    * EVERY plausible plane count (2..maxNp) and selecting the set at
+    * runtime from the corpus count with the operator's own formula
+    * (`greatest(2, ceil(ln(N/256)/ln(2)))`; ln-ratio form mirrors the
+    * Scala expression — ceil boundaries only occur at exact powers
+    * of two times 256, far from any test N). Salting is a pure
+    * execution-layout concern (the salted join reproduces the exact
+    * pair set), so the replay needs no salt arithmetic. A corpus
+    * vector lives in ONE bucket and a query's probe values are
+    * pairwise distinct, so each (q, n) pair joins at most once — no
+    * DISTINCT needed before the rank cut. maxNp=10 covers corpora to
+    * 256·2^10 ≈ 262k vectors; beyond that the CASE yields NULL and
+    * the oracle fails loudly rather than silently mis-bucketing.
+    */
+  private def knnJoinAutoSql(k: Int, maxNp: Int = 10): String = {
+    def planesLit(n: Int): String =
+      Similarity.hyperplanes(n, 64)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val cases = (2 to maxNp).map(n => s"WHEN $n THEN ${planesLit(n)}").mkString(" ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), np AS (
+       |  SELECT greatest(2, CAST(ceil(ln(count(*) / 256.0) / ln(2)) AS INT)) AS np FROM e
+       |), pl AS (
+       |  SELECT np, CASE np $cases ELSE NULL END AS pl FROM np
+       |), b AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    list_sum(list_transform(generate_series(1, len(pl)), p ->
+       |      CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[p][i])) >= 0
+       |        THEN (1::BIGINT << (p - 1)) ELSE 0::BIGINT END)) AS bucket
+       |  FROM e, pl
+       |), pr AS (
+       |  SELECT vec_id AS q_id, v AS qv, unnest(list_prepend(bucket,
+       |    list_transform(generate_series(0, np - 1), bb -> xor(bucket, (1::BIGINT << bb))))) AS probe
+       |  FROM b, np
+       |), sc AS (
+       |  SELECT q_id, b.vec_id AS n_id,
+       |    (list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * b.v[i]))
+       |      / (sqrt(list_sum(list_transform(qv, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))) AS c
+       |  FROM pr JOIN b ON pr.probe = b.bucket AND b.vec_id <> pr.q_id
+       |), r AS (
+       |  SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rank FROM sc
+       |)
+       |SELECT q_id, rank::BIGINT AS rank, n_id AS neighbor_id, round(c, 4) AS cos_sim
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Similarity.mmrRerank]] —
     * the greedy MMR loop UNROLLED as k chained CTE steps (k is a
