@@ -378,6 +378,26 @@ class SimilaritySpec extends SparkSpec {
     assert(plain === Seq(1L, 2L, 3L))
   }
 
+  test("s15: the redundancy term floors at 0 — an anti-similar selection never pays a bonus") {
+    // id2 is ANTI-similar to pick-1 id1 (cos < 0). Without the floor,
+    // pick 2's score would be λ·rel − (1−λ)·(negative) > λ·rel — the
+    // contract (MmrOps doc, mirrored by the oracle's greatest(0, ...))
+    // is that negative similarity counts as NO redundancy, so the
+    // score is exactly λ·rel.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(-0.6f, 0.8f)), // cos(1,2) = -0.6 < 0
+      (3L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val q = Seq((99L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val got = Similarity.mmrRerank(corpus, "embedding", "vec_id", q,
+        k = 3, m = 3, lambda = 0.5)
+      .orderBy("mmr_rank")
+      .select("neighbor_id", "mmr_score").as[(Long, Double)].collect().toSeq
+    // rel(id2) = cos(q, id2) rounded = -0.6; floored score = 0.5·(-0.6)
+    val id2 = got.find(_._1 == 2L).get
+    assert(id2._2 === 0.5 * -0.6, got.toString)
+  }
+
   test("s15: first pick is the top-1 neighbor; selection is less redundant than plain top-k; invariant to partitioning") {
     val mmr = SparkEntry.queries("s15_mmr_rerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
