@@ -1028,40 +1028,43 @@ object Similarity {
     * manifest-lake path as the IVF index (s11): every prior snapshot
     * stays replayable until vacuum, `version` pins a serving release.
     *
-    * The packing LAYOUT (dim, bandBits) persists beside the bands: a
-    * saved index is only meaningful at the layout it was packed with,
-    * and serving it at another (new-dim queries against a stale
-    * index, a re-tuned bandBits) would otherwise fail silently —
-    * wrong band values simply match nothing. Load verifies the
-    * caller's declared layout against the stored one and throws on
-    * mismatch. (Distance-kernel level, hammingL independently rejects
-    * word-count mismatches — this check catches same-word-count
-    * layout drift, e.g. bandBits, that the kernel cannot see.)
+    * The packing LAYOUT (dim, bandBits) persists as columns OF the
+    * bands snapshot — versioned in lockstep with the exact bands it
+    * describes, so a pinned load of an old release verifies against
+    * that release's own layout, not whatever a later re-save at a
+    * re-tuned packing wrote last. A saved index is only meaningful at
+    * the layout it was packed with, and serving it at another
+    * (new-dim queries against a stale index, a re-tuned bandBits)
+    * would otherwise fail silently — wrong band values simply match
+    * nothing. Load verifies the caller's declared layout against the
+    * stored one and throws on mismatch. (Distance-kernel level,
+    * hammingL independently rejects word-count mismatches — this
+    * check catches same-word-count layout drift, e.g. bandBits, that
+    * the kernel cannot see.)
     */
   def mihIndexSave(
-      index: DataFrame, path: String, dim: Int = 64, bandBits: Int = 8): Int = {
-    val spark = index.sparkSession
-    import spark.implicits._
+      index: DataFrame, path: String, dim: Int = 64, bandBits: Int = 8): Int =
     replaceSnapshot(
-      Seq((dim.toLong, bandBits.toLong)).toDF("dim", "band_bits"),
-      s"$path/layout")
-    replaceSnapshot(index, s"$path/bands")
-  }
+      index
+        .withColumn("dim", lit(dim.toLong))
+        .withColumn("band_bits", lit(bandBits.toLong)),
+      s"$path/bands")
 
   def mihIndexLoad(
       spark: org.apache.spark.sql.SparkSession, path: String,
       version: Option[Int] = None,
       dim: Int = 64, bandBits: Int = 8): DataFrame = {
     import graft.sources.ParquetLake
-    val (d, b) = ParquetLake.readManifested(spark, s"$path/layout")
-      .select("dim", "band_bits").as[(Long, Long)](
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong)).head()
-    require(d == dim && b == bandBits,
-      s"MIH index at $path was packed at dim=$d/bandBits=$b; " +
-        s"refusing to serve it at dim=$dim/bandBits=$bandBits")
-    ParquetLake.readManifested(spark, s"$path/bands", version)
+    val bands = ParquetLake.readManifested(spark, s"$path/bands", version)
+    // layout check: one bounded single-row probe of the pinned snapshot
+    bands.select("dim", "band_bits").limit(1)
+      .collect().foreach { r =>
+        val (d, b) = (r.getLong(0), r.getLong(1))
+        require(d == dim && b == bandBits,
+          s"MIH index at $path was packed at dim=$d/bandBits=$b; " +
+            s"refusing to serve it at dim=$dim/bandBits=$bandBits")
+      }
+    bands.drop("dim", "band_bits")
   }
 
   // --- lk47/st43: MIH-gated embedding ingest ------------------------------

@@ -60,7 +60,21 @@ package object queries {
     */
   def qcSamplePct: Option[Int] =
     sys.env.get("SPARK_GRAFT_QC_SAMPLE_PCT").map(_.trim).filter(_.nonEmpty)
-      .map(_.toInt).filter(p => p >= 1 && p <= 99)
+      .map(parseQcSamplePct)
+
+  /** Fail-fast parse: an operator who SET the var but mistyped it
+    * must not silently get the full quadratic corpus (the opposite of
+    * what they asked for). */
+  private[graft] def parseQcSamplePct(s: String): Int = {
+    val p = try s.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_QC_SAMPLE_PCT must be an integer in [1, 99], got '$s'")
+    }
+    require(p >= 1 && p <= 99,
+      s"SPARK_GRAFT_QC_SAMPLE_PCT must be in [1, 99], got $p " +
+        "(0 or 100 would silently run the FULL quadratic corpus; unset the var for that)")
+    p
+  }
 
   /** Spark side of the QC sample, id-keyed (embeddings): md5-bucket
     * filter on the id column (exact twin of the SQL predicate in
@@ -95,11 +109,24 @@ package object queries {
     * source references are rewritten (an id-join lookup like `JOIN
     * documents da ON pr.id_a = da.doc_id` over already-sampled pair
     * ids is correct either way); a following table alias stays valid
-    * because the subquery takes its place. */
+    * because the subquery takes its place. The rewrite is
+    * word-boundary anchored (case-insensitive, any whitespace between
+    * FROM and the name), so a longer table name sharing the prefix
+    * (`FROM documents_meta`) is never corrupted; a sampled-family SQL
+    * in which the table never appears as a FROM source fails loudly
+    * instead of silently replaying the full quadratic corpus. */
   def qcSampledSql(sql: String, tableName: String, keySqlExpr: String): String =
-    qcSamplePct.fold(sql)(p => sql.replace(
-      s"FROM $tableName",
+    qcSamplePct.fold(sql)(sampledSqlAt(sql, tableName, keySqlExpr, _))
+
+  private[graft] def sampledSqlAt(
+      sql: String, tableName: String, keySqlExpr: String, p: Int): String = {
+    val pat = ("(?i)\\bFROM\\s+" + java.util.regex.Pattern.quote(tableName) + "\\b").r
+    val rewritten = pat.replaceAllIn(sql, _ => java.util.regex.Matcher.quoteReplacement(
       s"FROM (SELECT * FROM $tableName WHERE ('0x' || substr(md5($keySqlExpr), 1, 7))::BIGINT % 100 < $p)"))
+    require(rewritten != sql,
+      s"qcSampledSql: no 'FROM $tableName' source found to sample in oracle SQL")
+    rewritten
+  }
 
   /** DuckDB replay of graft_simhash64 over a `(id, tok)` relation
     * named `tk`: per-token 64-bit hash = first 16 hex chars of

@@ -1592,6 +1592,15 @@ object LogStream {
     * watermark-scoped dropDuplicates BEFORE the bounded heap (the
     * streaming face of batch mihKnnWith's `.distinct()` — duplicate
     * heap entries would evict genuinely distinct neighbors). The
+    * dedup key is (window, q_id, q_sig, n_id) — the WINDOW, not the
+    * raw event time, so a query id repeated at distinct event times
+    * within one window still collapses to one heap entry per
+    * neighbor, exactly as batch's per-(q_id, q_sig, n_id, n_sig)
+    * distinct does over the window's rows (q_sig in the key keeps
+    * the degenerate same-id-different-vector input at batch parity
+    * too: both probes survive, as they do in batch). The window
+    * column inherits the event-time watermark metadata, so dedup
+    * state expires with the watermark like the aggregation's. The
     * per-(window, query) top-k is the graft_topk bounded heap on the
     * negated distance: ≤ k rows of state per open (window, query).
     *
@@ -1618,12 +1627,13 @@ object LogStream {
       if (broadcastIndex) probes.join(broadcast(idx), cond)
       else probes.join(idx.localCheckpoint(eager = false), cond)
     joined
-      .select(col(eventTimeCol), col("q_id"), col("q_sig"), col("n_id"), col("n_sig"))
-      .dropDuplicates(Seq(eventTimeCol, "q_id", "n_id"))
-      .select(col(eventTimeCol), col("q_id"),
+      .select(window(col(eventTimeCol), windowDur).as("window"),
+        col("q_id"), col("q_sig"), col("n_id"), col("n_sig"))
+      .dropDuplicates(Seq("window", "q_id", "q_sig", "n_id"))
+      .select(col("window"), col("q_id"),
         (-hamming(col("q_sig"), col("n_sig"))).cast("double").as("neg_hd"),
         col("n_id"))
-      .groupBy(window(col(eventTimeCol), windowDur), col("q_id"))
+      .groupBy(col("window"), col("q_id"))
       .agg(topk(col("neg_hd"), col("n_id"), k).as("tk"))
       .select(col("window.start").as("w_start"), col("q_id"),
         posexplode(col("tk")).as(Seq("pos", "e")))

@@ -231,4 +231,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("o_orderkey"))).toSeq
       === Seq((1L, 11L), (2L, 10L)))
   }
+
+  test("QC sampling knobs fail fast and rewrite only whole-word FROM sources") {
+    import graft.queries.{parseQcSamplePct, sampledSqlAt}
+    // in-range parses; 0/100 (full-corpus traps) and junk refuse loudly
+    assert(parseQcSamplePct("2") === 2)
+    assert(parseQcSamplePct("99") === 99)
+    for (bad <- Seq("0", "100", "-3"))
+      assert(intercept[IllegalArgumentException](parseQcSamplePct(bad))
+        .getMessage.contains("[1, 99]"), bad)
+    assert(intercept[IllegalArgumentException](parseQcSamplePct("two"))
+      .getMessage.contains("integer"))
+    // whole-word FROM rewrite: a prefix-sharing table name and an
+    // id-join mention survive untouched; lowercase keyword + newline
+    // between FROM and the name still rewrite
+    val sql = "SELECT * from\n  documents d JOIN documents_meta m ON d.doc_id = m.doc_id"
+    val out = sampledSqlAt(sql, "documents", "doc_id", 5)
+    assert(out.contains("FROM (SELECT * FROM documents WHERE"))
+    assert(out.contains("JOIN documents_meta m"), out)
+    assert(!out.contains("documents_meta WHERE"), out)
+    // no FROM source at all → loud failure, never a silent full replay
+    assert(intercept[IllegalArgumentException](
+      sampledSqlAt("SELECT * FROM embeddings", "documents", "doc_id", 5))
+      .getMessage.contains("no 'FROM documents'"))
+  }
 }

@@ -581,6 +581,19 @@ class SimilaritySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Similarity.mihIndexLoad(spark, dir, bandBits = 4))
     assert(e.getMessage.contains("packed at dim=64/bandBits=8"), e.getMessage)
+    // layout is versioned WITH the bands: after a re-save at a new
+    // packing, a pinned load of an old release verifies against that
+    // release's OWN layout — the old layout still loads (no false
+    // reject) and the new layout is refused for it (no silent serve)
+    assert(Similarity.mihIndexSave(
+      Similarity.mihIndexBuild(emb, "embedding", "vec_id", bandBits = 16),
+      dir, bandBits = 16) === 3)
+    assert(run(Similarity.mihIndexLoad(spark, dir, Some(1))) === servedFresh)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.mihIndexLoad(spark, dir, Some(1), bandBits = 16))
+    assert(e2.getMessage.contains("packed at dim=64/bandBits=8"), e2.getMessage)
+    assert(Similarity.mihIndexLoad(spark, dir, bandBits = 16)
+      .columns.toSet === Set("n_id", "n_sig", "band", "bv"))
   }
 
   test("lk47: MIH-gated embedding ingest — exact radius gate (collide-but-far admits), intra min-id keeper, idempotent replay") {

@@ -743,6 +743,43 @@ class StreamingSpec extends SparkSpec {
     withRocksDb(st44Body("_rdb"))
   }
 
+  test("st44: a query id repeated at distinct event times within one window still matches batch (per-window pair dedup)") {
+    // the dedup key is the WINDOW, not the raw event time: the same
+    // q_id arriving twice in a window must not enter the bounded
+    // heap twice (duplicate entries would evict distinct neighbors)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val t0 = 1704067200000L
+    val qBatch = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = Files.createTempDirectory("graft_stream_mih_dup").toString
+    val timed = qBatch.withColumn("event_time", timestamp_millis(lit(t0) + col("q_id")))
+    // every query arrives TWICE, 90 s apart — same 1 h window
+    timed.coalesce(1).write.parquet(s"$dir/f0")
+    timed.withColumn("event_time", timestamp_millis(lit(t0 + 90000L) + col("q_id")))
+      .coalesce(1).write.parquet(s"$dir/f1")
+    val qStream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("q_id", LongType),
+        StructField("q_vec", ArrayType(FloatType)),
+        StructField("event_time", TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val index = graft.operators.Similarity.mihIndexBuild(emb, "embedding", "vec_id")
+    val q = LogStream.streamMihKnn(qStream, index, k = 5)
+      .writeStream.format("memory").queryName("st44_out_dupq")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("st44_out_dupq")
+      .select("q_id", "rank", "neighbor_id", "hamming")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Similarity.mihKnn(emb, "embedding", "vec_id", qBatch, k = 5)
+      .select("q_id", "rank", "neighbor_id", "hamming")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("st21: per-batch manifested-dim enrichment picks up a dim refresh mid-stream") {
     import org.apache.spark.sql.SaveMode
     import graft.sources.ParquetLake
