@@ -794,8 +794,8 @@ object TextQueries {
 
     // BPE merge learning (tokenizer fitting): one corpus pass builds
     // word frequencies, then 16 deterministic pair-merge rounds over
-    // the vocab-sized relation. No SQL oracle (iterative) → rows-only
-    // + hand-computed spec in TextOpsSpec.
+    // the vocab-sized relation. Fully oracle-checked: the rounds
+    // unroll as 16 chained CTE steps in the DuckDB replay (bpeCtes).
     "t22_bpe_merges" -> ((s, dir) =>
       graft.operators.Bpe.learnMerges(table(s, dir, "documents"), "text", 16)
         .orderBy("merge_rank")),
@@ -806,9 +806,9 @@ object TextQueries {
     // counts, so per-lang token mass under the learned tokenizer
     // costs a word aggregate, never a corpus-through-the-fold pass.
     // The compression column (chars per BPE token) is the number a
-    // pretraining budget actually needs. No SQL oracle (iterative
-    // learn + fold apply) → rows-only + TextOpsSpec (hand-computed
-    // merges, round-trip, corpus parity).
+    // pretraining budget actually needs. Fully oracle-checked: the
+    // DuckDB replay's round-16 vocab state IS each word's encoding
+    // (round fold ≡ rank-ordered apply — the parity TextOpsSpec pins).
     "t35_bpe_encode" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val merges = graft.operators.Bpe.learnMerges(docs, "text", 16)
@@ -923,6 +923,38 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the 16 deterministic merge rounds unroll as chained CTE steps
+    // (the s15_mmr_rerank technique applied to the BPE learner): each
+    // round is one pair-count + one argmax (count desc, "l r" string
+    // asc — identical to the Spark tie-break) + one merge-apply, and
+    // the merge-apply is a plain left-to-right non-overlapping
+    // replace over a tab-wrapped symbolization string (symbols come
+    // from whitespace tokens, so tabs cannot occur inside them and
+    // the wrapper is unambiguous; replace ≡ the pend-fold)
+    "t22_bpe_merges" -> (bpeCtes(16) + "\n" +
+      (1 to 16).map(t =>
+        s"SELECT $t::INTEGER AS merge_rank, l AS lhs, r AS rhs, n AS pair_count FROM b$t")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY merge_rank"),
+    // t22's final vocab state IS each word's encoding (the learner's
+    // round fold ≡ rank-ordered apply, the parity TextOpsSpec pins),
+    // so the per-lang report joins the corpus words to the round-16
+    // symbol counts; chars_per_token replicates Spark's
+    // BigDecimal-on-shortest-repr HALF_UP rounding via the
+    // VARCHAR→DECIMAL hop (s15's trick)
+    "t35_bpe_encode" -> (bpeCtes(16) + """,
+        |enc AS (
+        |  SELECT w, len(string_split(trim(ws, chr(9)), chr(9)||chr(9)))::BIGINT AS n_syms FROM v16
+        |), words AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents
+        |)
+        |SELECT lang, count(*)::BIGINT AS n_words, sum(n_syms)::BIGINT AS n_tokens,
+        |  sum(length(w))::BIGINT AS n_chars,
+        |  round((sum(length(w))::DOUBLE / sum(n_syms))::VARCHAR::DECIMAL(38,20), 4)::DOUBLE AS chars_per_token
+        |FROM words JOIN enc USING (w)
+        |WHERE length(w) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin),
     // same tokenizer split; decile = pure integer division; the
     // cumulative window runs over 10 rows in both engines
     "t38_vocab_growth" ->
@@ -1497,4 +1529,44 @@ object TextQueries {
         |)
         |SELECT doc_id, source, n_chars, round(priority, 6) AS priority
         |FROM s ORDER BY doc_id""".stripMargin)
+
+  /** Chained-CTE replay of [[graft.operators.Bpe.learnMerges]]'s k
+    * deterministic merge rounds (DuckDB side of t22/t35). State per
+    * round: the vocab as (w, ws, freq) where `ws` is the word's
+    * symbolization wrapped in tabs — `\t sym \t\t sym \t`. Tokens are
+    * whitespace-split, so no symbol can contain a tab and the wrapper
+    * is unambiguous; a left-to-right non-overlapping
+    * `replace(ws, \t l \t\t r \t → \t lr \t)` is exactly the BPE
+    * pend-fold (consumed matches end on the boundary the next match
+    * starts from, so [a,b,a,b] → [ab,ab] and [a,a,a] → [aa,a]).
+    * Argmax tie-break is (count DESC, l||' '||r ASC) — bytewise equal
+    * to the Spark side's pair-string ordering because symbols contain
+    * no chars below 0x21. Emits CTEs w0, v0, b1..bk, v1..vk; the
+    * caller appends the final SELECT.
+    */
+  private def bpeCtes(k: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT token AS w, count(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0 GROUP BY 1
+        |), v0 AS MATERIALIZED (
+        |  SELECT w, chr(9) || array_to_string(list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)), chr(9)||chr(9)) || chr(9) AS ws, freq
+        |  FROM w0
+        |)""".stripMargin
+    val steps = (1 to k).map { t =>
+      val p = t - 1
+      s"""b$t AS MATERIALIZED (
+         |  SELECT sy[i] AS l, sy[i+1] AS r, sum(freq)::BIGINT AS n FROM (
+         |    SELECT sy, freq, unnest(generate_series(1, len(sy) - 1)) AS i
+         |    FROM (SELECT string_split(trim(ws, chr(9)), chr(9)||chr(9)) AS sy, freq FROM v$p))
+         |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1
+         |), v$t AS MATERIALIZED (
+         |  SELECT w, replace(ws, chr(9)||b.l||chr(9)||chr(9)||b.r||chr(9), chr(9)||b.l||b.r||chr(9)) AS ws, freq
+         |  FROM v$p CROSS JOIN b$t b
+         |)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
 }
