@@ -627,6 +627,47 @@ object AnalyticsQueries {
     // engine-specific); the spec pins every |rel_err| within ~3× its
     // configured rsd, and the whole report is deterministic (fixed
     // hash, no sampling).
+    // lk45's matview algebra under the driver's eye: build a lake
+    // from the events table in two append-only commits, refresh the
+    // count/sum/min/max rollup after each (the second refresh MUST
+    // take the incremental path — require()d, so a silent fall-back
+    // to full recompute fails the row loudly), and hash-check the
+    // served rollup against a plain GROUP BY oracle. Integer measure
+    // (user_id) keeps every column exact — no fp merge order to
+    // worry about. The incremental refresh is the 100 TB point: the
+    // second commit's files are the only ones rescanned.
+    "q59_matview_rollup" -> ((s, dir) => {
+      import graft.sources.ParquetLake
+      val path = java.nio.file.Files.createTempDirectory("graft_mv_probe")
+        .toString + "/lake"
+      val ev = events(s, dir).select("event_type", "user_id")
+      ev.where(col("user_id") % 2 === 0).write.parquet(path)
+      ParquetLake.snapshotManifest(s, path)
+      ParquetLake.matviewRefresh(s, path, "rollup", Seq("event_type"), Seq("user_id"))
+      ev.where(col("user_id") % 2 =!= 0).write.mode("append").parquet(path)
+      ParquetLake.snapshotManifest(s, path)
+      val r2 = ParquetLake.matviewRefresh(s, path, "rollup", Seq("event_type"), Seq("user_id"))
+      require(r2.mode == "incremental",
+        s"expected incremental matview refresh, got ${r2.mode}")
+      ParquetLake.matviewRead(s, path, "rollup")
+        .select(col("event_type"), col("n_rows"), col("sum_user_id"),
+          col("cnt_user_id"), col("min_user_id"), col("max_user_id"))
+        .orderBy("event_type")
+    }),
+
+    // a8's exact leg as its own fully hash-checked driver row: the
+    // two-level aggregate (map-side distinct dedup, no count-distinct
+    // Expand) is integer arithmetic end to end, so it replays in
+    // DuckDB — only a8's HLL estimate columns are engine-specific,
+    // and they stay under a8's 3×rsd spec. At 100 TB this is also the
+    // plan you'd actually run for an exact distinct: the first-level
+    // (event_type, user_id) dedup combines map-side, the second level
+    // counts group-sized partials.
+    "a14_exact_distinct" -> ((s, dir) =>
+      events(s, dir).select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("exact"))
+        .orderBy("event_type")),
+
     "a8_hll_error_eval" -> ((s, dir) => {
       val ev = events(s, dir)
       val exact = ev.select("event_type", "user_id").distinct()
@@ -1673,6 +1714,16 @@ object AnalyticsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "a14_exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_matview_rollup" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  sum(user_id)::BIGINT AS sum_user_id,
+        |  count(user_id)::BIGINT AS cnt_user_id,
+        |  min(user_id)::BIGINT AS min_user_id,
+        |  max(user_id)::BIGINT AS max_user_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_resample_ffill" ->
       """WITH e0 AS (
         |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ms, value, event_id FROM events
