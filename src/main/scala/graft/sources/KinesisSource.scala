@@ -67,11 +67,15 @@ object KinesisSource {
     * The AT_TIMESTAMP value is a formatted UTC datetime plus an
     * explicit `timestampFormat` — the spelling the AWS Labs connector
     * README documents; set `timestampAsEpochMillis=true` for
-    * connector builds that take epoch millis instead. CAVEAT: this
-    * sandbox has no AWS endpoint and no copy of the connector docs,
-    * so NEITHER spelling is verified against a pinned connector
-    * version here — before production use, check your connector's
-    * README and pick the matching form.
+    * connector builds that take epoch millis instead. The full option
+    * surface this shim emits is pinned BOTH ways against the vendored
+    * contract table (resources/kinesis-option-contract.md) by the k7
+    * golden spec: a key rename on either side fails the build, not a
+    * production attach. CAVEAT: this sandbox has no AWS endpoint and
+    * no copy of the connector docs, so NEITHER AT_TIMESTAMP spelling
+    * is verified against a pinned connector version here — before
+    * production use, diff the vendored table against your connector
+    * release's README and pick the matching form.
     */
   def options(args: KinesisArgs, timestampAsEpochMillis: Boolean = false): Map[String, String] = {
     require(args.streamName.nonEmpty, "streamName must be non-empty")

@@ -119,4 +119,51 @@ class KinesisSourceSpec extends SparkSpec {
     assert(plan.contains("Join LeftOuter"), s"expected a snapshot join in:\n$plan")
     assert(!plan.contains(" IN ("), s"file-name In literal leaked into:\n$plan")
   }
+
+  test("k7: emitted option maps match the vendored connector option contract exactly") {
+    // the contract table ships as a resource; this spec parses it and
+    // pins the emitted keys against it BOTH ways, so a rename in the
+    // code or an edit of the table fails here instead of silently
+    // mis-optioning a production attach
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/kinesis-option-contract.md"), "UTF-8")
+    val contract: Map[String, String] =
+      try src.getLines().toList
+        .filter(_.startsWith("| kinesis."))
+        .map(_.split("\\|").map(_.trim).filter(_.nonEmpty))
+        .map(a => a(0) -> a(1)).toMap
+      finally src.close()
+    assert(contract.nonEmpty, "vendored contract table missing or unparseable")
+
+    val t = Instant.parse("2024-01-01T12:30:00Z")
+    val latest = KinesisSource.options(KinesisArgs("s"))
+    val latestFull = KinesisSource.options(KinesisArgs(
+      "s", region = Some("us-east-1"), endpointUrl = Some("https://example.test")))
+    val atTs = KinesisSource.options(KinesisArgs(
+      "s", startTime = Some(t),
+      region = Some("us-east-1"), endpointUrl = Some("https://example.test")))
+    val atMs = KinesisSource.options(
+      KinesisArgs("s", startTime = Some(t)), timestampAsEpochMillis = true)
+
+    // no emitted key outside the contract, no contract row never emitted
+    val allEmitted = latest.keySet ++ latestFull.keySet ++ atTs.keySet ++ atMs.keySet
+    assert(allEmitted === contract.keySet,
+      s"emitted/contract drift: only-emitted=${allEmitted -- contract.keySet} " +
+        s"only-contract=${contract.keySet -- allEmitted}")
+    // 'when' column semantics hold per form
+    val always = contract.filter(_._2 == "always").keySet
+    Seq(latest, latestFull, atTs, atMs).foreach(m =>
+      assert(always.subsetOf(m.keySet), s"always-keys missing from $m"))
+    assert(latestFull.contains("kinesis.region") && !latest.contains("kinesis.region"))
+    assert(latestFull.contains("kinesis.endpointUrl") && !latest.contains("kinesis.endpointUrl"))
+    contract.filter(_._2 == "at-timestamp-only").keySet.foreach { k =>
+      assert(atTs.contains(k) && atMs.contains(k) && !latest.contains(k), k)
+    }
+    contract.filter(_._2 == "at-timestamp-datetime-only").keySet.foreach { k =>
+      assert(atTs.contains(k) && !atMs.contains(k) && !latest.contains(k), k)
+    }
+    // pinned position values (the contract's value-form column)
+    assert(latest("kinesis.startingPosition") === "LATEST")
+    assert(atTs("kinesis.startingPosition") === "AT_TIMESTAMP")
+  }
 }
