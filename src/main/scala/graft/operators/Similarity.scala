@@ -1024,6 +1024,55 @@ object Similarity {
     hammingTopK(cands, k)
   }
 
+  /** s22: EXACT Hamming radius search served from the band index —
+    * every corpus vector within `maxHamming` of each query, with a
+    * COMPLETENESS GUARANTEE instead of kNN's best-effort recall:
+    * `maxHamming ≤ nBands − 1` is require()d, so by pigeonhole any
+    * in-radius vector differs from the query in ≤ nBands−1 bits,
+    * leaves at least one band untouched, and MUST collide in the band
+    * join — the banded result is bit-identical to a brute-force
+    * radius scan while touching only colliding postings. This is the
+    * retrieval shape of a near-duplicate LOOKUP (lk47's gate as a
+    * query: "show me everything within editing distance of this
+    * probe"), where kNN's fixed k either truncates a dense
+    * neighborhood or pads a sparse one.
+    *
+    * Scale shape = [[mihKnnWith]]'s: the nBands·|Q| query band rows
+    * broadcast into the posting relation, candidates are
+    * posting-mass-sized, and the exact xor+popcount filter is the
+    * only work past the join — no heap, no ranking state.
+    */
+  def mihRadius(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, maxHamming: Int,
+      dim: Int = 64, bandBits: Int = 8): DataFrame =
+    mihRadiusWith(mihIndexBuild(corpus, vecCol, idCol, dim, bandBits),
+      queries, maxHamming, dim, bandBits)
+
+  def mihRadiusWith(
+      index: DataFrame, queries: DataFrame, maxHamming: Int,
+      dim: Int = 64, bandBits: Int = 8): DataFrame = {
+    val nBands = dim / bandBits
+    require(maxHamming <= nBands - 1,
+      s"exact radius search requires maxHamming ≤ nBands-1 = ${nBands - 1} " +
+        s"(pigeonhole guarantee); got $maxHamming — raise nBands (lower " +
+        "bandBits) or use mihKnn's best-effort ranking")
+    import graft.functions.hamming
+    val q = queries
+      .select(col("q_id"), signSig(col("q_vec"), dim).as("q_sig"))
+      .select(col("q_id"), col("q_sig"),
+        posexplode(bandVals(col("q_sig"), dim, bandBits)).as(Seq("qband", "qbv")))
+    index
+      .join(broadcast(q),
+        col("band") === col("qband") && col("bv") === col("qbv") &&
+          col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_sig"), col("n_id"), col("n_sig"))
+      .distinct() // union over bands: one candidate row per (query, vector)
+      .select(col("q_id"), col("n_id").as("neighbor_id"),
+        hamming(col("q_sig"), col("n_sig")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Persist / reload the MIH band index through the same WAP
     * manifest-lake path as the IVF index (s11): every prior snapshot
     * stays replayable until vacuum, `version` pins a serving release.

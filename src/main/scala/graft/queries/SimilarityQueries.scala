@@ -108,6 +108,23 @@ object SimilarityQueries {
         k = 5, samplePct = 20,
         maxQueries = 512)), // absolute cap: truth leg stays linear in N
 
+    // EXACT Hamming radius retrieval from the MIH band index
+    // (pigeonhole-complete at maxHamming ≤ nBands-1): probes are
+    // corpus vectors with their first 5 dims sign-flipped — a
+    // deterministic "corrupted copy" whose source sits within the
+    // radius — so every probe is GUARANTEED to retrieve its source,
+    // and the oracle is plain brute force (banded ≡ exhaustive, the
+    // operator's exactness claim checked corpus-wide, not sampled).
+    "s22_hamming_radius" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("q_id"),
+          transform(col("embedding"),
+            (x, i) => when(i < 5, -x).otherwise(x)).as("q_vec"))
+      Similarity.mihRadius(emb, "embedding", "vec_id", probes, maxHamming = 7)
+        .orderBy("q_id", "neighbor_id")
+    }),
+
     // binary (sign-bit) quantization baseline: exact top-k under
     // Hamming distance over 1-bit/dim signatures — the 32×-compressed
     // scan you run when float vectors don't fit; unlike the cosine
@@ -509,6 +526,30 @@ object SimilarityQueries {
     // the sign-bit family replays end-to-end in integers: the packer
     // (32 bits/word so BIGINT shifts never overflow), xor+popcount
     // distances, band values, and ranks — no fp surface anywhere.
+    // brute force IS the oracle: the banded search is exactness-
+    // guaranteed at radius ≤ nBands-1, so the replay needs no band
+    // machinery — flipped-sign packing for the probes (dims 1-5 test
+    // < 0, the sign of the negated float), xor+popcount, radius cut
+    "s22_hamming_radius" ->
+      """WITH sig AS (
+        |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+        |    list_sum(list_transform(generate_series(1, 32), j ->
+        |      CASE WHEN embedding[w*32 + j] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))) AS s
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id + 1000000 AS q_id, list_transform(generate_series(0, 1), w ->
+        |    list_sum(list_transform(generate_series(1, 32), j ->
+        |      CASE WHEN (CASE WHEN w*32 + j <= 5 THEN embedding[w*32 + j] < 0
+        |                      ELSE embedding[w*32 + j] > 0 END)
+        |        THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))) AS qs
+        |  FROM embeddings WHERE vec_id % 97 = 0
+        |)
+        |SELECT q_id, a.vec_id AS neighbor_id,
+        |  (bit_count(xor(a.s[1], qs[1])) + bit_count(xor(a.s[2], qs[2])))::BIGINT AS hamming
+        |FROM sig a, q
+        |WHERE a.vec_id <> q_id
+        |  AND (bit_count(xor(a.s[1], qs[1])) + bit_count(xor(a.s[2], qs[2]))) <= 7
+        |ORDER BY q_id, neighbor_id""".stripMargin,
     "s19_knn_hamming" ->
       """WITH sig AS (
         |  SELECT vec_id, list_transform(generate_series(0, 1), w ->

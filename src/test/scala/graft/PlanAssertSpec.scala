@@ -500,4 +500,28 @@ class PlanAssertSpec extends SparkSpec {
     // corpus-scale candidate relation must never sort for it
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("s22: radius candidates hash-join on band keys; no heap, no window, no cartesian") {
+    val p = plan("s22_hamming_radius")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // radius search has no ranking state at all — the exact distance
+    // filter is the only work past the dedup
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("graft_topk"), p)
+    assert(p.contains("graft_hamming"), p)
+  }
+
+  test("a14: exact distinct is the two-level aggregate — no count-distinct Expand") {
+    // the row exists to drive a8's exact leg through the oracle; its
+    // scale property is the plan shape: a map-side (event_type,
+    // user_id) dedup then a group count — never the Expand node a
+    // count(DISTINCT) would plant (row multiplication on the corpus)
+    val p = plan("a14_exact_distinct")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -536,6 +536,43 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.contains(0L), "self-match must be excluded")
   }
 
+  test("s22: radius search ≡ brute force inside the pigeonhole bound; out-of-bound radius refused") {
+    // corpus-derived probes: every 7th vector, first 5 dims negated —
+    // the banded radius result must equal an exhaustive signature
+    // scan EXACTLY (the operator's completeness guarantee), on the
+    // real corpus, under any partitioning
+    val probes = emb.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        transform(col("embedding"), (x, i) => when(i < 5, -x).otherwise(x)).as("q_vec"))
+    val got = Similarity.mihRadius(emb, "embedding", "vec_id", probes, maxHamming = 7)
+      .select("q_id", "neighbor_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    // brute force over reference signatures
+    val sigs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> refSig(v) }
+    val qsigs = probes.select("q_id", "q_vec").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> refSig(v) }
+    val brute = (for {
+      (qid, qs) <- qsigs; (nid, ns) <- sigs
+      hd = refHd(qs, ns) if hd <= 7 && nid != qid
+    } yield (qid, nid, hd)).toSet
+    assert(got === brute)
+    // every probe retrieves its source vector (hd = sign flips among
+    // the 5 negated dims ≤ 5 < nBands — pigeonhole-guaranteed)
+    val srcPairs = got.map(t => (t._1, t._2))
+    qsigs.foreach { case (qid, _) =>
+      assert(srcPairs.contains((qid, qid - 1000000L)), s"probe $qid lost its source")
+    }
+    // same under a different input partitioning
+    val again = Similarity.mihRadius(
+      emb.repartition(7), "embedding", "vec_id", probes, maxHamming = 7)
+      .select("q_id", "neighbor_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(again === got)
+    // the exactness bound is enforced, not documented-only
+    val e = intercept[IllegalArgumentException](
+      Similarity.mihRadius(emb, "embedding", "vec_id", probes, maxHamming = 8))
+    assert(e.getMessage.contains("nBands-1"), e.getMessage)
+  }
+
   test("s20: real-corpus candidates carry exact distances, share a band with the query, and survive repartitioning") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
     val sigs = vecs.map { case (id, v) => id -> refSig(v) }.toMap
