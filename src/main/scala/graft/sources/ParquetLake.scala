@@ -3227,6 +3227,20 @@ object ParquetLake {
         else col(s"sum_$m") / col("n_rows")))
   }
 
+  /** How the matview's current version was produced
+    * (`full` | `incremental` | `noop` — the cost receipt a continuous
+    * maintenance job audits: incremental is the contract, full means
+    * something rewrote history).
+    */
+  def matviewMode(spark: SparkSession, path: String, name: String): String = {
+    val (fs, root) = fsFor(spark, path)
+    val (_, p) = matviewVersions(fs, root, name).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no matview '$name' under $path"))
+    manifestLines(fs, p).find(_.startsWith("# mode=")).map(
+      _.stripPrefix("# mode=")).getOrElse(
+      throw new IllegalStateException(s"matview '$name' has no mode header"))
+  }
+
   /** The main version the matview currently reflects (its staleness
     * probe: compare against the lake head before trusting it).
     */
