@@ -36,7 +36,11 @@ WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
              "q45_running_revenue", "a13_theta_diff", "d8_embedding_lsh",
              # r16's new row: per-config band joins + one truth scan;
              # expected ~linear in N per config
-             "s21_mih_band_sweep"]
+             "s21_mih_band_sweep",
+             # r17's new rows: the lake-building matview probe (write-
+             # bound, expected ~linear) and the banded radius search
+             # (posting-mass-bound, expected ~linear)
+             "q59_matview_rollup", "s22_hamming_radius"]
 
 
 def main():
