@@ -97,9 +97,18 @@ object AnalyticsQueries {
         .orderBy("l_orderkey")
     }),
 
+    // window ORDER BY must be TOTAL (the q45/s9 lesson): the synthetic
+    // lineitem does NOT have unique (l_orderkey, l_linenumber) — at
+    // sf0.1 exactly one (suppkey, shipdate, orderkey, linenumber) key
+    // holds two rows with DIFFERENT quantities, so without the
+    // quantity tiebreak the running sum at that rank is
+    // engine-order-dependent (caught by the r17 sf1 replay, where the
+    // tie replicates 100×). With quantity as the last key, any
+    // remaining ties are between rows identical in every emitted
+    // column, so the output set is order-free.
     "q4_running_window" -> ((s, dir) => {
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       table(s, dir, "lineitem")
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -2139,7 +2148,7 @@ object AnalyticsQueries {
         |row_number() OVER w AS rn,
         |round(sum(l_quantity::DECIMAL(18,4)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
         |ORDER BY l_suppkey, rn""".stripMargin,
     // exact regime (see the query comment): Spark returns the element
     // at rank ceil(q * n) in value order; the CASTs force DuckDB to
