@@ -44,8 +44,9 @@ WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
 
 
 def main():
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "12"
-    n_worst = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rnd = pos[0] if len(pos) > 0 else "12"
+    n_worst = int(pos[1]) if len(pos) > 1 else 10
     detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
     times = {q: r["sec"] if isinstance(r, dict) else r
              for q, r in detail["queries"].items()}
