@@ -374,44 +374,6 @@ object LogStream {
       .outputMode("update")
       .start()
 
-  /** st45: continuous matview maintenance — lk45's incremental
-    * refresh as a streaming sink (q59's continuous face): each
-    * micro-batch lands in its own `batch_id=` partition and the
-    * count/sum/min/max rollup refreshes against the manifest diff,
-    * so the continuously-served report costs each batch's files —
-    * never a lake rescan — and is exactly consistent with the lake
-    * head after every batch (no eventual-consistency window: refresh
-    * runs inside the same foreachBatch).
-    *
-    * Replay contract (foreachBatch is at-least-once): a re-delivered
-    * batch OVERWRITES its own `batch_id=` partition (dynamic
-    * partition overwrite — [[idempotentBatchWriter]]'s idempotence),
-    * which makes the next manifest diff non-append-only, and the
-    * refresh honestly falls back to ONE full recompute rather than
-    * double-count — exact on the happy path incrementally, exact on
-    * the replay path by recompute, stale never. Single-writer like
-    * all lake maintenance.
-    */
-  def startMatviewSink(
-      rows: DataFrame, path: String, name: String,
-      keys: Seq[String], measures: Seq[String], checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          batch.withColumn("batch_id", lit(id))
-            .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-          graft.sources.ParquetLake.snapshotManifest(spark, path)
-          graft.sources.ParquetLake.matviewRefresh(spark, path, name, keys, measures)
-          ()
-        }
-      }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("update")
-      .start()
-
   /** st35: continuous dedup-gated ingest — lk41's persisted-index
     * gate run per micro-batch: every batch is admitted/rejected
     * against the fingerprint index, admitted rows publish to the

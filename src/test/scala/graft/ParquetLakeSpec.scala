@@ -1562,9 +1562,11 @@ class ParquetLakeSpec extends SparkSpec {
         (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_user_id"),
           r.getAs[Long]("min_user_id"), r.getAs[Long]("max_user_id"))).toMap
 
-    // first build is full and exact
+    // first build is full and exact; the mode receipt persists in the
+    // matview header (matviewMode is what a maintenance job audits)
     val r1 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
     assert(r1.mode === "full")
+    assert(ParquetLake.matviewMode(spark, dir, "mv") === "full")
     assert(got() === expect())
     // no movement → noop, same version
     val r2 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
@@ -1581,6 +1583,7 @@ class ParquetLakeSpec extends SparkSpec {
     val added = ParquetLake.readManifest(spark, dir, None).get.toSet -- head0
     val r3 = ParquetLake.matviewRefresh(spark, dir, "mv", keys, ms)
     assert(r3.mode === "incremental")
+    assert(ParquetLake.matviewMode(spark, dir, "mv") === "incremental")
     assert(r3.scannedFiles === added.size)
     assert(got() === expect())
     assert(ParquetLake.matviewBase(spark, dir, "mv")

@@ -1596,65 +1596,6 @@ class StreamingSpec extends SparkSpec {
     assert(lake.where(col("doc_id") >= 100000L).count() === 0)
   }
 
-  test("st45: continuous matview maintenance — rollup exact after every batch, incremental past the first, full-recompute on a rewritten partition") {
-    import org.apache.spark.sql.SaveMode
-    import graft.sources.ParquetLake
-    val inDir = Files.createTempDirectory("graft_mv_in").toString
-    val lake = Files.createTempDirectory("graft_mv_lake").toString + "/lake"
-    val ckpt = Files.createTempDirectory("graft_mv_ckpt").toString
-    val ev = events(spark, sf).select("event_type", "user_id").localCheckpoint()
-    val slices = Seq(
-      ev.where(col("user_id") % 3 === 0),
-      ev.where(col("user_id") % 3 === 1),
-      ev.where(col("user_id") % 3 === 2))
-    def expected(n: Int) = slices.take(n).reduce(_ unionByName _)
-      .groupBy("event_type").agg(
-        count(lit(1)).as("n_rows"), sum("user_id").as("sum_user_id"),
-        min("user_id").as("min_user_id"), max("user_id").as("max_user_id"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    def got() = ParquetLake.matviewRead(spark, lake, "mv")
-      .collect().map(r => r.getAs[String]("event_type") ->
-        (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_user_id"),
-          r.getAs[Long]("min_user_id"), r.getAs[Long]("max_user_id"))).toMap
-
-    slices(0).coalesce(1).write.mode(SaveMode.Overwrite).parquet(inDir)
-    val stream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("event_type", StringType), StructField("user_id", LongType))))
-      .parquet(inDir)
-    val q = LogStream.startMatviewSink(
-      stream, lake, "mv", Seq("event_type"), Seq("user_id"), ckpt)
-    try {
-      q.processAllAvailable()
-      assert(got() === expected(1))
-      slices(1).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
-      q.processAllAvailable()
-      // the rollup is exactly consistent with the lake head after
-      // every batch, and past the first it cost only the batch's files
-      assert(got() === expected(2))
-      assert(ParquetLake.matviewMode(spark, lake, "mv") === "incremental")
-      slices(2).coalesce(1).write.mode(SaveMode.Append).parquet(inDir)
-      q.processAllAvailable()
-      assert(got() === expected(3))
-      assert(ParquetLake.matviewMode(spark, lake, "mv") === "incremental")
-    } finally q.stop()
-
-    // replay path: a re-delivered batch rewrites its own batch_id=
-    // partition (idempotent content), which makes the diff
-    // non-append-only — the refresh must fall back to full recompute
-    // and stay exact, never double-count
-    val b0 = spark.read.parquet(s"$lake/batch_id=0").localCheckpoint()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    b0.withColumn("batch_id", lit(0L))
-      .write.mode(SaveMode.Overwrite).partitionBy("batch_id").parquet(lake)
-    ParquetLake.snapshotManifest(spark, lake)
-    val r = ParquetLake.matviewRefresh(
-      spark, lake, "mv", Seq("event_type"), Seq("user_id"))
-    assert(r.mode === "full")
-    assert(got() === expected(3))
-  }
-
   test("st38: continuous line-scrub ingest — cross-batch repeated sentences scrub, boilerplate-only docs drop") {
     import org.apache.spark.sql.SaveMode
     import graft.operators.Dedup
