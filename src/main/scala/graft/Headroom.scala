@@ -18,7 +18,15 @@ object Headroom {
     val outFile = args(0)
     val sf01 = args(1)
     val sf1 = args(2)
-    val queries = args.drop(3).toSeq
+    // codec-bound rows measure LAST (same discipline as graft.Bench):
+    // s17 read 14.9x in HEADROOM_r17 purely from running adjacent to
+    // m17's 24s codec leg (3.5x isolated) — the artifact should not
+    // need a prose asterisk every round
+    val queries = {
+      val picked = args.drop(3).toSeq
+      val (codec, plain) = picked.partition(Bench.codecTail)
+      plain ++ codec
+    }
     val spark = Bench.withScratchDir(GraftSession.builder(32)).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -45,6 +53,9 @@ object Headroom {
     // min-of-1 artifact of a bursty box, not a plan property).
     queries.foreach { q => run(q, sf01); run(q, sf1) }
     val rows = queries.map { q =>
+      // settle before every codec row's measured legs: GC/compiler debt
+      // from the preceding row otherwise lands in this row's timer
+      if (Bench.codecTail(q)) Bench.coolDown()
       val a = math.min(run(q, sf01), run(q, sf01))
       val b = math.min(run(q, sf1), run(q, sf1))
       // codec-bound rows also report their rendered-payload bytes at

@@ -1105,14 +1105,23 @@ object Similarity {
       dim: Int = 64, bandBits: Int = 8): DataFrame = {
     import graft.sources.ParquetLake
     val bands = ParquetLake.readManifested(spark, s"$path/bands", version)
-    // layout check: one bounded single-row probe of the pinned snapshot
-    bands.select("dim", "band_bits").limit(1)
-      .collect().foreach { r =>
-        val (d, b) = (r.getLong(0), r.getLong(1))
-        require(d == dim && b == bandBits,
-          s"MIH index at $path was packed at dim=$d/bandBits=$b; " +
-            s"refusing to serve it at dim=$dim/bandBits=$bandBits")
-      }
+    // Layout check: one bounded single-row probe of the pinned snapshot.
+    // A snapshot missing the layout columns (saved by a pre-layout
+    // format) or carrying zero rows is "layout unverifiable" — refuse
+    // to serve rather than silently skip the check or die on an opaque
+    // unresolved-column error downstream.
+    require(bands.columns.contains("dim") && bands.columns.contains("band_bits"),
+      s"MIH index at $path carries no layout columns (dim/band_bits) — " +
+        "saved by a pre-layout format? Re-save with mihIndexSave to serve it")
+    val probe = bands.select("dim", "band_bits").limit(1).collect()
+    require(probe.nonEmpty,
+      s"MIH index at $path has zero rows — layout unverifiable; refusing to serve")
+    probe.foreach { r =>
+      val (d, b) = (r.getLong(0), r.getLong(1))
+      require(d == dim && b == bandBits,
+        s"MIH index at $path was packed at dim=$d/bandBits=$b; " +
+          s"refusing to serve it at dim=$dim/bandBits=$bandBits")
+    }
     bands.drop("dim", "band_bits")
   }
 

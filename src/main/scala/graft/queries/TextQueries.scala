@@ -1563,8 +1563,8 @@ object TextQueries {
          |    FROM (SELECT string_split(trim(ws, chr(9)), chr(9)||chr(9)) AS sy, freq FROM v$p))
          |  GROUP BY 1, 2 ORDER BY n DESC, l || ' ' || r LIMIT 1
          |), v$t AS MATERIALIZED (
-         |  SELECT w, replace(ws, chr(9)||b.l||chr(9)||chr(9)||b.r||chr(9), chr(9)||b.l||b.r||chr(9)) AS ws, freq
-         |  FROM v$p CROSS JOIN b$t b
+         |  SELECT w, coalesce(replace(ws, chr(9)||b.l||chr(9)||chr(9)||b.r||chr(9), chr(9)||b.l||b.r||chr(9)), ws) AS ws, freq
+         |  FROM v$p LEFT JOIN b$t b ON true
          |)""".stripMargin
     }
     (base +: steps).mkString(",\n")

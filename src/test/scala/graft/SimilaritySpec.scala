@@ -633,6 +633,27 @@ class SimilaritySpec extends SparkSpec {
       .columns.toSet === Set("n_id", "n_sig", "band", "bv"))
   }
 
+  test("s20: unverifiable MIH index layouts refuse to serve (empty snapshot, pre-layout format)") {
+    // zero-row snapshot: the single-row probe finds no layout to check —
+    // that is "layout unverifiable", not "layout fine"
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_mih_empty").toString
+    assert(Similarity.mihIndexSave(
+      Similarity.mihIndexBuild(emb.where(col("vec_id") < 0), "embedding", "vec_id"),
+      emptyDir) === 1)
+    val e = intercept[IllegalArgumentException](
+      Similarity.mihIndexLoad(spark, emptyDir))
+    assert(e.getMessage.contains("layout unverifiable"), e.getMessage)
+    // legacy snapshot without dim/band_bits columns: targeted re-save
+    // error, not an opaque unresolved-column failure downstream
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft_mih_legacy").toString
+    val legacy = Similarity.mihIndexBuild(emb, "embedding", "vec_id")
+    legacy.write.mode("errorifexists").parquet(s"$legacyDir/bands")
+    graft.sources.ParquetLake.snapshotManifest(spark, s"$legacyDir/bands")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.mihIndexLoad(spark, legacyDir))
+    assert(e2.getMessage.contains("pre-layout"), e2.getMessage)
+  }
+
   test("lk47: MIH-gated embedding ingest — exact radius gate (collide-but-far admits), intra min-id keeper, idempotent replay") {
     import graft.sources.ParquetLake
     val dataPath = java.nio.file.Files.createTempDirectory("graft_eg_data").toString + "/lake"

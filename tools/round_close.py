@@ -22,7 +22,7 @@ single ROUND_CLOSE_r{N}.json scorecard:
                              BENCH_DETAIL.json -> BENCH_DETAIL_prev.json)
 
 Usage: python3 tools/round_close.py <round> [--skip-tests] [--skip-sf1]
-           [--skip-bench] [--pin] [--max-load 1.0]
+           [--skip-bench] [--pin] [--max-load=1.0]
 
 Any step failing marks the scorecard red and exits 1; later steps
 still run (the scorecard should show everything that needs fixing)
@@ -56,18 +56,25 @@ def main():
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     if not args:
         print("usage: round_close.py <round> [--skip-tests] [--skip-sf1] "
-              "[--skip-bench] [--pin] [--max-load N]")
+              "[--skip-bench] [--pin] [--max-load=N]")
         sys.exit(2)
     rnd = int(args[0])
     max_load = 1.0
     for f in flags:
         if f.startswith("--max-load"):
+            if "=" not in f:
+                print("round_close.py: use --max-load=N (e.g. --max-load=1.5); "
+                      "the space-separated form is not supported")
+                sys.exit(2)
             max_load = float(f.split("=", 1)[1])
     steps = {}
     failed = []
+    ran = set()  # steps that actually executed (not skipped by flag/busy box)
 
-    def record(name, ok, info, secs=None):
+    def record(name, ok, info, secs=None, did_run=True):
         steps[name] = {"ok": ok, "info": info, **({"sec": secs} if secs else {})}
+        if did_run:
+            ran.add(name)
         print(f"[round_close] {'OK  ' if ok else 'FAIL'} {name}: {info}")
         if not ok:
             failed.append(name)
@@ -79,7 +86,7 @@ def main():
 
     # 2. full spec suite
     if "--skip-tests" in flags:
-        record("sbt_test", True, "SKIPPED by flag")
+        record("sbt_test", True, "SKIPPED by flag", did_run=False)
     else:
         rc, out, secs = sh(["sbt", "-batch", "test"], timeout=3600)
         m = re.search(r"Tests: succeeded (\d+), failed (\d+)", out)
@@ -99,7 +106,7 @@ def main():
 
     # 4. sf1 oracle replay (sampled quadratic family)
     if "--skip-sf1" in flags:
-        record("replay_sf1", True, "SKIPPED by flag")
+        record("replay_sf1", True, "SKIPPED by flag", did_run=False)
     else:
         if not (REPO / "tmp/sf1/documents.parquet").exists():
             rc, out, secs = sh(["python3", "tools/make_sf1.py"], timeout=3600)
@@ -146,9 +153,9 @@ def main():
                secs)
 
         if "--skip-bench" in flags:
-            record("dress_rehearsal", True, "SKIPPED by flag")
-            record("bench_compare", True, "SKIPPED by flag")
-            record("headroom", True, "SKIPPED by flag")
+            record("dress_rehearsal", True, "SKIPPED by flag", did_run=False)
+            record("bench_compare", True, "SKIPPED by flag", did_run=False)
+            record("headroom", True, "SKIPPED by flag", did_run=False)
         else:
             # 8. dress rehearsal: full sf0.1 min-of-2 -> BENCH_DETAIL.json
             rc, out, secs = sh(
@@ -181,16 +188,23 @@ def main():
                 timeout=7200)
             record("headroom", rc == 0, f"HEADROOM_r{rnd}.json", secs)
 
-        # 11. re-pin only on an explicitly clean rehearsal
+        # 11. re-pin only on a rehearsal+compare that actually RAN clean
+        # this round — a step skipped by flag (or busy box) must not
+        # satisfy the pin gate, else a stale BENCH_DETAIL.json silently
+        # overwrites the baseline future compares trust.
         if "--pin" in flags:
-            if steps.get("dress_rehearsal", {}).get("ok") and \
+            if "dress_rehearsal" in ran and "bench_compare" in ran and \
+               steps.get("dress_rehearsal", {}).get("ok") and \
                steps.get("bench_compare", {}).get("ok"):
                 (REPO / "BENCH_DETAIL_prev.json").write_text(
                     (REPO / "BENCH_DETAIL.json").read_text())
                 record("pin", True, "BENCH_DETAIL.json -> BENCH_DETAIL_prev.json")
             else:
+                why = "skipped (did not run)" if (
+                    "dress_rehearsal" not in ran or "bench_compare" not in ran
+                ) else "not clean"
                 record("pin", False,
-                       "refused: rehearsal/compare not clean — adjudicate first")
+                       f"refused: rehearsal/compare {why} — adjudicate/re-run first")
 
     out_path = REPO / f"ROUND_CLOSE_r{rnd}.json"
     out_path.write_text(json.dumps(
