@@ -42,6 +42,17 @@ object CdcOps {
     h
   }
 
+  /** The gear table rendered as SQL VALUES rows "(byte,value)", values
+    * as nonnegative decimals < 2^64 — lets the DuckDB oracle (m7/m8)
+    * replay the chunker byte-for-byte with the kernel's own constant
+    * table while recomputing the walk (boundary logic, FNV identities,
+    * 64-bit wraparound) independently in SQL.
+    */
+  def gearSqlValues: String =
+    gear.zipWithIndex
+      .map { case (g, i) => s"($i,${java.lang.Long.toUnsignedString(g)})" }
+      .mkString(",")
+
   /** Chunk fingerprints (FNV-1a 64 per chunk), in payload order. */
   def chunks(bytes: Array[Byte], minLen: Int, maskBits: Int, maxLen: Int): ArrayData = {
     val mask = (1L << maskBits) - 1

@@ -225,10 +225,12 @@ object MultimodalQueries {
     // chunk-grain binary dedup via content-defined chunking: a
     // duplicated tail slice of the corpus makes every original's
     // chunks shared — fingerprints only cross the shuffle, bytes
-    // never do (rows-only: the gear/FNV chunker has no SQL replay;
-    // boundary-locality and parity specs in MultimodalSpec)
+    // never do. Oracle: full byte-for-byte recursive-CTE replay of
+    // the gear/FNV walk ([[cdcChunksSql]]); QC-sampled at the 100x
+    // replay like the quadratic family (the walk is linear but the
+    // DuckDB recursion pays per byte)
     "m7_cdc_dedup" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = qcSampledByText(table(s, dir, "documents"))
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       // re-ingested near-copies: the last 50 docs appear again under
       // new ids with a small header prepended (the CDC selling point:
@@ -243,10 +245,11 @@ object MultimodalQueries {
     }),
 
     // blob near-dup pairs over m7's fixture: each v2 near-copy must
-    // pair with its original at high containment (rows-only: the
-    // rolling gear hash has no SQL replay, like m7; spec'd)
+    // pair with its original at high containment (oracle: same
+    // recursive-CTE gear/FNV replay as m7 at this row's finer grain,
+    // plus the pair logic in plain SQL)
     "m8_cdc_neardup" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = qcSampledByText(table(s, dir, "documents"))
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       val copies = docs.where(col("doc_id") >= 450)
         .select((col("doc_id") + 10000).as("doc_id"),
@@ -457,7 +460,99 @@ object MultimodalQueries {
         .orderBy("id")
     }))
 
-  val oracleSql: Map[String, String] = Map(
+  /** DuckDB replay of [[graft.functions.CdcOps.chunks]] over the m7/m8
+    * fixture (documents ∪ "v2-header: "-prefixed near-copies of
+    * doc_id ≥ 450): a recursive CTE walks every payload byte-for-byte
+    * — gear rolling hash with 64-bit wraparound in HUGEINT residues,
+    * the boundary rule ((len ≥ minLen ∧ low-maskBits-zero) ∨ len ≥
+    * maxLen), and running FNV-1a chunk identities — emitting one
+    * (id, fp) row per chunk, exactly the explode(cdcChunks(...))
+    * relation. Only the kernel's constant gear TABLE is shared
+    * (CdcOps.gearSqlValues — the algorithm's spec constants, like an
+    * S-box); the walk itself (shift/add/mask/reset, FNV xor-mult,
+    * trailing-chunk rule) is re-derived in SQL. Byte access is
+    * ascii(substr(text, i, 1)): the driver corpus is pure ASCII at
+    * every SF (verified sf0.01/sf1), where chars ≡ UTF-8 bytes.
+    */
+  private def cdcChunksSql(minLen: Int, maskBits: Int, maxLen: Int): String = {
+    val m64 = "18446744073709551616" // 2^64
+    val fnvInit = "14695981039346656037" // 0xcbf29ce484222325
+    s"""WITH RECURSIVE gear(gb, gv) AS (
+       |  SELECT gb, gv::HUGEINT FROM (VALUES ${graft.functions.CdcOps.gearSqlValues}) g(gb, gv)
+       |), payloads AS (
+       |  SELECT doc_id AS id, text AS s, octet_length(encode(text)) AS n FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, 'v2-header: ' || text, octet_length(encode(text)) + 11
+       |  FROM documents WHERE doc_id >= 450
+       |), walk(id, pos, h, fp, cs, emit) AS (
+       |  SELECT id, 0, 0::HUGEINT, $fnvInit::HUGEINT, 1, NULL::HUGEINT
+       |  FROM payloads WHERE n > 0
+       |  UNION ALL
+       |  SELECT id, pos, h2, fp2, cs2, emit FROM (
+       |    SELECT w.id, w.pos + 1 AS pos,
+       |      CASE WHEN bnd THEN 0::HUGEINT ELSE h2 END AS h2,
+       |      CASE WHEN bnd THEN $fnvInit::HUGEINT ELSE fp2 END AS fp2,
+       |      CASE WHEN bnd THEN w.pos + 2 ELSE w.cs END AS cs2,
+       |      CASE WHEN bnd THEN fp2 ELSE NULL END AS emit
+       |    FROM (
+       |      SELECT w.id, w.pos, w.cs,
+       |        (w.h * 2 + g.gv) % $m64 AS h2,
+       |        (((w.fp - w.fp % 256) + xor((w.fp % 256)::BIGINT, ascii(substr(p.s, w.pos + 1, 1)))::HUGEINT)
+       |          * 1099511628211) % $m64 AS fp2,
+       |        ((w.pos + 2 - w.cs >= $minLen AND
+       |          ((w.h * 2 + g.gv) % $m64) % ${1L << maskBits} = 0)
+       |         OR w.pos + 2 - w.cs >= $maxLen) AS bnd
+       |      FROM walk w
+       |      JOIN payloads p USING (id)
+       |      JOIN gear g ON g.gb = ascii(substr(p.s, w.pos + 1, 1))
+       |      WHERE w.pos < p.n
+       |    ) w
+       |  )
+       |), chunks AS (
+       |  SELECT id, emit AS fp FROM walk WHERE emit IS NOT NULL
+       |  UNION ALL
+       |  SELECT w.id, w.fp FROM walk w JOIN payloads p USING (id)
+       |  WHERE w.pos = p.n AND w.emit IS NULL AND w.cs <= p.n
+       |)""".stripMargin
+  }
+
+  /** The CDC rows' oracles are exact but pay DuckDB recursion per
+    * byte; at the 100x replay they join the QC-sampled family (same
+    * content-keyed doc sample both engines — copies are built FROM the
+    * sampled docs, so orig/copy pairs survive at rate ~p).
+    */
+  private val qcCdcRows = Set("m7_cdc_dedup", "m8_cdc_neardup")
+
+  private val oracleSqlRaw: Map[String, String] = Map(
+    // full byte-for-byte chunker replay (see cdcChunksSql), then the
+    // same multiplicity aggregation as BinaryOps.cdcDedupReport
+    "m7_cdc_dedup" ->
+      s"""${cdcChunksSql(minLen = 16, maskBits = 6, maxLen = 512)},
+         |mult AS (SELECT fp, count(*) AS n_occ FROM chunks GROUP BY 1)
+         |SELECT id, count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::BIGINT AS shared_chunks
+         |FROM chunks JOIN mult USING (fp) GROUP BY id ORDER BY id""".stripMargin,
+    // same replay at m8's finer grain + the pair containment logic of
+    // BinaryOps.cdcNearDupPairs (distinct fps, occurrence cap 64,
+    // inverted-index self-join, >= 60% of the smaller side)
+    "m8_cdc_neardup" ->
+      s"""${cdcChunksSql(minLen = 8, maskBits = 4, maxLen = 128)},
+         |sets AS (SELECT DISTINCT id, fp FROM chunks),
+         |sizes AS (SELECT id, count(*) AS n_ch FROM sets GROUP BY 1),
+         |rare AS (
+         |  SELECT s.id, s.fp FROM sets s JOIN (
+         |    SELECT fp, count(*) AS n_occ FROM sets GROUP BY 1 HAVING count(*) <= 64) o USING (fp)
+         |), common AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM rare a JOIN rare b USING (fp) WHERE a.id < b.id GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, n_common::BIGINT AS n_common,
+         |  sa.n_ch::BIGINT AS n_a, sb.n_ch::BIGINT AS n_b,
+         |  round(n_common::DOUBLE / sa.n_ch, 4) AS cont_a,
+         |  round(n_common::DOUBLE / sb.n_ch, 4) AS cont_b
+         |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE 100 * n_common >= 60 * least(sa.n_ch, sb.n_ch)
+         |ORDER BY id_a, id_b""".stripMargin,
     // the oracle asserts the round-trip invariant: every image the
     // Spark side renders must parse back to exactly its spec, so
     // n_parsed_exact == n_images and the dimension sums follow from
@@ -624,4 +719,8 @@ object MultimodalQueries {
         |octet_length(substring(text, (frame_idx * 256 + 1)::INT, 256)::BLOB) AS frame_len,
         |md5(substring(text, (frame_idx * 256 + 1)::INT, 256)) AS frame_feature
         |FROM fr ORDER BY id, frame_idx""".stripMargin)
+
+  val oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
+    k -> (if (qcCdcRows(k)) qcSampledSql(v, "documents", qcTextKeySql) else v)
+  }
 }

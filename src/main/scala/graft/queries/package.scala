@@ -49,8 +49,10 @@ package object queries {
     * ground-truth rows (d4/d5/d7/d13/d14/d18/d21/d22/d23 — all-pairs
     * oracles, tractable at the sf0.01 gate by design) plus
     * s6_knn_join_auto (whose Spark cost is linear-with-log but whose
-    * DuckDB replay pays per-pair list-lambda cosines). Unset (the
-    * driver's gate, the default) = full corpus, unchanged semantics.
+    * DuckDB replay pays per-pair list-lambda cosines) and m7/m8 (whose
+    * chunker replay pays DuckDB recursion per payload byte). Unset
+    * (the driver's gate, the default) = full corpus, unchanged
+    * semantics.
     * `SPARK_GRAFT_QC_SAMPLE_PCT=p` restricts those rows — Spark query
     * AND dumped oracle SQL alike — to the md5-bucket p% of documents
     * (d16/d20's sampling shape: pair work scales ~p²), which is what

@@ -13,6 +13,14 @@ Checks, loudly and exactly (exit 1 on any mismatch):
    err == "no_oracle". (The r15 verdict caught this drifting by one
    after d8's rows-only -> oracle conversion; the old recount checked
    only the 265-row table sum.)
+4. The rows-only LEDGER split (r17 verdict item 4): every SURVEY row
+   whose verification cell says "rows-only" must be tagged PERMANENT
+   with a one-line reason, or it counts as "convertible remaining";
+   a SURVEY rows-only claim on a row the latest artifact already
+   hash-checks is a stale-SURVEY error; artifact rows-only keys the
+   SURVEY now marks oracle are reported as converted-since-artifact
+   (legitimate one-round lag). The OK line reports
+   "N permanent + M convertible remaining".
 
 Run from the repo root: python3 tools/survey_recount.py
 """
@@ -94,10 +102,33 @@ def main():
             errs.append(
                 f"round-status declares {d} driver queries but {latest.name} has {total}")
 
+    # --- 4. rows-only ledger: permanent vs convertible ---
+    survey_ro = {}  # key -> verification cell
+    for _, _, body in sections:
+        for l in body.splitlines():
+            if not l.startswith("|") or l.startswith("| ---") or l.lower().startswith("| key"):
+                continue
+            cells = [c.strip() for c in l.strip().strip("|").split("|")]
+            if len(cells) >= 2 and "rows-only" in cells[-1]:
+                survey_ro[cells[0]] = cells[-1]
+    permanent = {k for k, c in survey_ro.items() if "PERMANENT:" in c}
+    convertible = sorted(set(survey_ro) - permanent)
+    artifact_ro = {k for k, v in data.items() if v.get("err") == "no_oracle"}
+    # stale SURVEY: claims rows-only but the artifact hash-checks it
+    for k in sorted(survey_ro):
+        if k in data and data[k].get("err") is None:
+            errs.append(f"SURVEY marks {k} rows-only but {latest.name} hash-checks it")
+    converted = sorted(artifact_ro - set(survey_ro))
+    if converted:
+        print(f"RECOUNT INFO: converted since {latest.name}: {', '.join(converted)}")
+    if convertible:
+        print(f"RECOUNT INFO: convertible rows-only remaining: {', '.join(convertible)}")
+
     if errs:
         fail(errs)
     print(f"RECOUNT OK: sections {counts} sum {sum(counts)}; "
-          f"{latest.name}: {total} queries = {oracles} oracles + {rows_only} rows-only")
+          f"{latest.name}: {total} queries = {oracles} oracles + {rows_only} rows-only; "
+          f"ledger: {len(permanent)} permanent + {len(convertible)} convertible remaining")
 
 
 if __name__ == "__main__":
