@@ -19,7 +19,8 @@ object SparkEntry {
       DedupQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      UrlQueries.queries
 
   /** Rows retired from the driver suite because a strictly-stronger
     * sibling covers them there (a7 → oracle-checked a12; pinned-plane
@@ -55,5 +56,6 @@ object SparkEntry {
       DedupQueries.oracleSql ++
       TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++
+      UrlQueries.oracleSql
 }

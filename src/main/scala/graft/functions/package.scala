@@ -90,6 +90,22 @@ package object functions {
     ColumnShim.column(
       CdcChunks(ColumnShim.expression(bin), minLen, maskBits, maxLen))
 
+  /** Canonical URL form of a string column — scheme/host lowercase,
+    * default port dropped, dot-segments resolved, query params sorted,
+    * fragment dropped; total and idempotent — see [[UrlOps]].
+    */
+  def urlCanon(c: Column): Column = col1(UrlCanon.apply)(c)
+
+  /** Canonical host (lowercase, port/userinfo stripped) of a URL
+    * column; empty string for non-URLs — see [[UrlOps.host]].
+    */
+  def urlHost(c: Column): Column = col1(UrlHost.apply)(c)
+
+  /** Registrable domain (eTLD+1 over the embedded public-suffix
+    * subset) of a host column — see [[UrlOps.registrable]].
+    */
+  def registrableDomain(c: Column): Column = col1(RegistrableDomain.apply)(c)
+
   /** Single-pass whitespace tokenizer (array<string>): exact-parity
     * fast path for split(trim(regexp_replace(lower(s), "\\s+", " ")),
     * " ") — see [[TokenizeOps]].
