@@ -343,6 +343,28 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("u2: domain rollup shuffles at key grain only — no text bytes on any exchange, no cartesian") {
+    val p = plan("u2_domain_rollup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(3000))
+    // the two shuffles carry (fingerprint) / (domain) keys + counters;
+    // the document text itself must never cross an exchange
+    val exchanges = exchangeSections(p)
+    assert(exchanges.nonEmpty, p.take(2000))
+    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n---\n"))
+    // the canonicalization runs as the native expression (codegen'd —
+    // UrlSpec executes it; AQE FormattedMode shows no codegen spans
+    // pre-execution, so only the expression site is asserted here)
+    assert(p.contains("graft_registrable_domain"), p.take(3000))
+  }
+
+  test("u1: canonicalization is one map-only codegen'd pass — no exchange at all before the sort") {
+    val p = plan("u1_url_canon")
+    assert(p.contains("graft_url_canon"), p.take(3000))
+    // map-only: the single Exchange in the plan is the final
+    // rangepartitioning for orderBy, never a hashpartitioning shuffle
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+  }
+
   test("s10: the pair histogram is the d5 block join feeding a tiny aggregate — no cartesian, no window") {
     val p = plan("s10_sim_histogram")
     assert(!p.contains("CartesianProduct"), p.take(3000))

@@ -40,7 +40,11 @@ WATCHLIST = ["d5_embedding_dedup", "q15_percentiles", "m4_binary_simhash",
              # r17's new rows: the lake-building matview probe (write-
              # bound, expected ~linear) and the banded radius search
              # (posting-mass-bound, expected ~linear)
-             "q59_matview_rollup", "s22_hamming_radius"]
+             "q59_matview_rollup", "s22_hamming_radius",
+             # r18's new rows: the URL family's shuffling members
+             # (u2: fingerprint + domain groupBys; u3: canon groupBy —
+             # both expected ~linear; u1 is map-only and not listed)
+             "u2_domain_rollup", "u3_canon_collapse"]
 
 
 def main():
