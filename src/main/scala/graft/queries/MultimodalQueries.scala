@@ -236,7 +236,7 @@ object MultimodalQueries {
       // new ids with a small header prepended (the CDC selling point:
       // document-grain exact dedup sees distinct payloads)
       val copies = docs.where(col("doc_id") >= 450)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("v2-header: ").cast("binary"), col("payload")).as("payload"))
       BinaryOps.cdcDedupReport(
           docs.unionAll(copies), "payload", "doc_id",
@@ -252,7 +252,7 @@ object MultimodalQueries {
       val docs = qcSampledByText(table(s, dir, "documents"))
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       val copies = docs.where(col("doc_id") >= 450)
-        .select((col("doc_id") + 10000).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("v2-header: ").cast("binary"), col("payload")).as("payload"))
       // finer grain than m7 (≈32-byte chunks): the fixture docs are a
       // few hundred bytes, and pairing needs several chunks per doc
@@ -479,10 +479,14 @@ object MultimodalQueries {
     val fnvInit = "14695981039346656037" // 0xcbf29ce484222325
     s"""WITH RECURSIVE gear(gb, gv) AS (
        |  SELECT gb, gv::HUGEINT FROM (VALUES ${graft.functions.CdcOps.gearSqlValues}) g(gb, gv)
-       |), payloads AS (
+       |), payloads AS MATERIALIZED (
+       |  -- MATERIALIZED is load-bearing: the recursive term joins this
+       |  -- CTE every iteration, and inlined it would recompute the
+       |  -- QC-sample predicate (md5 over normalized text, all docs)
+       |  -- per byte-step — measured ~60x on the sampled sf1 replay
        |  SELECT doc_id AS id, text AS s, octet_length(encode(text)) AS n FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 10000, 'v2-header: ' || text, octet_length(encode(text)) + 11
+       |  SELECT doc_id + 10000000, 'v2-header: ' || text, octet_length(encode(text)) + 11
        |  FROM documents WHERE doc_id >= 450
        |), walk(id, pos, h, fp, cs, emit) AS (
        |  SELECT id, 0, 0::HUGEINT, $fnvInit::HUGEINT, 1, NULL::HUGEINT

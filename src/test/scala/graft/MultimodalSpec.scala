@@ -125,7 +125,7 @@ class MultimodalSpec extends SparkSpec {
     // every copied doc's chunks shared
     val report = SparkEntry.queries("m7_cdc_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val copies = report.filter(_._1 >= 10000)
+    val copies = report.filter(_._1 >= 10000000L)
     assert(copies.nonEmpty)
     copies.foreach { case (id, n, shared) =>
       assert(shared >= n - 2, s"copy $id: $shared of $n chunks shared")
@@ -142,14 +142,14 @@ class MultimodalSpec extends SparkSpec {
         r.getLong(4), r.getDouble(5), r.getDouble(6)))
     // every original ≥450 with enough chunks to survive a front edit
     // (≥6: at most 2 disturbed → ≥4/6 ≈ 67% shared clears the 60% cut)
-    // must pair with its +10000 copy
+    // must pair with its +10000000 copy
     import graft.functions.cdcChunks
     val eligible = docs.where(col("doc_id") >= 450)
       .select(col("doc_id"),
         size(cdcChunks(col("payload"), 8, 4, 128)).as("nc"))
       .collect().filter(_.getInt(1) >= 6).map(_.getLong(0)).toSet
     assert(eligible.size >= 10, s"fixture too small: ${eligible.size} eligible docs")
-    val copyPairs = pairs.filter(p => p._2 === p._1 + 10000)
+    val copyPairs = pairs.filter(p => p._2 === p._1 + 10000000L)
     assert(eligible.subsetOf(copyPairs.map(_._1).toSet),
       s"missing pairs for ${(eligible -- copyPairs.map(_._1)).take(5)}")
     // each such pair shares (almost) the whole original: a front edit
