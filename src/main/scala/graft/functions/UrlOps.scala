@@ -107,6 +107,36 @@ object UrlOps {
     UTF8String.fromString(rest.toLowerCase)
   }
 
+
+  /** Canonical path of a URL — the same resolution [[canon]] applies
+    * (dot-segments resolved, `..` never pops past the root, empty
+    * segments and the trailing slash folded, empty path → `/`), as
+    * its own extractor so path-prefix operators (robots rules,
+    * section rollups) key on it without string-surgery on the full
+    * canonical URL. Empty string when the input has no `://`
+    * authority, mirroring [[host]]'s non-URL contract.
+    */
+  def path(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val sep = s.indexOf("://")
+    if (sep < 0) return UTF8String.EMPTY_UTF8
+    var rest = s.substring(sep + 3)
+    val hIdx = rest.indexOf('#')
+    if (hIdx >= 0) rest = rest.substring(0, hIdx)
+    val qIdx = rest.indexOf('?')
+    if (qIdx >= 0) rest = rest.substring(0, qIdx)
+    val pIdx = rest.indexOf('/')
+    val pathRaw = if (pIdx >= 0) rest.substring(pIdx) else ""
+    val segs = pathRaw.split("/", -1)
+    val out = new java.util.ArrayList[String](segs.length)
+    segs.foreach {
+      case "" | "." => ()
+      case ".." => if (!out.isEmpty) out.remove(out.size - 1)
+      case seg => out.add(seg)
+    }
+    UTF8String.fromString("/" + String.join("/", out))
+  }
+
   /** Embedded public-suffix subset. The real Mozilla PSL is ~9k rules
     * and updates continuously; this sandbox has no network, so the
     * operator ships a representative frozen subset (multi-label
@@ -172,6 +202,21 @@ case class UrlHost(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.UrlOps.host($c)")
   override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+}
+
+
+/** Native expression: graft_url_path(string) → string (canonical
+  * path, dot-segments resolved; empty string for non-URLs).
+  */
+case class UrlPath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_url_path"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlOps.path(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlOps.path($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlPath =
     copy(child = newChild)
 }
 

@@ -106,6 +106,11 @@ package object functions {
     */
   def registrableDomain(c: Column): Column = col1(RegistrableDomain.apply)(c)
 
+  /** Canonical path (dot-segments resolved, slashes folded) of a URL
+    * column; empty string for non-URLs — see [[UrlOps.path]].
+    */
+  def urlPath(c: Column): Column = col1(UrlPath.apply)(c)
+
   /** Single-pass whitespace tokenizer (array<string>): exact-parity
     * fast path for split(trim(regexp_replace(lower(s), "\\s+", " ")),
     * " ") — see [[TokenizeOps]].

@@ -84,7 +84,35 @@ object UrlQueries {
     s"$sc || '://' || ${sqlPick(hostsC, 6)} || ($portC) || ${sqlPick(pathsC, 7)} || ${sqlPick(querysC, 3)}"
   }
 
-  import graft.functions.{registrableDomain, tokenizeWs, urlCanon, urlHost}
+  /** Robots-rule fixture (host, typ, path-prefix). Hand-authored over
+    * the canonical host/path space so every semantic case occurs:
+    * longest-match override (news /a vs /a/c; data.io /d vs /d/e),
+    * an allow/disallow TIE at equal length (news /p/q — allow wins),
+    * a deny-all-with-carve-out (docs.site.org), a no-rules host
+    * (cdn.site.org — default allow), and multi-rule disallow
+    * (shop). Per host no two rules share (prefix length, typ) unless
+    * their prefixes are disjoint, so the longest-match argmax is
+    * total for any single path in both engines.
+    */
+  private val robotsRules: Seq[(String, String, String)] = Seq(
+    ("news.example.com", "disallow", "/a"),
+    ("news.example.com", "allow", "/a/c"),
+    ("news.example.com", "allow", "/p/q"),
+    ("news.example.com", "disallow", "/p/q"),
+    ("blog.example.com", "disallow", "/x"),
+    ("docs.site.org", "disallow", "/"),
+    ("docs.site.org", "allow", "/idx"),
+    ("shop.example.co.uk", "disallow", "/p"),
+    ("shop.example.co.uk", "disallow", "/r"),
+    ("www.data.io", "allow", "/"),
+    ("www.data.io", "allow", "/d"),
+    ("www.data.io", "disallow", "/d/e"))
+
+  /** DuckDB VALUES twin of [[robotsRules]]. */
+  private val robotsRulesSql: String =
+    robotsRules.map { case (h, t, pfx) => s"('$h', '$t', '$pfx')" }.mkString(", ")
+
+  import graft.functions.{registrableDomain, tokenizeWs, urlCanon, urlHost, urlPath}
 
   val queries: Map[String, Q] = Map(
     // per-URL canonical form + host + registrable domain, all through
@@ -136,7 +164,71 @@ object UrlQueries {
         .groupBy("canon_url")
         .agg(countDistinct(col("url")).as("n_raw_forms"), count(lit(1)).as("n_docs"))
         .where(col("n_raw_forms") > 1)
-        .orderBy("canon_url")))
+        .orderBy("canon_url")),
+
+    // robots-style crawl-politeness gate: per-host allow/disallow
+    // path-prefix rules, longest match wins, allow beats disallow on
+    // a length tie (Google robots semantics), hosts with no rules
+    // default-allow. 100 TB shape: the rules broadcast GROUPED per
+    // host (one array per host) and every URL folds its own host's
+    // list in a single map pass (array_max over (plen, is_allow)
+    // structs) — the corpus never hash-shuffles and there is no
+    // per-candidate row explosion; the only corpus exchange is the
+    // final orderBy. The oracle re-derives every verdict from the
+    // same hand-authored rule literals via a window argmax.
+    "u4_robots_filter" -> ((s, dir) => {
+      val rules = s.createDataFrame(robotsRules).toDF("r_host", "typ", "prefix")
+      val byHost = rules.groupBy("r_host").agg(
+        collect_list(struct(
+          length(col("prefix")).as("plen"),
+          (col("typ") === "allow").cast("int").as("is_allow"),
+          col("prefix").as("prefix"),
+          col("typ").as("typ"))).as("rs"))
+      fixture(s, dir)
+        .select(col("doc_id"), col("url"),
+          urlHost(col("url")).as("host"), urlPath(col("url")).as("path"))
+        .join(broadcast(byHost), col("host") === col("r_host"), "left")
+        .withColumn("m", array_max(expr("filter(rs, r -> startswith(path, r.prefix))")))
+        .select(col("doc_id"), col("url"), col("host"), col("path"),
+          when(col("m").isNull || col("m.is_allow") === 1, lit("allow"))
+            .otherwise(lit("deny")).as("verdict"),
+          coalesce(col("m.prefix"), lit("-")).as("matched_prefix"))
+        .orderBy("doc_id")
+    }),
+
+    // per-host crawl-budget allocation by largest-remainder (Hamilton)
+    // apportionment: budget = N div 3 docs, base share floor(budget *
+    // n_h / N), the leftover distributed one-each by remainder rank
+    // (rem desc, host asc — a total order, so both engines agree; the
+    // fixture hits a multi-way remainder tie decided by host order).
+    // Integer-exact end to end; conservation sum(quota) = budget holds
+    // by construction (leftover < n_hosts). 100 TB shape: the
+    // allocation runs on the HOST-GRAIN aggregate — the global rank
+    // window sorts the rollup table (web scale: millions of hosts),
+    // never the corpus; the corpus contributes one count aggregate.
+    "u5_crawl_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = fixture(s, dir)
+        .select(urlHost(col("url")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(
+        sum("n_docs").as("n_total"),
+        expr("sum(n_docs) div 3").as("budget"))
+      val b = counts.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(budget * n_docs) div n_total"))
+        .withColumn("rem", col("budget") * col("n_docs") - col("base") * col("n_total"))
+      val lt = b.agg(sum("base").as("base_sum"))
+      b.crossJoin(broadcast(lt))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("host").asc)))
+        .select(
+          col("host"), col("n_docs"), col("base"),
+          when(col("rk") <= col("budget") - col("base_sum"), 1L)
+            .otherwise(0L).as("extra"),
+          (col("base") + when(col("rk") <= col("budget") - col("base_sum"), 1L)
+            .otherwise(0L)).as("quota"))
+        .orderBy("host")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "u1_url_canon" ->
@@ -170,5 +262,45 @@ object UrlQueries {
          |  SELECT doc_id, $rawUrlSql AS url, $canonUrlSql AS canon_url FROM documents
          |)
          |SELECT canon_url, count(DISTINCT url)::BIGINT AS n_raw_forms, count(*)::BIGINT AS n_docs
-         |FROM f GROUP BY 1 HAVING count(DISTINCT url) > 1 ORDER BY canon_url""".stripMargin)
+         |FROM f GROUP BY 1 HAVING count(DISTINCT url) > 1 ORDER BY canon_url""".stripMargin,
+    "u4_robots_filter" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $rawUrlSql AS url, ${sqlPick(hostsC, 6)} AS host,
+         |    ${sqlPick(pathsC, 7)} AS path
+         |  FROM documents
+         |), r(host, typ, prefix) AS (
+         |  VALUES $robotsRulesSql
+         |), j AS (
+         |  SELECT f.doc_id, r.typ, r.prefix,
+         |    row_number() OVER (PARTITION BY f.doc_id
+         |      ORDER BY len(r.prefix) DESC,
+         |               CASE WHEN r.typ = 'allow' THEN 1 ELSE 0 END DESC) AS rn
+         |  FROM f JOIN r ON f.host = r.host AND starts_with(f.path, r.prefix)
+         |)
+         |SELECT f.doc_id, f.url, f.host, f.path,
+         |  CASE WHEN j.typ IS NULL OR j.typ = 'allow' THEN 'allow' ELSE 'deny' END AS verdict,
+         |  coalesce(j.prefix, '-') AS matched_prefix
+         |FROM f LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON f.doc_id = j.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+    "u5_crawl_budget" ->
+      s"""WITH f AS (
+         |  SELECT ${sqlPick(hostsC, 6)} AS host FROM documents
+         |), c AS (
+         |  SELECT host, count(*)::BIGINT AS n_docs FROM f GROUP BY 1
+         |), t AS (
+         |  SELECT sum(n_docs)::BIGINT AS n_total, sum(n_docs)::BIGINT // 3 AS budget FROM c
+         |), b AS (
+         |  SELECT host, n_docs, n_total, budget,
+         |    (budget * n_docs) // n_total AS base,
+         |    budget * n_docs - ((budget * n_docs) // n_total) * n_total AS rem
+         |  FROM c, t
+         |), r AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+         |    (SELECT sum(base)::BIGINT FROM b) AS base_sum
+         |  FROM b
+         |)
+         |SELECT host, n_docs, base,
+         |  (CASE WHEN rk <= budget - base_sum THEN 1 ELSE 0 END)::BIGINT AS extra,
+         |  (base + CASE WHEN rk <= budget - base_sum THEN 1 ELSE 0 END)::BIGINT AS quota
+         |FROM r ORDER BY host""".stripMargin)
 }

@@ -357,6 +357,28 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("graft_registrable_domain"), p.take(3000))
   }
 
+  test("u4: robots gate is one broadcast-join map pass — the corpus never hash-shuffles") {
+    val p = plan("u4_robots_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    // the only hashpartitioning exchange is the 12-row rules
+    // aggregate; corpus rows (url/path) must never cross one
+    val ex = exchangeSections(p)
+    assert(!ex.exists(s => s.contains("url#") || s.contains("path#")),
+      ex.mkString("\n---\n"))
+  }
+
+  test("u5: the budget allocation ranks the host-grain aggregate, never the corpus") {
+    val p = plan("u5_crawl_budget")
+    assert(p.contains("Window"), p.take(3000))
+    // corpus contributes ONE count aggregate; doc-grain bytes (url,
+    // text) never reach an exchange — only host-grain counters do
+    val ex = exchangeSections(p)
+    assert(ex.nonEmpty, p.take(2000))
+    assert(!ex.exists(s => s.contains("url#") || s.contains("text#")),
+      ex.mkString("\n---\n"))
+  }
+
   test("u1: canonicalization is one map-only codegen'd pass — no exchange at all before the sort") {
     val p = plan("u1_url_canon")
     assert(p.contains("graft_url_canon"), p.take(3000))

@@ -110,4 +110,58 @@ class UrlSpec extends SparkSpec {
       assert(UrlOps.canon(k) === k)
     }
   }
+
+  test("u4: canonical path extraction mirrors canon's path rules") {
+    def p(u: String): String =
+      UrlOps.path(org.apache.spark.unsafe.types.UTF8String.fromString(u)).toString
+    assert(p("http://h.com/a/b/../c?q=1#f") === "/a/c")
+    assert(p("HTTP://h.com") === "/")
+    assert(p("http://h.com//d//e/") === "/d/e")
+    assert(p("http://h.com/a/../../..") === "/")
+    assert(p("http://u:pw@h.com:8080/p/q") === "/p/q")
+    assert(p("not a url") === "")
+    // agreement with canon: the canonical URL's path IS this path
+    for (u <- Seq("https://H.com:443/x/./y/?b=2&a=1", "http://h.io//a//", "http://h.io"))
+      assert(UrlOps.canon(u).contains(p(u)), s"canon/path disagree on $u")
+  }
+
+  test("u4: robots semantics — longest match wins, allow beats disallow on ties, no rules ⇒ allow") {
+    val rows = SparkEntry.queries("u4_robots_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def one(host: String, path: String): (String, String) = {
+      val r = rows.filter(x =>
+        x.getAs[String]("host") == host && x.getAs[String]("path") == path)
+      assert(r.nonEmpty, s"fixture must cover ($host, $path)")
+      val vs = r.map(x =>
+        (x.getAs[String]("verdict"), x.getAs[String]("matched_prefix"))).distinct
+      assert(vs.length === 1, s"verdict must be a pure function of (host, path): $vs")
+      vs.head
+    }
+    // longest-match override in both directions
+    assert(one("news.example.com", "/a/c") === (("allow", "/a/c")))
+    assert(one("www.data.io", "/d/e") === (("deny", "/d/e")))
+    // equal-length allow/disallow tie: allow wins
+    assert(one("news.example.com", "/p/q") === (("allow", "/p/q")))
+    // deny-all with a carve-out
+    assert(one("docs.site.org", "/idx.html") === (("allow", "/idx")))
+    assert(one("docs.site.org", "/x/y") === (("deny", "/")))
+    // a host with no rules defaults to allow with no matched rule
+    assert(one("cdn.site.org", "/p/q") === (("allow", "-")))
+  }
+
+  test("u5: largest-remainder allocation conserves the budget exactly") {
+    val rows = SparkEntry.queries("u5_crawl_budget")(spark, sf).collect()
+    assert(rows.length === 6) // one row per fixture host
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    val budget = nTotal / 3
+    assert(rows.map(_.getAs[Long]("quota")).sum === budget)
+    rows.foreach { r =>
+      val (base, extra, quota) =
+        (r.getAs[Long]("base"), r.getAs[Long]("extra"), r.getAs[Long]("quota"))
+      assert(extra === 0L || extra === 1L)
+      assert(quota === base + extra)
+      // a host's base share never exceeds its exact proportional share
+      assert(base * nTotal <= budget * r.getAs[Long]("n_docs"))
+    }
+  }
 }
