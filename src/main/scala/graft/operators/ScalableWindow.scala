@@ -59,13 +59,29 @@ object ScalableWindow {
       valueCol: Column, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val gCols = groupCols.map(col)
-    val base = df
+    // pid must be STABLE across the two consumers (the offsets pass
+    // and the local-cumsum pass): both sit in one physical plan, so
+    // Spark's exchange reuse feeds them the same shuffle output, and
+    // the explicit partition count keeps AQE from re-coalescing
+    // either read. Same shape (and same correctness argument) as
+    // operators.Percentiles: this used to be a lazy localCheckpoint,
+    // but storing the fact-sized relation through the block manager
+    // costs a SizeEstimator object-graph walk per deserialized block
+    // — profiled in r14 as the dominant cost of the Percentiles twin
+    // at local[32]; the reused in-flight shuffle costs neither.
+    // RUNTIME GUARD (same as Percentiles): without exchange reuse the
+    // two materializations of the range shuffle would sample bounds
+    // with different seeds and the per-pid offsets would silently
+    // misalign — fall back to the checkpoint if reuse is disabled.
+    val exchangeReuse =
+      spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean
+    val base0 = df
       .withColumn("__v", valueCol)
       .repartitionByRange(
         spark.sparkContext.defaultParallelism * 2,
         gCols ++ orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false) // pid stable for both passes
+    val base = if (exchangeReuse) base0 else base0.localCheckpoint(eager = false)
     val wLocal = Window.partitionBy(col("__pid") +: gCols: _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -496,6 +496,52 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("q45: prefixSum's range shuffle materializes ONCE — the offsets pass reads a ReusedExchange") {
+    // ScalableWindow.prefixSum pins spark_partition_id between its
+    // local-cumsum and offsets passes the same way Percentiles.exact
+    // does: both consumers read the SAME materialized range shuffle
+    // (exchange reuse), not a block-manager checkpoint — the r14
+    // profiling found the lazy localCheckpoint's SizeEstimator walk
+    // dominated the operator at local[32] (re-measured r18: q45/q46
+    // task CPU halves when the checkpoint goes). Assert on the FINAL
+    // adaptive plan.
+    val df = SparkEntry.queries("q45_running_revenue")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Checkpoint"), p.take(3000))
+  }
+
+  test("prefixSum stays exact when spark.sql.exchange.reuse is OFF (checkpoint fallback)") {
+    // Without reuse the two passes would materialize independent range
+    // shuffles whose RangePartitioner seeds differ (seed derives from
+    // rdd.id) — bounds and pids could disagree and offsets silently
+    // misalign. prefixSum guards on the conf and falls back to the
+    // lazy localCheckpoint; the fallback must produce bit-identical
+    // running totals.
+    val events = graft.queries.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("value"))
+    def run(): Map[Long, Double] =
+      graft.operators.ScalableWindow.prefixSum(
+        events, Seq("user_id"),
+        Seq(org.apache.spark.sql.functions.col("event_id")),
+        org.apache.spark.sql.functions.col("value"), "cum")
+        .collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("cum")).toMap
+    val expected = run()
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    val got =
+      try {
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        run()
+      } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
+
   test("s19: Hamming scan broadcasts the queries and cuts with the bounded heap — no Window, no score sort") {
     val p = plan("s19_knn_hamming")
     // brute scan shape: corpus never shuffles before the kernel — the
