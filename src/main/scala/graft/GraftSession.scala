@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{AudioMeta, CosineSimilarity, DotProduct, GunzipBytes, GzipBytes, ImageMeta, SimHash64, UnzstdBytes, ZstdBytes}
+import graft.functions.{AudioMeta, CosineSimilarity, DotProduct, GunzipBytes, GzipBytes, ImageMeta, SimHash64, SimHashBytes, UnzstdBytes, ZstdBytes}
 
 /** Session bootstrap for the graft engine.
   *
@@ -35,6 +35,7 @@ object GraftSession {
     "graft_cosine" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
     "graft_simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
+    "graft_simhash_bytes" -> ((es: Seq[Expression]) => SimHashBytes(es.head)),
     "graft_bloom_agg" -> ((es: Seq[Expression]) => es match {
       case Seq(child) => new BloomFilterAggregate(child)
       case Seq(child, n) => new BloomFilterAggregate(child, n)

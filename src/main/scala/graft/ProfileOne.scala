@@ -20,6 +20,8 @@ object ProfileOne {
     sb.append('\n')
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r.children ++ r.subqueries
       case _ => p.children ++ p.subqueries
     }
     kids.foreach(walk(_, depth + 1, sb))

@@ -68,6 +68,13 @@ package object functions {
   /** 64-bit SimHash of a token (array<string>) column. */
   def simhash64(toks: Column): Column = col1(SimHash64.apply)(toks)
 
+  /** 64-bit SimHash over a binary column's overlapping byte-4-grams
+    * (uppercase-hex tokenization — the fused twin of the
+    * hex+transform+substr+simhash64 composition; see
+    * [[SimHashOps.simhashBytes]] for the exact token contract).
+    */
+  def simhashBytes(bin: Column): Column = col1(SimHashBytes.apply)(bin)
+
   /** Image container sniff of a binary column:
     * struct<format,width,height> from header bytes only (PNG / JPEG /
     * GIF / BMP; "raw" + null dims otherwise) — see [[ImageMetaOps]].

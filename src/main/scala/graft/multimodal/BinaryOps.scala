@@ -79,12 +79,17 @@ object BinaryOps {
     */
   def simhashBinary(df: DataFrame, binCol: String, idCol: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"), hex(col(binCol)).as("hx"))
-      .withColumn("toks", transform(
-        sequence(lit(1), greatest(lit(1), length(col("hx")) - 7), lit(2)),
-        i => col("hx").substr(i, lit(8))))
-      .select(col("id"),
-        lpad(hex(graft.functions.simhash64(col("toks"))), 16, "0").as("simhash"))
+      // fused native kernel (r18): one pass over the raw bytes — the
+      // previous hex() + transform(sequence…substr) composition
+      // materialized a payload-sized hex string plus one UTF8String
+      // per byte position per row (the suite's hottest CPU row at
+      // 9.4 task-CPU-s, and GC-bound). Token derivation and votes are
+      // byte-identical (SimHashOps.simhashBytes documents the
+      // contract); the coalesce preserves the composition's null
+      // behavior (null payload → one null token → zero votes → 0L).
+      .select(col(idCol).as("id"),
+        lpad(hex(coalesce(graft.functions.simhashBytes(col(binCol)), lit(0L))), 16, "0")
+          .as("simhash"))
 
   /** lk43: the blob-grain chunk index as a lake table — lk41/lk42's
     * binary sibling, completing the index-gated ingest family (exact

@@ -55,6 +55,33 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(3L)) > 12, s"distinct hamming ${hamming(fp(1L), fp(3L))}")
   }
 
+  test("m4: the fused byte-gram kernel is token-exact vs the hex+substr composition") {
+    // SimHashBytes must reproduce the original m4 derivation bit for
+    // bit — transform(sequence(1, greatest(1, length(hex(bin)) - 7),
+    // 2), i -> hex(bin).substr(i, 8)) |> simhash64 — including the
+    // short-payload single-token edge (len < 4 bytes: ONE token, the
+    // whole hex string; empty payload: md5("")). Covers every length
+    // 0..10 plus corpus-shaped rows and all byte values.
+    val rnd = new scala.util.Random(42)
+    val rows: Seq[(Long, Array[Byte])] =
+      (0 to 10).map(n => (n.toLong, Array.tabulate[Byte](n)(i => ((i * 37 + n) % 256).toByte))) ++
+        Seq((100L, Array.tabulate[Byte](256)(_.toByte)),
+          (101L, Array.fill[Byte](1000)(rnd.nextInt(256).toByte)),
+          (102L, ("mixed text payload " * 40).getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+    val legacy = df
+      .select(col("doc_id"), hex(col("payload")).as("hx"))
+      .withColumn("toks", transform(
+        sequence(lit(1), greatest(lit(1), length(col("hx")) - 7), lit(2)),
+        i => col("hx").substr(i, lit(8))))
+      .select(col("doc_id"),
+        lpad(hex(graft.functions.simhash64(col("toks"))), 16, "0").as("simhash"))
+      .as[(Long, String)].collect().toMap
+    val fused = BinaryOps.simhashBinary(df, "payload", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(fused === legacy)
+  }
+
   test("m5: batched embedding is invariant to batch size and partitioning") {
     val src = docs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
     val a = BinaryOps.embedBatched(src.repartition(1), batchSize = 3)
