@@ -1000,9 +1000,14 @@ object AnalyticsQueries {
     // has no fp boundary.
     "q30_important_parts" -> ((s, dir) => {
       val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+      // both consumers (the one-row total and the filter) share the
+      // grouped subtree in ONE physical plan, so the agg's exchange
+      // materializes once and the total's side reads a ReusedExchange
+      // — the r18 checkpoint-vs-reuse re-measurement (q45/q46) showed
+      // the lazy localCheckpoint this used to carry pays a block-
+      // manager materialization the reused shuffle doesn't
       val pv = table(s, dir, "lineitem")
         .groupBy("l_partkey").agg(sum(rev).as("v"))
-        .localCheckpoint(eager = false) // feeds both the total and the filter
       val tot = pv.agg(sum(col("v")).as("t"), count(lit(1)).as("c"))
       // "above 1.5× the mean part value", written multiplicatively
       // (2·v·c > 3·t) so the comparison is exact-decimal at any scale
@@ -1022,13 +1027,24 @@ object AnalyticsQueries {
     // part-supplier cost relation (cost = min extended price, an
     // exact-decimal min — no division, engine-stable).
     "q31_min_cost_supplier" -> ((s, dir) => {
+      // guide §3.2: the p_size filter keeps ~10% of parts, and the
+      // final join drops every other part's rows anyway — so semi-join
+      // the FACT against the filtered part keys BEFORE the aggregate.
+      // The per-part window math is unaffected (windows never compare
+      // across partkeys; whole partkeys drop, survivors keep their
+      // exact min), the broadcast is the same relation the final join
+      // already ships, and the agg exchange + window shuffle now carry
+      // a tenth of the rows. Result identical (oracle re-verified).
+      val pFilt = table(s, dir, "part").where(col("p_size") <= 5)
       val ps = table(s, dir, "lineitem")
+        .join(broadcast(pFilt.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(dec(col("l_extendedprice"))).as("cost"))
       val w = Window.partitionBy("l_partkey")
       ps.withColumn("min_cost", min("cost").over(w))
         .where(col("cost") === col("min_cost"))
-        .join(broadcast(table(s, dir, "part").where(col("p_size") <= 5)),
+        .join(broadcast(pFilt),
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
