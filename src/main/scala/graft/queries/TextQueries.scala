@@ -911,12 +911,21 @@ object TextQueries {
         .select(col("doc_id"),
           conv(substring(md5(col("sng")), 1, 13), 16, 10)
             .cast("long").as("h"))
-      val shared = sh.groupBy("h")
-        .agg(countDistinct("doc_id").as("nd"))
-      sh.join(shared, "h")
+      // r18: the shared-shingle flag comes from a count window over
+      // the (h, doc_id)-grouped relation instead of joining the
+      // instance stream back to a per-h countDistinct — after the
+      // grouping there is exactly one row per (h, doc), so rows-per-h
+      // IS countDistinct(doc_id), and the instance multiplicities
+      // ride along as c. Drops one full instance-stream exchange and
+      // the sort-merge join; the groupBy's map-side partial agg also
+      // shrinks what the first exchange carries. Identical result
+      // (oracle re-verified): n_sh = Σc, n_dup = Σc over shared hs.
+      val g = sh.groupBy("h", "doc_id").agg(count(lit(1)).as("c"))
+      g.withColumn("nd",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sh"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum(col("c")).as("n_sh"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup"))
         .groupBy(expr("(n_dup * 10) div n_sh").as("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum("n_sh").as("sum_shingles"))
         .orderBy("bucket")
