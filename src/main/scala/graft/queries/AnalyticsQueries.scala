@@ -1065,7 +1065,9 @@ object AnalyticsQueries {
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(sum(rev).as("total_rev"))
-        .localCheckpoint(eager = false)
+      // both consumers share the agg subtree in one plan: the max's
+      // leg reads a ReusedExchange (r18 — see q30; the checkpoint this
+      // carried paid a block-manager materialization for nothing)
       val top = view.agg(max(col("total_rev")).as("m"))
       view.crossJoin(broadcast(top))
         .where(col("total_rev") === col("m"))
@@ -1086,10 +1088,13 @@ object AnalyticsQueries {
     // it's fact-sized: the anti join shuffles on custkey, the one-row
     // total broadcasts.
     "q33_sales_opportunity" -> ((s, dir) => {
+      // no checkpoint (r18): pos has no exchange below it, so the
+      // total's leg simply re-scans customer — a parallel pruned
+      // columnar read of three columns, cheaper at every scale than
+      // materializing the same rows through the block manager
       val pos = table(s, dir, "customer")
         .where(col("c_acctbal") > 0)
         .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
-        .localCheckpoint(eager = false)
       val tot = pos.agg(sum(col("bal")).as("tot"), count(lit(1)).as("cnt"))
       pos.crossJoin(broadcast(tot))
         .where(col("bal") * col("cnt") > col("tot"))
