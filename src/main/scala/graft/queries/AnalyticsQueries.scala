@@ -288,9 +288,12 @@ object AnalyticsQueries {
       // key-cardinality-sized relation feeding BOTH the top cut and
       // the corpus scalars: materialized once (d2's posture) so the
       // fact table is scanned once, not once per leg
+      // both legs share the grouped subtree in one plan — the scalar
+      // leg reads a ReusedExchange; the fact still scans once (r18:
+      // the checkpoint this carried cost a block-manager
+      // materialization on top, see q30)
       val cnt = table(s, dir, "lineitem")
         .groupBy("l_partkey").agg(count(lit(1)).as("n_rows"))
-        .localCheckpoint(eager = false)
       val stats = cnt.agg(
         count(lit(1)).as("n_keys"),
         sum("n_rows").as("n_total"),
