@@ -60,19 +60,29 @@ object ScalableWindow {
     val spark = df.sparkSession
     val gCols = groupCols.map(col)
     // pid must be STABLE across the two consumers (the offsets pass
-    // and the local-cumsum pass): both sit in one physical plan, so
-    // Spark's exchange reuse feeds them the same shuffle output, and
-    // the explicit partition count keeps AQE from re-coalescing
-    // either read. Same shape (and same correctness argument) as
-    // operators.Percentiles: this used to be a lazy localCheckpoint,
-    // but storing the fact-sized relation through the block manager
-    // costs a SizeEstimator object-graph walk per deserialized block
-    // — profiled in r14 as the dominant cost of the Percentiles twin
-    // at local[32]; the reused in-flight shuffle costs neither.
-    // RUNTIME GUARD (same as Percentiles): without exchange reuse the
-    // two materializations of the range shuffle would sample bounds
-    // with different seeds and the per-pid offsets would silently
-    // misalign — fall back to the checkpoint if reuse is disabled.
+    // and the local-cumsum pass). Two regimes:
+    //
+    //  - FAST PATH (exchange reuse, the Percentiles r14 shape): both
+    //    consumers sit in one physical plan, so when their range-
+    //    exchange subtrees are IDENTICAL Spark materializes the
+    //    shuffle once and the offsets pass reads a ReusedExchange —
+    //    no block-manager materialization. Identical subtrees are
+    //    only GUARANTEED when every column of `df` is referenced by
+    //    the partitioning keys (gCols ++ orderCols): a column the
+    //    offsets consumer does not need is otherwise PRUNED below its
+    //    copy of the exchange (e.g. `[g,id,n, n AS __v]` vs
+    //    `[g,id, n AS __v]`), the copies stop being equal, reuse does
+    //    NOT fire, and the two independently-sampled range shuffles
+    //    disagree on partition bounds — silently wrong offsets (caught
+    //    by ScalableWindowSpec's any-partitioning parity rows, r18).
+    //    Percentiles avoids this by construction (it pre-projects to
+    //    exactly the partitioning columns); prefixSum must return the
+    //    FULL row, so it can only take the fast path when the
+    //    partitioning covers every column.
+    //
+    //  - CHECKPOINT PATH (everything else, and reuse disabled): the
+    //    lazy localCheckpoint pins the partitioning — slower (a
+    //    SizeEstimator walk per block) but correct under any pruning.
     val exchangeReuse =
       spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean
     val base0 = df
@@ -81,7 +91,21 @@ object ScalableWindow {
         spark.sparkContext.defaultParallelism * 2,
         gCols ++ orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val base = if (exchangeReuse) base0 else base0.localCheckpoint(eager = false)
+    // coverage check on the ANALYZED plan (Spark 4 Columns wrap
+    // ColumnNodes, so the unanalyzed Column tree is not inspectable):
+    // the resolved RepartitionByExpression's partition expressions
+    // must reference every column of df.
+    val partitioningCoversRow = {
+      import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+      val partRefs = base0.queryExecution.analyzed.collectFirst {
+        case r: RepartitionByExpression =>
+          r.partitionExpressions.flatMap(_.references.map(_.name.toLowerCase)).toSet
+      }.getOrElse(Set.empty[String])
+      df.columns.map(_.toLowerCase).toSet.subsetOf(partRefs)
+    }
+    val base =
+      if (exchangeReuse && partitioningCoversRow) base0
+      else base0.localCheckpoint(eager = false)
     val wLocal = Window.partitionBy(col("__pid") +: gCols: _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

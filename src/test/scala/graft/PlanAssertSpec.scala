@@ -508,7 +508,13 @@ class PlanAssertSpec extends SparkSpec {
     val df = SparkEntry.queries("q45_running_revenue")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
+    // the reused exchange must be the RANGE one (a ReusedExchange
+    // line names its target): reusing some other upstream exchange
+    // while the range shuffle materializes twice would mean two
+    // independently-sampled partition boundaries — silently wrong
+    // offsets (see prefixSum's fast-path comment)
+    assert(p.linesIterator.exists(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning")),
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
     assert(!p.contains("Checkpoint"), p.take(3000))
   }
