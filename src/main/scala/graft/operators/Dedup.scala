@@ -418,6 +418,28 @@ object Dedup {
       numPerms: Int = 12, bands: Int = 4): DataFrame = {
     val keys = bandKeys(df, textCol, idCol, numPerms, bands)
       .localCheckpoint(eager = false)
+    bandSelfJoin(keys)
+  }
+
+  /** [[minhashCandidates]] over an already-materialized
+    * [[shingleRelation]] — the shared-scan entry d16's harness uses so
+    * the truth and candidate legs pay the shingling once. `sh` must be
+    * a leaf relation (see [[bandKeysFromShingles]]); the derived band
+    * keys still checkpoint because the a/b self-join sides would
+    * otherwise each re-run the signature aggregate.
+    */
+  private def minhashCandidatesFromShingles(
+      sh: DataFrame, numPerms: Int, bands: Int): DataFrame =
+    bandSelfJoin(
+      bandKeysFromShingles(
+        sh.select(col("id"), explode(col("s")).as("sng")), numPerms, bands)
+        // eager like `sh`: materialized serially at construction, so
+        // the self-join's (possibly broadcast) sides only read blocks —
+        // never the first-materialization that opens the lock-inversion
+        // window documented in lshRecallEval
+        .localCheckpoint(eager = true))
+
+  private def bandSelfJoin(keys: DataFrame): DataFrame = {
     val a = keys.toDF("id_a", "band", "h")
     val b = keys.toDF("id_b", "band", "h")
     a.join(b, Seq("band", "h"))
@@ -599,11 +621,39 @@ object Dedup {
     * on samples at scale.
     */
   def exactJaccardPairs(
-      df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame = {
-    val sh = spread(df).select(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
+    exactJaccardPairsFromShingles(
+      shingleRelation(df, textCol, idCol, eager = false), threshold)
+
+  /** Checkpointed (id, s: array<string>) shingle relation — the ONE
+    * tokenize+shingle pass a multi-leg evaluation harness shares
+    * (d16/d24 read it from both their truth and estimator legs;
+    * without it each leg re-runs the corpus scan and the shingling,
+    * the dominant map-side cost).
+    */
+  private[graft] def shingleRelation(
+      df: DataFrame, textCol: String, idCol: String,
+      eager: Boolean = true): DataFrame =
+    spread(df).select(
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
-      .localCheckpoint(eager = false) // feeds the index AND the sizes
+      // EAGER by default, unlike the repo's usual lazy checkpoints:
+      // d16 hangs three independent stage chains off this relation
+      // inside one job, and concurrent stages computing a lazy
+      // checkpoint's partitions serialize on block locks (measured
+      // run_s 9 → 48 s swings); materializing once up front removes
+      // the race. exactJaccardPairs standalone keeps the lazy form
+      // (two consumers, no measured race — and eager would force the
+      // shingle pass even for callers that never execute the query).
+      .localCheckpoint(eager = eager)
+
+  /** [[exactJaccardPairs]] over an already-materialized
+    * [[shingleRelation]]. `sh` MUST be checkpointed/persisted: the
+    * inverted index explodes `s` as a computed array attribute, which
+    * is only safe off a leaf relation (see [[bandKeysFromShingles]]).
+    */
+  private[graft] def exactJaccardPairsFromShingles(
+      sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.select(col("id"), size(col("s")).as("n_sh"))
     val inv = sh.select(col("id"), explode(col("s")).as("sng"))
     val common = inv.toDF("id_a", "sng")
@@ -751,17 +801,32 @@ object Dedup {
         conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
           .cast("long") % 100 < samplePct),
       idCol, maxDocs)
-    val truth = exactJaccardPairs(docs, textCol, idCol, threshold)
-      .select("id_a", "id_b")
-      .localCheckpoint(eager = false) // counted AND joined below
-    val cand = minhashCandidates(docs, textCol, idCol, numPerms, bands)
-      .select("id_a", "id_b")
-      .localCheckpoint(eager = false)
-    val hit = truth.join(cand, Seq("id_a", "id_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit)
+    // ONE tokenize+shingle pass feeds both legs: the truth side's
+    // inverted index and the candidate side's MinHash signatures read
+    // the same checkpointed relation instead of each re-running the
+    // corpus scan + shingling (the dominant map-side cost of this row)
+    val sh = shingleRelation(docs, textCol, idCol)
+    // SINGLE-PASS summary: a full-outer join of the two pair sets (both
+    // keyed uniquely on (id_a, id_b)) feeds ONE aggregate computing all
+    // three counts, so each leg's subtree appears exactly once in the
+    // plan. The previous shape — each leg lazy-checkpointed, counted in
+    // its own job AND consumed by a broadcast hit-join — was the
+    // repo-wide lock-inversion window made likely: a lazy checkpoint
+    // finishing its first job on a broadcast-exchange thread takes the
+    // global RDDCheckpointData lock then the RDD monitor, while the
+    // dag-scheduler submitting the count stage over the SAME RDD takes
+    // them in the opposite order (observed as a jstack-confirmed
+    // deadlock this round). No multi-consumer lazy checkpoint, no
+    // window.
+    val truth = exactJaccardPairsFromShingles(sh, threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("t"))
+    val cand = minhashCandidatesFromShingles(sh, numPerms, bands)
+      .select(col("id_a"), col("id_b"), lit(1).as("c"))
+    truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("t")).as("n_truth"),
+        count(col("c")).as("n_cand"),
+        count(when(col("t").isNotNull && col("c").isNotNull, lit(1))).as("n_hit"))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
         round(col("n_hit").cast("double") /
           when(col("n_truth") > 0, col("n_truth")), 4).as("recall"),
@@ -1057,14 +1122,22 @@ object Dedup {
     val docs = spread(df)
     // one shingling+distinct pass feeds BOTH the bloom build (eager
     // head() below) and the exact verify join
+    // both eager: `bench` sits inside the scalar-subquery sketch build
+    // AND a join side; `corpus` inside the (broadcastable) `shared`
+    // subtree and the probe side. A lazy checkpoint first-materialized
+    // on a broadcast/subquery thread while the dag-scheduler submits
+    // the sibling consumer's stage over the same RDD deadlocks on the
+    // RDDCheckpointData/RDD lock pair (jstack-confirmed this round;
+    // see lshRecallEval). Construction-thread materialization closes
+    // the window at identical total work.
     val bench = docs.where(isBench)
       .select(explode(T.wordShingles(T.tokens(col(textCol)))).as("s"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val corpus = docs.where(!isBench)
       .select(col(idCol).as("doc_id"),
         T.wordShingles(T.tokens(col(textCol))).as("ss"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // the sketch is built INSIDE the plan as a scalar subquery — the
     // at-scale form: the driver never materializes the sketch bytes,
     // and the plan carries a subquery reference instead of a multi-MB

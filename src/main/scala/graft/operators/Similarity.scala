@@ -181,7 +181,10 @@ object Similarity {
       .select(col(labelCol).as("label"), half.as("half"), col(vecCol).as("v"))
       .groupBy("label", "half")
       .agg(vecsum(col("v")).as("vs"))
-      .localCheckpoint(eager = false) // consumed by both slice legs
+      // eager (was lazy): the ref/cur join's broadcast side embeds this
+      // relation — lock-inversion hardening (OPTIMIZATION_r18 deadlock
+      // note); consumed by both slice legs
+      .localCheckpoint(eager = true)
     val ref = agg.where(col("half") === 0)
       .select(col("label"), col("vs.sum").as("sr"), col("vs.n").as("n_ref"))
     val cur = agg.where(col("half") === 1)
@@ -235,19 +238,65 @@ object Similarity {
     val nQ = q.count()
     truthLegGuardWarn("nprobeSweep", maxQueries, nQ,
       preCap = if (maxQueries > 0) q1.count() else nQ)
-    val truth = bruteKnn(corpus, vecCol, idCol, q, k)
-      .select(col("q_id"), col("neighbor_id"))
-      .localCheckpoint(eager = false)
     val index = ivfIndexBuild(corpus, vecCol, idCol, nlist, lloydIters)
     val pinned = IvfIndex(
       index.centroids.localCheckpoint(eager = false),
       index.cells.localCheckpoint(eager = false))
+    // FUSED sweep: each sweep point's probe list is the rank-≤np PREFIX
+    // of the top-maxNp centroid ordering (graft_topk's total order —
+    // sim desc, c_id asc — is what ivfKnnWith(np) itself uses), so ONE
+    // ranked probe join scores the corpus once and every np's top-k
+    // heap reads the same pass, skipping rows beyond its rank via the
+    // null-skipping graft_topk input. Before: one probe agg + cell join
+    // + top-k + count JOB per np, each rescoring its cells from scratch
+    // (Σ np/nlist ≈ 2× the corpus at the default sweep) plus a brute
+    // truth leg — ~3 corpus-scoring passes and 6 driver rounds; after:
+    // one scoring pass, one aggregate, one single-row collect.
+    val effNps = nprobes.map(np => math.min(np, nlist))
+    val maxNp = effNps.max
+    val probes = q.crossJoin(broadcast(pinned.centroids))
+      .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))
+      .groupBy("q_id")
+      .agg(topk(col("qc_sim"), col("c_id"), maxNp).as("tk"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("e.id").as("c_id"), col("q_id"), col("q_vec"),
+        (col("pos") + 1).as("rk"))
+    val scored = pinned.cells.join(broadcast(probes), Seq("c_id"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"),
+        col("n_id"), col("rk"))
+    // maxNp == nlist ⇒ the probe lists hold EVERY centroid, each vector
+    // sits in exactly one cell, so the probe join enumerates each
+    // (query, vector) pair exactly once — the exact truth top-k folds
+    // into the same pass. Otherwise (a partial sweep) truth keeps its
+    // own brute leg, gathered to a per-query id array for the same
+    // intersection arithmetic.
+    val fullCover = maxNp == nlist
+    val perQ = {
+      val npAggs = effNps.indices.map(i =>
+        topk(when(col("rk") <= effNps(i), col("cos_exact")), col("n_id"), k)
+          .as(s"ta$i"))
+      val aggs =
+        if (fullCover) topk(col("cos_exact"), col("n_id"), k).as("tt") +: npAggs
+        else npAggs
+      scored.groupBy("q_id").agg(aggs.head, aggs.tail: _*)
+    }
+    val joined =
+      if (fullCover) perQ.withColumn("t_ids", col("tt.id"))
+      else perQ.join(
+        broadcast(bruteKnn(corpus, vecCol, idCol, q, k)
+          .groupBy("q_id")
+          .agg(collect_list(col("neighbor_id")).as("t_ids"))),
+        Seq("q_id"))
+    val hitCols = effNps.indices.map(i =>
+      coalesce(sum(size(array_intersect(col("t_ids"), col(s"ta$i.id")))
+        .cast("long")), lit(0L)).as(s"h$i"))
+    val hitRow = joined.agg(hitCols.head, hitCols.tail: _*).head()
     val spark = corpus.sparkSession
     import spark.implicits._
-    nprobes.map { np =>
-      val approx = ivfKnnWith(pinned, q, k, math.min(np, nlist))
-        .select(col("q_id"), col("neighbor_id"))
-      val hits = truth.join(approx, Seq("q_id", "neighbor_id")).count()
+    nprobes.zipWithIndex.map { case (np, i) =>
+      val hits = hitRow.getLong(i)
       (np.toLong, nQ, hits,
         math.round(hits.toDouble / (nQ * k) * 10000) / 10000.0,
         math.round(math.min(np, nlist).toDouble / nlist * 10000) / 10000.0)
@@ -292,6 +341,12 @@ object Similarity {
       .localCheckpoint(eager = false) // feeds truth, approx, and n_q
     truthLegGuardWarn("annRecallEval", maxQueries, q.count(),
       preCap = if (maxQueries > 0) q1.count() else -1L)
+    // NOT fused into one dual-topk corpus pass (r18 opt-2 A/B): a fused
+    // truth+approx aggregate taxes EVERY (query, vector) pair with the
+    // bucket test and a second null-skipping heap eval, to save cosines
+    // only on the candidate fraction (~5/2^numPlanes) that the
+    // broadcast hash join prunes for free — measured CPU 0.40 → 0.74 s,
+    // and the loss grows as numPlanes shrinks that fraction. Reverted.
     val truth = bruteKnn(corpus, vecCol, idCol, q, k)
       .select(col("q_id"), col("neighbor_id"))
       .localCheckpoint(eager = false) // counted via join below

@@ -43,7 +43,7 @@ object AnalyticsQueries {
       val perDay = events(s, dir)
         .groupBy(to_date(col("ts")).as("d"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
-        .localCheckpoint(eager = false) // feeds both sides of the window join
+        .localCheckpoint(eager = true) // feeds both sides of the window join
       perDay.select(col("d").as("d0"))
         .join(perDay, datediff(col("d0"), col("d")).between(0, 6))
         .groupBy("d0")
@@ -605,7 +605,7 @@ object AnalyticsQueries {
       val sk = events(s, dir)
         .groupBy("event_type")
         .agg(theta_sketch_agg(col("user_id")).as("sk"))
-        .localCheckpoint(eager = false) // consumed by both join sides
+        .localCheckpoint(eager = true) // consumed by both join sides
       val a = sk.where(col("event_type") === "click").select(col("sk").as("sk_a"))
       val b = sk.where(col("event_type") === "purchase").select(col("sk").as("sk_b"))
       a.crossJoin(b).select(
@@ -681,14 +681,21 @@ object AnalyticsQueries {
         .orderBy("event_type")),
 
     "a8_hll_error_eval" -> ((s, dir) => {
+      // ONE events scan and ONE aggregate for both legs (r18 opt-2):
+      // an HLL register is max(rho(hash(v))) — duplicate-insensitive —
+      // so the sketches computed over the deduped (event_type,
+      // user_id) relation are bit-identical to sketches over the raw
+      // stream, and the exact count is count(*) of the same relation;
+      // the old second scan + 3-sketch pass over every event + the
+      // broadcast join all collapse (spec'd: a8 one-pass ≡ two-leg).
       val ev = events(s, dir)
-      val exact = ev.select("event_type", "user_id").distinct()
-        .groupBy("event_type").agg(count(lit(1)).as("exact"))
-      val approx = ev.groupBy("event_type").agg(
-        approx_count_distinct(col("user_id"), 0.01).as("e1"),
-        approx_count_distinct(col("user_id"), 0.05).as("e5"),
-        approx_count_distinct(col("user_id"), 0.15).as("e15"))
-      approx.join(broadcast(exact), "event_type")
+      val both = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(
+          count(lit(1)).as("exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("e1"),
+          approx_count_distinct(col("user_id"), 0.05).as("e5"),
+          approx_count_distinct(col("user_id"), 0.15).as("e15"))
+      both
         .select(col("event_type"), col("exact"),
           explode(array(
             struct(lit(0.01).as("rsd"), col("e1").as("est")),
@@ -731,7 +738,7 @@ object AnalyticsQueries {
         .agg(graft.functions.topk(-col("h").cast("double"), col("h"), k).as("tk"))
       val counts = ev.groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_events"))
       val days = perDay.join(counts, "d")
-        .localCheckpoint(eager = false) // feeds both sides of the window join
+        .localCheckpoint(eager = true) // feeds both sides of the window join
       val joined = days.select(col("d").as("d0"))
         .join(days, datediff(col("d0"), col("d")).between(0, 6))
       val nev = joined.groupBy("d0").agg(sum("n_events").as("n_events_7d"))
@@ -855,14 +862,14 @@ object AnalyticsQueries {
       // vs its LAST day; intersection = returning users
       val days = events(s, dir)
         .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
-        .localCheckpoint(eager = false) // feeds bounds and both sides
+        .localCheckpoint(eager = true) // feeds bounds and both sides
       val bounds = broadcast(days.agg(min("day").as("d0"), max("day").as("d1")))
       def side(pick: org.apache.spark.sql.Column) = days.crossJoin(bounds)
         .where(col("day") === pick).select(h).distinct()
       val members = side(col("d0")).select(col("h"), lit(1).as("ia"), lit(0).as("ib"))
         .unionByName(side(col("d1")).select(col("h"), lit(0).as("ia"), lit(1).as("ib")))
         .groupBy("h").agg(max("ia").as("ia"), max("ib").as("ib"))
-        .localCheckpoint(eager = false) // feeds bottom-k AND the probe
+        .localCheckpoint(eager = true) // feeds bottom-k AND the probe
       val bottom = members.agg(graft.functions.topk(
           -col("h").cast("double") / lit(4503599627370496.0), col("h"), k).as("tk"))
         .select(explode(col("tk")).as("e"))
@@ -1367,7 +1374,7 @@ object AnalyticsQueries {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
           dec(col("l_extendedprice")).as("price"))
-        .localCheckpoint(eager = false) // feeds the mean AND the probe
+        .localCheckpoint(eager = true) // feeds the mean AND the probe
       val perPart = slice.groupBy(col("l_partkey").as("a_partkey"))
         .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
       slice.join(perPart, col("l_partkey") === col("a_partkey"))
@@ -1476,7 +1483,7 @@ object AnalyticsQueries {
         .select(col("user_id"), col("session_idx"),
           expr("s_start_ns div 1000000").as("s_ms"),
           expr("s_end_ns div 1000000").as("e_ms"))
-        .localCheckpoint(eager = false) // feeds both delta legs once
+        .localCheckpoint(eager = true) // feeds both delta legs once
       val deltas = sess
         .select(col("s_ms").as("ts"), lit(1L).as("delta"),
           col("user_id"), col("session_idx"))
@@ -1616,7 +1623,7 @@ object AnalyticsQueries {
       val perDay = events(s, dir)
         .groupBy(to_date(col("ts")).as("d"))
         .agg(theta_sketch_agg(col("user_id"), 16).as("sk"))
-        .localCheckpoint(eager = false) // calendar-sized; feeds both join sides
+        .localCheckpoint(eager = true) // calendar-sized; feeds both join sides
       val prev = perDay.select(col("d").as("d_prev"), col("sk").as("sk_prev"))
       // equi-join on the shifted date (NOT datediff(...) === 1, which
       // is a non-equi condition and plans as a nested-loop join):

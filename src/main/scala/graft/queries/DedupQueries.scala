@@ -156,6 +156,10 @@ object DedupQueries {
         .orderBy(substring(md5(col("doc_id").cast("string")), 1, 13).asc,
           col("doc_id").asc)
         .limit(2048)
+      // NOT shared with the truth leg's shingle checkpoint (r18 opt-2
+      // A/B): on the 2048-doc capped set, re-shingling raw text here is
+      // CHEAPER than deserializing the checkpointed array<string>
+      // blocks a second time (CPU 1.06 → 2.2 s when shared — reverted)
       val truth = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.3)
       val sh = docs.select(col("doc_id").as("id"),
         explode(graft.functions.TextFunctions.wordShingles(
@@ -342,7 +346,14 @@ object DedupQueries {
         .distinct()
       val corpus = docs.where(!isBench)
         .select(col("doc_id"), T.wordShingles(T.tokens(col("text"))).as("ss"))
-        .localCheckpoint(eager = false)
+        // eager: `shared` (whose subtree contains this relation) can be
+        // AQE-broadcast in the final join, and a LAZY checkpoint
+        // first-materialized on a broadcast-exchange thread while the
+        // dag-scheduler submits the other consumer's stage is the
+        // lock-inversion deadlock observed this round (jstack-confirmed
+        // in DedupSpec; see Dedup.lshRecallEval). Pre-materializing on
+        // the construction thread closes the window; same total work.
+        .localCheckpoint(eager = true)
       val shared = corpus
         .select(col("doc_id"), explode(col("ss")).as("s"))
         .join(broadcast(benchShingles), "s")

@@ -509,7 +509,7 @@ object TextQueries {
           "transform(sequence(2, size(t)), i -> struct(element_at(t, i - 1) AS prev, element_at(t, i) AS cur))"))
           .as("b"))
         .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true) // eager: lock-inversion hardening (OPTIMIZATION_r18 deadlock note)
       val c2 = big.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
       // c1 folds from the vocab²-sized c2 relation, not a third
       // corpus-wide explode: sum over cur of c2(prev,·) ≡ count(prev)
@@ -546,11 +546,11 @@ object TextQueries {
           s"transform(sequence(1, size(t) - $d), i -> struct(element_at(t, i) AS w1, element_at(t, i + $d) AS w2))"))
           .as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val pairs = shifted(1).unionAll(shifted(2)).localCheckpoint(eager = false)
+      val pairs = shifted(1).unionAll(shifted(2)).localCheckpoint(eager = true) // eager: lock-inversion hardening (OPTIMIZATION_r18 deadlock note)
       val uni = table(s, dir, "documents")
         .select(explode(T.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true) // eager: lock-inversion hardening (OPTIMIZATION_r18 deadlock note)
       val totals = broadcast(
         uni.agg(sum(col("c")).as("n_tok"))
           .crossJoin(pairs.agg(count(lit(1)).as("n_pair"))))
@@ -736,7 +736,11 @@ object TextQueries {
       val sh = table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), T.wordShingles(T.tokens(col("text"))).as("ss"))
-        .localCheckpoint(eager = false)
+        // eager: broadcast(benchShingles) embeds this relation in a
+        // broadcast subtree — a lazy first materialization there races
+        // the corpus side's stage submission into the checkpoint
+        // lock-inversion deadlock (see d6 / Dedup.lshRecallEval)
+        .localCheckpoint(eager = true)
       val benchShingles = sh.where(isBench)
         .select(explode(col("ss")).as("sng")).distinct()
       val contaminated = sh.where(!isBench)
@@ -778,7 +782,7 @@ object TextQueries {
             when(col("sum_len").cast("double") / col("n_tok") >= 3.0 &&
               col("sum_len").cast("double") / col("n_tok") <= 8.0, 0.2).otherwise(0.0))
         .withColumn("fp", T.bowFingerprint(col("text")))
-        .localCheckpoint(eager = false) // feeds the dup-fp set and the report agg
+        .localCheckpoint(eager = true) // feeds the dup-fp set and the report agg
       val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("n"))
         .where(col("n") > 1).select(col("fp"), lit(1L).as("isdup"))
       docs.join(broadcast(dupFps), Seq("fp"), "left")

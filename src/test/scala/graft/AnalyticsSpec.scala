@@ -210,6 +210,24 @@ class AnalyticsSpec extends SparkSpec {
     // fixed hash, no sampling: the report is run-to-run deterministic
     val again = AnalyticsQueries.queries("a8_hll_error_eval")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // the one-pass shape (sketches over the deduped relation) is
+    // bit-identical to the legacy two-leg shape: HLL registers are
+    // duplicate-insensitive, so estimating over distinct (type, user)
+    // pairs gives the same e1/e5/e15 as estimating over every event
+    val ev = graft.queries.events(spark, sf)
+    val legacy = ev.groupBy("event_type").agg(
+        approx_count_distinct(col("user_id"), 0.01).as("e1"),
+        approx_count_distinct(col("user_id"), 0.05).as("e5"),
+        approx_count_distinct(col("user_id"), 0.15).as("e15"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("e1"), r.getAs[Long]("e5"), r.getAs[Long]("e15"))).toMap
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val est = rs.sortBy(_.getAs[Double]("rsd"))
+        .map(_.getAs[Long]("est")).toSeq
+      val (l1, l5, l15) = legacy(t)
+      assert(est === Seq(l1, l5, l15), s"one-pass HLL diverged for $t")
+    }
   }
 
   test("a13: theta day-over-day churn is exact set arithmetic in the sub-nominal regime") {

@@ -475,6 +475,19 @@ class SimilaritySpec extends SparkSpec {
     assert(run1 === run2)
   }
 
+  test("s17 internals: partial-cover sweep rows match the full-cover sweep's") {
+    // nprobes maxing BELOW nlist takes the separate brute-truth branch;
+    // maxing AT nlist folds the truth into the fused scoring pass — a
+    // sweep point's row depends only on its own nprobe, so the shared
+    // rows must be identical across the two cover modes (pins both the
+    // rank-prefix property and the folded-truth equivalence)
+    val partial = Similarity.nprobeSweep(emb, "embedding", "vec_id", k = 5,
+      nprobes = Seq(1, 2), maxQueries = 64).collect().map(_.toString).toSeq
+    val full = Similarity.nprobeSweep(emb, "embedding", "vec_id", k = 5,
+      nprobes = Seq(1, 2, 4, 8), maxQueries = 64).collect().map(_.toString).toSeq
+    assert(full.take(2) === partial)
+  }
+
   test("s1: ranks are dense, per-query, and self-free") {
     val out = Similarity.bruteKnn(emb, "embedding", "vec_id", queries, 10)
     assert(out.count() === 50)
