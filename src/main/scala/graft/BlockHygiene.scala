@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Storage-block hygiene for long-lived, many-query sessions.
   *
   * Graft operators materialize shared intermediates with
-  * `localCheckpoint(eager = false)` (see the InferFiltersFromGenerate
+  * `localCheckpoint(eager = true)` (see the InferFiltersFromGenerate
   * and project-collapse notes in Dedup): the blocks live at
   * MEMORY_AND_DISK and are reclaimed by the ContextCleaner only when
   * the owning RDD object is garbage-collected on the driver. A driver

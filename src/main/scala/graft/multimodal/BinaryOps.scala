@@ -137,7 +137,7 @@ object BinaryOps {
       increment: DataFrame, binCol: String, idCol: String,
       maxContainment: Double = 0.5,
       minLen: Int = 64, maskBits: Int = 8, maxLen: Int = 4096): ChunkIngestReport = {
-    val inc = increment.localCheckpoint(eager = false)
+    val inc = increment.localCheckpoint(eager = true)
     val chunks = inc
       .select(col(idCol).as("id"),
         explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
@@ -164,7 +164,7 @@ object BinaryOps {
       maxContainment: Double, stagePrefix: String): ChunkIngestReport = {
     import graft.sources.ParquetLake
     val chunks = fpRelation
-      .localCheckpoint(eager = false) // feeds containment AND the index append
+      .localCheckpoint(eager = true) // feeds containment AND the index append
     val index = ParquetLake.readManifested(spark, indexPath)
     val contained = chunks
       .join(index.select(col("fp"), lit(true).as("hit")), Seq("fp"), "left")
@@ -173,16 +173,16 @@ object BinaryOps {
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
       .withColumn("reject",
         col("n_hit").cast("double") / col("n_chunks") >= maxContainment)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // a null/empty payload yields ZERO chunks, so it has no row in
     // `contained` at all — a semi-join on the admit set would silently
     // drop it (neither admitted, indexed, nor reported). Left-join and
     // admit chunkless blobs explicitly (no content ⇒ nothing to be
     // contained BY), accounted in their own report bucket
     val rejectIds = contained.where(col("reject"))
-      .select(col("id").as(idCol)).localCheckpoint(eager = false)
+      .select(col("id").as(idCol)).localCheckpoint(eager = true)
     val admitted = inc.join(rejectIds, Seq(idCol), "left_anti")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val nInc = inc.count()
     val nReject = rejectIds.count()
     val nAdmit = nInc - nReject
@@ -253,7 +253,7 @@ object BinaryOps {
       dataPath: String, indexPath: String,
       increment: DataFrame, binCol: String, idCol: String,
       maxContainment: Double = 0.5): ChunkIngestReport = {
-    val inc = increment.localCheckpoint(eager = false)
+    val inc = increment.localCheckpoint(eager = true)
     fpGatedIngest(spark, dataPath, indexPath, inc, idCol,
       frameFps(inc, binCol, idCol), maxContainment, "frame")
   }
@@ -275,7 +275,7 @@ object BinaryOps {
     val chunks = df
       .select(col(idCol).as("id"),
         explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
-      .localCheckpoint(eager = false) // feeds the multiplicity agg AND the join
+      .localCheckpoint(eager = true) // feeds the multiplicity agg AND the join
     val mult = chunks.groupBy("fp").agg(count(lit(1)).as("n_occ"))
     chunks.join(mult, "fp")
       .groupBy("id")
@@ -309,7 +309,7 @@ object BinaryOps {
       .select(col(idCol).as("id"),
         explode(graft.functions.cdcChunks(col(binCol), minLen, maskBits, maxLen)).as("fp"))
       .distinct() // set semantics: a repeated chunk counts once
-      .localCheckpoint(eager = false) // feeds sizes, occurrence cap, and the pair join
+      .localCheckpoint(eager = true) // feeds sizes, occurrence cap, and the pair join
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n_ch"))
     val rare = sets.join(
       sets.groupBy("fp").agg(count(lit(1)).as("n_occ"))

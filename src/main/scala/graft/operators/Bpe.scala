@@ -145,7 +145,7 @@ object Bpe {
       // which under Spark's limit=-1 split would append a trailing
       // empty symbol (and "" would then enter the pair counts)
       .select(split(col("w"), "(?!^)(?=.)").as("syms"), col("freq"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     var incremental = startIncremental
     val auto = crossoverFrac >= 0.0
     // round 1's best-pair occurrence count — the crossover yardstick
@@ -156,7 +156,7 @@ object Bpe {
         vocab.where(size(col("syms")) >= 2)
           .select(col("freq"), pairsOf(col("syms")).as("pair"))
           .groupBy("pair").agg(sum(col("freq")).as("n"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
       else null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -189,7 +189,7 @@ object Bpe {
           incremental = true
           switchRank = rank
           counts = pairCounts.select(col("pair"), col("n"))
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
         }
         if (incremental) {
           // only words CONTAINING both symbols can change under this
@@ -204,7 +204,7 @@ object Bpe {
             .where(touches)
             .select(col("freq"), col("syms").as("old_syms"),
               mergePair(col("syms"), lit(lS), lit(rS)).as("new_syms"))
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
           // contains-but-not-adjacent words merge to themselves —
           // zero net delta, dropped before the explode
           val delta = touched.where(!(col("old_syms") <=> col("new_syms")))
@@ -218,17 +218,17 @@ object Bpe {
             .unionAll(minus).unionAll(plus)
             .groupBy("pair").agg(sum(col("d")).as("n"))
             .where(col("n") > 0)
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
           vocab = vocab.where(!touches)
             .unionAll(touched.select(col("new_syms").as("syms"), col("freq")))
             // union CONCATENATES partition lists — bound the count or
             // it doubles every round (2^rounds tasks)
             .coalesce(spark.sparkContext.defaultParallelism)
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
         } else {
           vocab = vocab
             .select(mergePair(col("syms"), lit(lS), lit(rS)).as("syms"), col("freq"))
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
         }
         rank += 1
       }

@@ -116,14 +116,14 @@ object ConnectedComponents {
     // the whole upstream plan
     val raw = edges.select(
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // every node ever seen in an edge (incl. self-loop-only nodes,
     // which drop out of the canonical edge set but keep a label)
     val nodes = raw.select(explode(array(col("a"), col("b"))).as("id")).distinct()
     val cur0 = raw.where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     if (cur0.count() < smallCutoff) {
       import org.apache.spark.sql.Row
       val es = cur0.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -137,7 +137,7 @@ object ConnectedComponents {
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxIter) {
-      val chk = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      val chk = smallStar(largeStar(cur)).localCheckpoint(eager = true)
       val sig = signature(chk)
       stable = sig == curSig
       cur = chk
@@ -158,7 +158,7 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       // labels are one row per node and usually consumed more than
       // once downstream (e.g. cluster sizes + the join back)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     Stats(out, rounds)
   }
 }

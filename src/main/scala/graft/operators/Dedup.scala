@@ -100,7 +100,7 @@ object Dedup {
     val index = ParquetLake.readManifested(spark, indexPath)
     val inc = increment
       .withColumn("fingerprint", T.contentFingerprint(col(textCol)))
-      .localCheckpoint(eager = false) // feeds the gate and both appends
+      .localCheckpoint(eager = true) // feeds the gate and both appends
     val incFirst = inc.groupBy("fingerprint")
       .agg(min(col(idCol)).as("inc_keep_id"))
     val gated = inc
@@ -109,7 +109,7 @@ object Dedup {
         Seq("fingerprint"), "left")
       .withColumn("admit",
         col("indexed").isNull && col(idCol) === col("inc_keep_id"))
-      .localCheckpoint(eager = false) // counted + split below
+      .localCheckpoint(eager = true) // counted + split below
     val admitted = gated.where(col("admit"))
     val nAdmit = admitted.count()
     val nIndexed = gated.where(col("indexed").isNotNull).count()
@@ -193,9 +193,9 @@ object Dedup {
       dataPath: String, indexPath: String,
       increment: DataFrame, textCol: String, idCol: String): LineIngestReport = {
     import graft.sources.ParquetLake
-    val inc = increment.localCheckpoint(eager = false)
+    val inc = increment.localCheckpoint(eager = true)
     val sents = sentences(spread(inc), textCol, idCol)
-      .localCheckpoint(eager = false) // feeds gate + survivors + index append
+      .localCheckpoint(eager = true) // feeds gate + survivors + index append
     val index = ParquetLake.readManifested(spark, indexPath)
     // first increment occurrence per fingerprint: min (id, pos)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
@@ -204,7 +204,7 @@ object Dedup {
       .join(index.select(col("fp"), lit(true).as("indexed")), Seq("fp"), "left")
       .withColumn("rn", row_number().over(w))
       .withColumn("keep", col("indexed").isNull && col("rn") === 1)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val survivors = gated.where(col("keep"))
     val rebuilt = survivors
       .groupBy("__id")
@@ -216,7 +216,7 @@ object Dedup {
       .join(rebuilt, inc(idCol) === rebuilt("__id"), "inner")
       .withColumn(textCol, col("__text"))
       .drop("__id", "__n_kept", "__text")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val docsIn = inc.count()
     val nAdmit = admitted.count()
     val sentsIn = sents.count()
@@ -272,7 +272,7 @@ object Dedup {
       increment: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerms: Int = 12, bands: Int = 4): NearDupIngestReport = {
     import graft.sources.ParquetLake
-    val inc = increment.localCheckpoint(eager = false)
+    val inc = increment.localCheckpoint(eager = true)
     // LSH candidates against the persisted band keys, then exact
     // verification of only those pairs
     val cand = bandKeys(inc, textCol, idCol, numPerms, bands)
@@ -280,7 +280,7 @@ object Dedup {
       .join(ParquetLake.readManifested(spark, indexPath)
         .toDF("id_old", "band", "h"), Seq("band", "h"))
       .select("id_new", "id_old").distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val matchedCorpus = ParquetLake.readManifested(spark, dataPath)
       .join(cand.select(col("id_old").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val shNew = spread(inc).select(col(idCol).as("id_new"),
@@ -291,15 +291,15 @@ object Dedup {
       .join(shNew, Seq("id_new")).join(shOld, Seq("id_old"))
       .where(T.jaccard(col("s_new"), col("s_old")) >= threshold)
       .select(col("id_new")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // intra-increment keepers via the d13 pipeline
     val intraKeep = dedupCorpus(inc, textCol, idCol, threshold)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val admitted = inc
       .join(intraKeep.where(col("keep")).select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
       .join(corpusNearIds.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val nAdmit = admitted.count()
     val nCorpusNear = corpusNearIds.count()
     val nIntra = inc.count() - nAdmit - nCorpusNear
@@ -417,7 +417,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {
     val keys = bandKeys(df, textCol, idCol, numPerms, bands)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     bandSelfJoin(keys)
   }
 
@@ -461,9 +461,9 @@ object Dedup {
       corpus: DataFrame, increment: DataFrame, textCol: String, idCol: String,
       numPerms: Int = 12, bands: Int = 4): DataFrame = {
     val idx = bandKeys(corpus, textCol, idCol, numPerms, bands)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val probe = bandKeys(increment, textCol, idCol, numPerms, bands)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     probe.toDF("id_new", "band", "h")
       .join(idx.toDF("id_old", "band", "h"), Seq("band", "h"))
       .groupBy("id_new", "id_old")
@@ -497,7 +497,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String, n: Int = 5): DataFrame = {
     val docs = spread(df)
       .select(col(idCol).as("doc_id"), T.tokens(col(textCol)).as("toks"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // one row per n-gram occurrence; checkpointed because it feeds
     // both the per-gram aggregate and the dup-occurrence join (the
     // d2 lesson: otherwise both sides re-derive the gram pass)
@@ -505,7 +505,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.gramsWs(col("toks"), n)))
       .toDF("doc_id", "pos", "gram")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // lexicographic first-occurrence per gram. min(struct) buffers are
     // hash-INELIGIBLE (SortAggregate — see Similarity.assignNearest's
     // scaladoc), which would per-partition-sort every gram occurrence
@@ -623,7 +623,7 @@ object Dedup {
   def exactJaccardPairs(
       df: DataFrame, textCol: String, idCol: String, threshold: Double): DataFrame =
     exactJaccardPairsFromShingles(
-      shingleRelation(df, textCol, idCol, eager = false), threshold)
+      shingleRelation(df, textCol, idCol), threshold)
 
   /** Checkpointed (id, s: array<string>) shingle relation — the ONE
     * tokenize+shingle pass a multi-leg evaluation harness shares
@@ -637,14 +637,13 @@ object Dedup {
     spread(df).select(
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
-      // EAGER by default, unlike the repo's usual lazy checkpoints:
-      // d16 hangs three independent stage chains off this relation
-      // inside one job, and concurrent stages computing a lazy
+      // EAGER: d16 hangs three independent stage chains off this
+      // relation inside one job — concurrent stages computing a lazy
       // checkpoint's partitions serialize on block locks (measured
-      // run_s 9 → 48 s swings); materializing once up front removes
-      // the race. exactJaccardPairs standalone keeps the lazy form
-      // (two consumers, no measured race — and eager would force the
-      // shingle pass even for callers that never execute the query).
+      // run_s 9 → 48 s swings), and a lazy checkpoint embedded in a
+      // broadcast consumer opens the lock-inversion deadlock window
+      // (OPTIMIZATION_r18 deadlock note). Materializing once up front
+      // removes both.
       .localCheckpoint(eager = eager)
 
   /** [[exactJaccardPairs]] over an already-materialized
@@ -698,7 +697,7 @@ object Dedup {
     val sh = spread(base).select(
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
-      .localCheckpoint(eager = false) // feeds the index AND the sizes
+      .localCheckpoint(eager = true) // feeds the index AND the sizes
     val sizes = sh.select(col("id"), size(col("s")).cast("long").as("n_sh"))
     val inv = sh.select(col("id"), explode(col("s")).as("sng"))
     val common = inv.toDF("id_a", "sng")
@@ -853,7 +852,7 @@ object Dedup {
     val sh = spread(df).select(
       col(idCol).as("id"),
       T.wordShingles(T.tokens(col(textCol))).as("s"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val keys = bandKeysFromShingles(
       sh.select(col("id"), explode(col("s")).as("sng")), numPerms, bands)
     val a = keys.toDF("id_a", "band", "h")
@@ -923,7 +922,7 @@ object Dedup {
     val e = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks.toLong)))
       .withColumn("n2", dot(col("v"), col("v")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // row in block i meets block j at ordered key (p,q)=(min,max):
     // the a-side replicates to keys (blk, q ≥ blk), the b-side to
     // (p ≤ blk, blk) — every cross-block pair meets in exactly one
@@ -967,7 +966,7 @@ object Dedup {
     val e = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.bucketOf(col("v"), planes))
       .withColumn("n2", dot(col("v"), col("v")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val a = e.select(
       col("id").as("id_a"), col("v").as("v_a"), col("n2").as("n2_a"),
       explode(array(col("bucket") +: (0 until numPlanes).map(i =>
@@ -1014,7 +1013,7 @@ object Dedup {
     val assigned = Similarity.assignNearest(
         data, Similarity.kmeansCentroids(data, nlist, lloydIters))
       .withColumn("n2", dot(col("n_vec"), col("n_vec")))
-      .localCheckpoint(eager = false) // three consumers: two join sides + output
+      .localCheckpoint(eager = true) // three consumers: two join sides + output
     val a = assigned.select(
       col("c_id"), col("n_id").as("id_a"), col("n_vec").as("v_a"), col("n2").as("n2_a"))
     val b = assigned.select(

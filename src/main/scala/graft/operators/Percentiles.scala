@@ -67,7 +67,7 @@ object Percentiles {
           spark.sparkContext.defaultParallelism * 2,
           gCols :+ col("__v"): _*)
         .withColumn("__pid", spark_partition_id())
-      if (exchangeReuse) b else b.localCheckpoint(eager = false)
+      if (exchangeReuse) b else b.localCheckpoint(eager = true)
     }
     // local ranks: window keys include the partition id, so the sort
     // parallelism is the range-partition count, never the group count

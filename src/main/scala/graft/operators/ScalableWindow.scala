@@ -105,7 +105,7 @@ object ScalableWindow {
     }
     val base =
       if (exchangeReuse && partitioningCoversRow) base0
-      else base0.localCheckpoint(eager = false)
+      else base0.localCheckpoint(eager = true)
     val wLocal = Window.partitionBy(col("__pid") +: gCols: _*)
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -234,14 +234,14 @@ object Similarity {
             .cast("long").asc, col("q_id").asc)
           .limit(maxQueries).select("q_id", "q_vec")
       else q1)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val nQ = q.count()
     truthLegGuardWarn("nprobeSweep", maxQueries, nQ,
       preCap = if (maxQueries > 0) q1.count() else nQ)
     val index = ivfIndexBuild(corpus, vecCol, idCol, nlist, lloydIters)
     val pinned = IvfIndex(
-      index.centroids.localCheckpoint(eager = false),
-      index.cells.localCheckpoint(eager = false))
+      index.centroids.localCheckpoint(eager = true),
+      index.cells.localCheckpoint(eager = true))
     // FUSED sweep: each sweep point's probe list is the rank-≤np PREFIX
     // of the top-maxNp centroid ordering (graft_topk's total order —
     // sim desc, c_id asc — is what ivfKnnWith(np) itself uses), so ONE
@@ -338,7 +338,7 @@ object Similarity {
             .cast("long").asc, col("q_id").asc)
           .limit(maxQueries).select("q_id", "q_vec")
       else q1)
-      .localCheckpoint(eager = false) // feeds truth, approx, and n_q
+      .localCheckpoint(eager = true) // feeds truth, approx, and n_q
     truthLegGuardWarn("annRecallEval", maxQueries, q.count(),
       preCap = if (maxQueries > 0) q1.count() else -1L)
     // NOT fused into one dual-topk corpus pass (r18 opt-2 A/B): a fused
@@ -349,7 +349,7 @@ object Similarity {
     // and the loss grows as numPlanes shrinks that fraction. Reverted.
     val truth = bruteKnn(corpus, vecCol, idCol, q, k)
       .select(col("q_id"), col("neighbor_id"))
-      .localCheckpoint(eager = false) // counted via join below
+      .localCheckpoint(eager = true) // counted via join below
     val approx = lshKnn(corpus, vecCol, idCol, q, k, numPlanes, dim)
       .select(col("q_id"), col("neighbor_id"))
     val hits = truth.join(approx, Seq("q_id", "neighbor_id"))
@@ -452,7 +452,7 @@ object Similarity {
       saltThreshold: Int = 1024): DataFrame = {
     val e = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val nP =
       if (numPlanes > 0) numPlanes
       else math.max(2, math.ceil(math.log(e.count() / 256.0) / math.log(2)).toInt)
@@ -505,12 +505,12 @@ object Similarity {
       nlist: Int = 16, lloydIters: Int = 3): DataFrame = {
     val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val cents = kmeansCentroids(data, nlist, lloydIters)
     val labeled = assignNearest(data, cents)
       .join(corpus.select(col(idCol).as("n_id"), col(labelCol).as("label")), "n_id")
     val counts = labeled.groupBy("c_id", "label").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // feeds totals AND the argmax
+      .localCheckpoint(eager = true) // feeds totals AND the argmax
     val wCell = org.apache.spark.sql.expressions.Window.partitionBy("c_id")
     counts
       .withColumn("n_members", sum("n").over(wCell))
@@ -567,14 +567,14 @@ object Similarity {
     var cents = data
       .orderBy(md5(col("n_id").cast("string")), col("n_id")).limit(nlist)
       .select(col("n_id").as("c_id"), col("n_vec").as("c_vec"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     (0 until math.max(0, iters)).foreach { _ =>
       cents = assignNearest(data, cents)
         .groupBy("c_id")
         .agg(vecsum(col("n_vec")).as("s"))
         .select(col("c_id"),
           transform(col("s.sum"), x => (x / col("s.n")).cast("float")).as("c_vec"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
     }
     cents
   }
@@ -587,7 +587,7 @@ object Similarity {
       .select(col("n_id"), col("n_vec"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("sub"), col("n_id"),
         slice(col("n_vec"), col("sub") * subLen + 1, lit(subLen)).as("sv"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
   /** Nearest codebook entry per (sub, vector) — L2, tie-break lowest
     * c_id. MAP-ONLY like [[assignNearest]]: the m·ksub codebook packs
@@ -622,14 +622,14 @@ object Similarity {
       .select(col("n_id").as("c_id"))
     var cents = subv.join(broadcast(seedIds), col("n_id") === col("c_id"))
       .select(col("sub"), col("c_id"), col("sv").as("c_vec"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     (0 until math.max(0, lloydIters)).foreach { _ =>
       cents = pqAssign(subv, cents)
         .groupBy("sub", "c_id")
         .agg(vecsum(col("sv")).as("s"))
         .select(col("sub"), col("c_id"),
           transform(col("s.sum"), x => (x / col("s.n")).cast("float")).as("c_vec"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
     }
     cents
   }
@@ -848,7 +848,7 @@ object Similarity {
     val data = corpus.select(
       col(idCol).as("n_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .localCheckpoint(eager = false) // feeds bounds, codes, and rerank
+      .localCheckpoint(eager = true) // feeds bounds, codes, and rerank
     // per-dimension corpus bounds: a dims-sized relation, packed into
     // two broadcast arrays ordered by dimension
     val packed = broadcast(
@@ -912,7 +912,7 @@ object Similarity {
     val subLen = dim / m
     // reused by the coarse assign, PQ train/encode, and exact rerank
     val data = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     // IVF layer: cells + per-query probe lists (ivfKnn's shapes)
     val coarse = kmeansCentroids(data, nlist, lloydIters)
     val cells = assignNearest(data, coarse).select("c_id", "n_id")
@@ -1240,9 +1240,9 @@ object Similarity {
       s"maxHamming=$maxHamming > nBands-1=${nBands - 1}: the pigeonhole " +
         "guarantee (no missed near-dup) needs radius ≤ bands − 1 — raise " +
         "the band count (smaller bandBits) for a larger exact radius")
-    val inc = increment.localCheckpoint(eager = false)
+    val inc = increment.localCheckpoint(eager = true)
     val incIx = mihIndexBuild(inc, vecCol, idCol, dim, bandBits)
-      .localCheckpoint(eager = false) // feeds both gate joins and the index append
+      .localCheckpoint(eager = true) // feeds both gate joins and the index append
     // rebind by NAME, not positional toDF: the loaded index's column
     // order is a parquet artifact — a schema-evolved or reordered
     // read-back must not silently swap id and signature
@@ -1254,7 +1254,7 @@ object Similarity {
       .select("id_new", "sig_new", "id_old", "sig_old").distinct()
       .where(hammingDist(col("sig_new"), col("sig_old")) <= maxHamming)
       .select(col("id_new")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val intraEdges = rebind(incIx, "id_a", "sig_a")
       .join(rebind(incIx, "id_b", "sig_b"), Seq("band", "bv"))
       .where(col("id_a") < col("id_b"))
@@ -1267,7 +1267,7 @@ object Similarity {
     val admitted = inc
       .join(corpusNearIds.select(col("id_new").as(idCol)), Seq(idCol), "left_anti")
       .join(intraLosers, Seq(idCol), "left_anti")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val nAdmit = admitted.count()
     val nCorpusNear = corpusNearIds.count()
     val nIntra = inc.count() - nAdmit - nCorpusNear
@@ -1316,14 +1316,14 @@ object Similarity {
         s"bandBits=$b must divide dim=$dim and the 32-bit word") }
     val sigs = corpus
       .select(col(idCol).as("n_id"), signSig(col(vecCol), dim).as("n_sig"))
-      .localCheckpoint(eager = false) // packed once; each config re-slices
+      .localCheckpoint(eager = true) // packed once; each config re-slices
     val q = queries
       .select(col("q_id"), signSig(col("q_vec"), dim).as("q_sig"))
-      .localCheckpoint(eager = false) // feeds the truth leg + every config
+      .localCheckpoint(eager = true) // feeds the truth leg + every config
     val truth = hammingTopK(
       sigs.crossJoin(broadcast(q)).where(col("n_id") =!= col("q_id")), k)
       .select(col("q_id"), col("neighbor_id").as("n_id"))
-      .localCheckpoint(eager = false) // one exact scan shared by all configs
+      .localCheckpoint(eager = true) // one exact scan shared by all configs
     val scalars = sigs.agg(count(lit(1)).as("n_corpus"))
       .crossJoin(q.agg(count(lit(1)).as("n_q")))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

@@ -692,7 +692,7 @@ object TextQueries {
       val dict = toks.groupBy("b").agg(
           count(lit(1)).as("r"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
-        .localCheckpoint(eager = false) // feeds totals and the λ table
+        .localCheckpoint(eager = true) // feeds totals and the λ table
       val totals = dict.agg(sum("r").as("rt"), sum("tc").as("tt"))
       val lam = dict.crossJoin(broadcast(totals))
         .select(col("b"),

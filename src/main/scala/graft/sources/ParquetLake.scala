@@ -2122,7 +2122,7 @@ object ParquetLake {
     // the change batch is read several times (matched-partition probe,
     // anti-join, insert union) and by every rebase attempt —
     // materialize once
-    val src = source.localCheckpoint(eager = false)
+    val src = source.localCheckpoint(eager = true)
     var attempt = 0
     while (true) {
       try return mergeAttempt(spark, path, src, keyCols, partCol, deleteCol)
@@ -2509,7 +2509,7 @@ object ParquetLake {
       .join(
         post.select(kCols :+ struct(valCols.map(col): _*).as("__newv") :+ fp(post).as("__post_fp"): _*),
         keyCols, "full_outer")
-      .localCheckpoint(eager = false) // four legs below share one join
+      .localCheckpoint(eager = true) // four legs below share one join
     def leg(cond: Column, image: String, op: String) =
       j.where(cond).select(
         lit(op).as("_change_type") +:
@@ -2703,7 +2703,7 @@ object ParquetLake {
       keyCols: Seq[String], partCol: Option[String] = None,
       deleteCol: Option[String] = None, maxRetries: Int = 3): Int = {
     require(keyCols.nonEmpty, "mergeOnRead needs at least one key column")
-    val src = source.localCheckpoint(eager = false)
+    val src = source.localCheckpoint(eager = true)
     var attempt = 0
     while (true) {
       try return mergeOnReadAttempt(spark, path, src, keyCols, partCol, deleteCol)
@@ -2798,7 +2798,7 @@ object ParquetLake {
     val current = readManifest(spark, path, Some(currentVersion)).get
     val rootPath = fs.makeQualified(root).toUri.getPath
     val dv = spark.read.parquet(dvs.map(f => s"$path/$f"): _*)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val affected = dv.select("file").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val unknown = affected.filterNot(current.contains)

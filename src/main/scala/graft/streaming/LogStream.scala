@@ -1534,11 +1534,11 @@ object LogStream {
       else {
         // static side pinned once across micro-batches; fat-bucket
         // detection + salting mirrors Similarity.knnJoin:166-188
-        val idx = index.localCheckpoint(eager = false)
+        val idx = index.localCheckpoint(eager = true)
         val fat = idx.groupBy("bucket").agg(count(lit(1)).as("bn"))
           .where(col("bn") > saltThreshold)
           .select(col("bucket").as("f_bucket"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val data = idx
           .join(broadcast(fat), col("bucket") === col("f_bucket"), "left")
           .withColumn("d_salt",
@@ -1625,7 +1625,7 @@ object LogStream {
       col("n_id") =!= col("q_id")
     val joined =
       if (broadcastIndex) probes.join(broadcast(idx), cond)
-      else probes.join(idx.localCheckpoint(eager = false), cond)
+      else probes.join(idx.localCheckpoint(eager = true), cond)
     joined
       .select(window(col(eventTimeCol), windowDur).as("window"),
         col("q_id"), col("q_sig"), col("n_id"), col("n_sig"))
