@@ -223,6 +223,14 @@ object Similarity {
       nprobes: Seq[Int] = Seq(1, 2, 4, 8), nlist: Int = 8,
       samplePct: Int = 20, lloydIters: Int = 3,
       maxQueries: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // empty sweep: the pre-fusion per-np loop returned an empty frame
+    // with the output schema; keep that contract instead of crashing
+    // on effNps.max below
+    if (nprobes.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Double)]
+        .toDF("nprobe", "n_q", "n_hits", "recall", "scored_fraction")
     val q0 = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val q1 = if (samplePct >= 100) q0
       else q0.where(
@@ -236,12 +244,19 @@ object Similarity {
       else q1)
       .localCheckpoint(eager = true)
     val nQ = q.count()
+    // the limit can only have bound when it filled exactly to the cap,
+    // so preCap (needed only to label the WARN) costs its corpus-scan
+    // count job in that case alone — every non-binding run skips it
     truthLegGuardWarn("nprobeSweep", maxQueries, nQ,
-      preCap = if (maxQueries > 0) q1.count() else nQ)
+      preCap = if (maxQueries > 0 && nQ == maxQueries) q1.count() else nQ)
     val index = ivfIndexBuild(corpus, vecCol, idCol, nlist, lloydIters)
-    val pinned = IvfIndex(
-      index.centroids.localCheckpoint(eager = true),
-      index.cells.localCheckpoint(eager = true))
+    // NOT checkpointed: the fused sweep consumes each index half
+    // exactly once (centroids by the probe ranking, cells by the
+    // scoring join), so pinning them through the block manager would
+    // only add two serial job rounds + a corpus-sized block write
+    // (the r18→r19 s17 lesson: at bench scale this row's wall is
+    // driver job-round latency, not compute — wall 1.9 s vs 0.66 s
+    // task CPU at local[32])
     // FUSED sweep: each sweep point's probe list is the rank-≤np PREFIX
     // of the top-maxNp centroid ordering (graft_topk's total order —
     // sim desc, c_id asc — is what ivfKnnWith(np) itself uses), so ONE
@@ -251,10 +266,10 @@ object Similarity {
     // + top-k + count JOB per np, each rescoring its cells from scratch
     // (Σ np/nlist ≈ 2× the corpus at the default sweep) plus a brute
     // truth leg — ~3 corpus-scoring passes and 6 driver rounds; after:
-    // one scoring pass, one aggregate, one single-row collect.
+    // one scoring pass and one aggregate, all under the caller's action.
     val effNps = nprobes.map(np => math.min(np, nlist))
     val maxNp = effNps.max
-    val probes = q.crossJoin(broadcast(pinned.centroids))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("qc_sim", cosine(col("q_vec"), col("c_vec")))
       .groupBy("q_id")
       .agg(topk(col("qc_sim"), col("c_id"), maxNp).as("tk"),
@@ -262,7 +277,7 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("e.id").as("c_id"), col("q_id"), col("q_vec"),
         (col("pos") + 1).as("rk"))
-    val scored = pinned.cells.join(broadcast(probes), Seq("c_id"))
+    val scored = index.cells.join(broadcast(probes), Seq("c_id"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), cosine(col("q_vec"), col("n_vec")).as("cos_exact"),
         col("n_id"), col("rk"))
@@ -292,16 +307,29 @@ object Similarity {
     val hitCols = effNps.indices.map(i =>
       coalesce(sum(size(array_intersect(col("t_ids"), col(s"ta$i.id")))
         .cast("long")), lit(0L)).as(s"h$i"))
-    val hitRow = joined.agg(hitCols.head, hitCols.tail: _*).head()
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    nprobes.zipWithIndex.map { case (np, i) =>
-      val hits = hitRow.getLong(i)
-      (np.toLong, nQ, hits,
-        math.round(hits.toDouble / (nQ * k) * 10000) / 10000.0,
-        math.round(math.min(np, nlist).toDouble / nlist * 10000) / 10000.0)
-    }.toDF("nprobe", "n_q", "n_hits", "recall", "scored_fraction")
-      .orderBy("nprobe")
+    // the sweep rows stay DISTRIBUTED: the single-row hit aggregate
+    // explodes into one row per sweep point at ACTION time, so
+    // construction launches no .head() job and the caller's action
+    // runs the whole scoring pass (before: the returned frame was a
+    // pre-computed 4-row local result). floor(x + 0.5) on a LongType
+    // floor replicates the previous driver-side math.round exactly:
+    // the two differ only when x sits within one ulp below a
+    // half-integer, unreachable for hits·10000/(nQ·k) ratios of
+    // integers this size (|2·hits·10000 − (2m+1)·nQ·k| ≥ 1 whenever
+    // nonzero, i.e. the gap is ≥ 1/(2·nQ·k) ≫ ulp).
+    val hitRow = joined.agg(hitCols.head, hitCols.tail: _*)
+    val sweepRows = explode(array(effNps.indices.map { i =>
+      val np = nprobes(i)
+      struct(
+        lit(np.toLong).as("nprobe"),
+        lit(nQ).as("n_q"),
+        col(s"h$i").as("n_hits"),
+        (floor(col(s"h$i").cast("double") / lit((nQ * k).toDouble)
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("recall"),
+        lit(math.round(math.min(np, nlist).toDouble / nlist * 10000) / 10000.0)
+          .as("scored_fraction"))
+    }: _*))
+    hitRow.select(sweepRows.as("r")).select(col("r.*")).orderBy("nprobe")
   }
 
   /** s9: ANN quality evaluation — LSH-kNN recall@k against the exact
